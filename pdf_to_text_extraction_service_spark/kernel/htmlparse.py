@@ -1,0 +1,174 @@
+"""Tolerant HTML tree builder (from scratch, stdlib-only).
+
+The reference strips HTML via a WHATWG-HTML5 parse tree
+(golang.org/x/net/html, see internal/extractors/plaintext/html_strip.go:44).
+bs4/lxml are not available in this environment, so we implement a
+tolerant tree builder covering the construct subset the corpus generator
+emits (SURVEY.md §7 hard-part 2): explicit or implied html/head/body,
+void elements, ``<p>``/``<li>`` auto-closing, raw-text ``script``/
+``style``, RCDATA ``title``, comments, doctype, and HTML5 entity
+decoding. Output tree shape is equivalent for the purposes of
+``html_strip`` (same pruning set, same document-order text nodes).
+
+Performance note: this parser runs per document inside the extraction
+pandas UDF — it is regex-tokenized and allocation-light on purpose.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+
+TEXT = 0
+ELEMENT = 1
+COMMENT = 2
+DOCUMENT = 3
+
+
+class Node:
+    __slots__ = ("type", "data", "children")
+
+    def __init__(self, type_: int, data: str = ""):
+        self.type = type_
+        self.data = data
+        self.children: list[Node] = []
+
+
+_VOID = frozenset((
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+))
+
+# Start tags that implicitly close an open <p> (HTML5 8.2.5.4.7 subset).
+_P_CLOSERS = frozenset((
+    "address", "article", "aside", "blockquote", "details", "div", "dl",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2",
+    "h3", "h4", "h5", "h6", "header", "hr", "main", "menu", "nav", "ol",
+    "p", "pre", "section", "table", "ul", "li",
+))
+
+_RAWTEXT = frozenset(("script", "style"))
+
+_TAG_RE = re.compile(
+    r"<(?:"
+    r"(?P<comment>!--)"
+    r"|(?P<decl>![^>]*)"
+    r"|(?P<pi>\?[^>]*)"
+    r"|(?P<end>/[a-zA-Z][^>]*)"
+    r"|(?P<start>[a-zA-Z][a-zA-Z0-9:_-]*)"
+    r"(?P<attrs>(?:[^>\"']|\"[^\"]*\"|'[^']*')*)"
+    r")>"
+)
+
+_unescape = _htmlmod.unescape
+
+
+def parse(data: bytes | str) -> Node:
+    """Parse HTML bytes into a Node tree rooted at a DOCUMENT node."""
+    if isinstance(data, bytes):
+        s = data.decode("utf-8", errors="replace")
+    else:
+        s = data
+
+    root = Node(DOCUMENT)
+    stack: list[Node] = [root]
+    open_tags: list[str] = []  # parallel tag-name stack (root excluded)
+
+    def append_text(raw: str, decode: bool = True) -> None:
+        if raw:
+            stack[-1].children.append(
+                Node(TEXT, _unescape(raw) if decode and "&" in raw else raw)
+            )
+
+    i = 0
+    n = len(s)
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            append_text(s[i:])
+            break
+        if lt > i:
+            append_text(s[i:lt])
+        m = _TAG_RE.match(s, lt)
+        if m is None:
+            # Stray "<" — treat as text (tolerant, like the HTML5
+            # tokenizer's parse-error recovery).
+            append_text("<")
+            i = lt + 1
+            continue
+        i = m.end()
+        if m.group("comment") is not None:
+            end = s.find("-->", lt + 4)
+            if end < 0:
+                stack[-1].children.append(Node(COMMENT, s[lt + 4:]))
+                break
+            stack[-1].children.append(Node(COMMENT, s[lt + 4:end]))
+            i = end + 3
+            continue
+        if m.group("decl") is not None or m.group("pi") is not None:
+            continue
+        if m.group("end") is not None:
+            tag = m.group("end")[1:].strip().lower()
+            tag = tag.split()[0] if tag.split() else tag
+            if tag in open_tags:
+                while open_tags:
+                    t = open_tags.pop()
+                    stack.pop()
+                    if t == tag:
+                        break
+            continue
+
+        tag = m.group("start").lower()
+        attrs = m.group("attrs") or ""
+        self_closing = attrs.rstrip().endswith("/")
+
+        # p / li auto-close
+        if tag in _P_CLOSERS and open_tags and open_tags[-1] == "p":
+            open_tags.pop()
+            stack.pop()
+        if tag == "li" and open_tags and open_tags[-1] == "li":
+            open_tags.pop()
+            stack.pop()
+
+        el = Node(ELEMENT, tag)
+        stack[-1].children.append(el)
+
+        if tag in _VOID or self_closing:
+            continue
+
+        if tag in _RAWTEXT or tag == "title":
+            close = re.compile(r"</" + tag + r"\s*>", re.IGNORECASE)
+            cm = close.search(s, i)
+            end = cm.start() if cm else n
+            raw = s[i:end]
+            if raw:
+                # script/style are raw text (no entity decode);
+                # title is RCDATA (entities decoded).
+                el.children.append(
+                    Node(TEXT, _unescape(raw) if tag == "title" else raw)
+                )
+            i = cm.end() if cm else n
+            continue
+
+        stack.append(el)
+        open_tags.append(tag)
+
+    return root
+
+
+def node_text(n: Node) -> str:
+    """Concatenated text of all TEXT descendants, document order
+    (reference html_strip.go:84-96 htmlStripNodeText)."""
+    if n.type == TEXT:
+        return n.data
+    parts: list[str] = []
+    _collect_text(n, parts)
+    return "".join(parts)
+
+
+def _collect_text(n: Node, parts: list[str]) -> None:
+    for c in n.children:
+        if c.type == TEXT:
+            parts.append(c.data)
+        elif c.type == ELEMENT:
+            _collect_text(c, parts)

@@ -1,0 +1,139 @@
+"""Go-compatible rune classification and string helpers.
+
+The reference engine is Go; several of its classifications differ from
+Python's str methods on edge codepoints, so we implement explicit
+character-class tables instead of using ``str.isalpha``/``isdigit``/
+``isspace`` (SURVEY.md §7 hard-part 1):
+
+- ``unicode.IsLetter``  -> Unicode general category L* (Python isalpha
+  matches, but we pin via unicodedata to be explicit).
+- ``unicode.IsDigit``   -> category Nd ONLY (Python ``str.isdigit`` also
+  accepts No/superscripts — deliberately not used).
+- ``unicode.IsPunct``   -> category P*.
+- ``unicode.IsSpace``   -> the Unicode White_Space property (Python
+  ``str.isspace`` additionally accepts U+001C..001F — not used).
+- ``unicode.IsControl`` -> category Cc only.
+- ``strings.Fields``    -> split on White_Space runs.
+- ``strings.TrimSpace`` -> trim White_Space (NOT Python ``str.strip``).
+- ``extract.BuildCounts`` (reference internal/extract/result.go:32-50)
+  -> word split on EXACTLY {' ', '\\n', '\\t', '\\r'}; char count =
+  Unicode codepoints.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+# Unicode White_Space property (= Go unicode.IsSpace): the Zs/Zl/Zp
+# categories plus the non-Z whitespace controls.
+_WS_EXTRA = frozenset("\t\n\v\f\r\x85")
+
+
+def is_space(ch: str) -> bool:
+    if ch in _WS_EXTRA:
+        return True
+    return unicodedata.category(ch) in ("Zs", "Zl", "Zp")
+
+
+def is_letter(ch: str) -> bool:
+    return unicodedata.category(ch)[0] == "L"
+
+
+def is_digit(ch: str) -> bool:
+    return unicodedata.category(ch) == "Nd"
+
+
+def is_punct(ch: str) -> bool:
+    return unicodedata.category(ch)[0] == "P"
+
+
+def is_control(ch: str) -> bool:
+    return unicodedata.category(ch) == "Cc"
+
+
+def fields(s: str) -> list[str]:
+    """Go strings.Fields: split around runs of White_Space."""
+    out: list[str] = []
+    start = -1
+    for i, ch in enumerate(s):
+        if is_space(ch):
+            if start >= 0:
+                out.append(s[start:i])
+                start = -1
+        elif start < 0:
+            start = i
+    if start >= 0:
+        out.append(s[start:])
+    return out
+
+
+def trim_space(s: str) -> str:
+    """Go strings.TrimSpace (Unicode White_Space on both ends)."""
+    i, n = 0, len(s)
+    while i < n and is_space(s[i]):
+        i += 1
+    while n > i and is_space(s[n - 1]):
+        n -= 1
+    return s[i:n]
+
+
+def trim_right(s: str, cutset: str) -> str:
+    n = len(s)
+    while n > 0 and s[n - 1] in cutset:
+        n -= 1
+    return s[:n]
+
+
+def trim_left(s: str, cutset: str) -> str:
+    i = 0
+    while i < len(s) and s[i] in cutset:
+        i += 1
+    return s[i:]
+
+
+def build_counts(text: str) -> tuple[int, int]:
+    """Reference internal/extract/result.go:32-50.
+
+    Word split on exactly {space, \\n, \\t, \\r} — deliberately NOT the
+    Unicode-whitespace split used by quality.CountWords; char count is
+    Unicode codepoints (Go len([]rune(text))).
+    """
+    char_count = len(text)
+    word_count = 0
+    in_word = False
+    for ch in text:
+        if ch in " \n\t\r":
+            if in_word:
+                word_count += 1
+                in_word = False
+            continue
+        in_word = True
+    if in_word:
+        word_count += 1
+    return word_count, char_count
+
+
+def go_quote(s: str) -> str:
+    """Go %q / strconv.Quote — enough of it for the router's error
+    message (no extractor registered for mime=%q extension=%q,
+    reference internal/extract/registry.go:62)."""
+    out = ['"']
+    for ch in s:
+        if ch == '"':
+            out.append('\\"')
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == "\r":
+            out.append("\\r")
+        elif " " <= ch <= "~":
+            out.append(ch)
+        elif ord(ch) < 0x10000:
+            out.append("\\u%04x" % ord(ch))
+        else:
+            out.append("\\U%08x" % ord(ch))
+    out.append('"')
+    return "".join(out)

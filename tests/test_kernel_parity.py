@@ -1,0 +1,444 @@
+"""Kernel parity fixtures (FIXTURES.md §4, SURVEY.md §5.2-1).
+
+Each expected value is hand-traced from the cited reference algorithm;
+these pin the byte-identical-per-url invariant at the kernel level.
+"""
+
+from __future__ import annotations
+
+from pdf_to_text_extraction_service_spark.kernel import (
+    codefmt,
+    plaintext,
+    quality,
+    registry,
+    router,
+    runes,
+    structured,
+    textnorm,
+)
+
+
+# ---------------------------------------------------------------- counts
+
+class TestBuildCounts:
+    def test_basic(self):
+        assert runes.build_counts("hello world") == (2, 11)
+
+    def test_four_char_whitespace_set_only(self):
+        # NBSP is NOT a separator for BuildCounts (result.go:37) even
+        # though strings.Fields would split on it.
+        w, c = runes.build_counts("a\u00a0b")
+        assert (w, c) == (1, 3)
+        assert len(runes.fields("a\u00a0b")) == 2  # Fields: Unicode ws
+
+    def test_tabs_newlines_cr(self):
+        assert runes.build_counts("a\tb\nc\rd e") == (5, 9)
+
+    def test_char_count_codepoints(self):
+        # char_count = len([]rune(...)): emoji = 1 codepoint
+        w, c = runes.build_counts("héllo 🌍")
+        assert (w, c) == (2, 7)
+
+    def test_empty(self):
+        assert runes.build_counts("") == (0, 0)
+
+    def test_go_digit_vs_python(self):
+        # Superscript two: Python str.isdigit() True, Go IsDigit false.
+        assert not runes.is_digit("²")
+        assert runes.is_digit("٣")  # ARABIC-INDIC THREE: Nd in both
+
+
+# ------------------------------------------------------------- normalize
+
+class TestNormalizeText:
+    def test_crlf_and_blank_collapse(self):
+        # plaintext.go:78-83: \n{4,} → exactly 3 newlines
+        assert textnorm.normalize_text("a\r\nb\r\rc") == "a\nb\n\nc"
+        assert textnorm.normalize_text("a\n\n\n\n\n\nb") == "a\n\n\nb"
+        assert textnorm.normalize_text("  x  ") == "x"
+
+    def test_three_newlines_kept(self):
+        assert textnorm.normalize_text("a\n\n\nb") == "a\n\n\nb"
+
+
+class TestFrontMatter:
+    def test_strip(self):
+        s = "---\ntitle: x\n---\nbody"
+        assert textnorm.strip_front_matter(s) == "body"
+
+    def test_no_frontmatter(self):
+        assert textnorm.strip_front_matter("body") == "body"
+
+    def test_unterminated(self):
+        s = "---\ntitle: x\nbody"
+        assert textnorm.strip_front_matter(s) == s
+
+    def test_requires_leading_exact(self):
+        s = " ---\nx\n---\ny"
+        assert textnorm.strip_front_matter(s) == s
+
+
+class TestCleanText:
+    def test_zero_width_and_nbsp(self):
+        assert textnorm.clean_text("a\u200bb\u00a0c") == "ab c"
+
+    def test_indent_preserved_runs_collapsed(self):
+        # final whole-text TrimSpace strips the first line's indent
+        assert textnorm.clean_text("  foo   bar \nbaz\t") == "foo bar\nbaz"
+        assert textnorm.clean_text("top\n  foo   bar") == "top\n  foo bar"
+
+    def test_max_two_blank_lines(self):
+        assert textnorm.clean_text("a\n\n\n\n\nb") == "a\n\n\nb"
+
+    def test_tab_indent_becomes_spaces(self):
+        # leadingSpaces counts runes of " \t" prefix; re-emitted as
+        # spaces (and the first line's indent falls to final TrimSpace)
+        assert textnorm.clean_text("x\n\tword") == "x\n word"
+
+
+# ------------------------------------------------------------- plaintext
+
+class TestPlaintextKernel:
+    def test_markdown_frontmatter(self):
+        r = plaintext.extract_plaintext(
+            b"---\nkey: v\n---\nbody text here", "a.md", "text/markdown")
+        assert r.text == "body text here"
+        assert r.file_type == "text/markdown"
+        assert r.method == "native"
+        assert (r.word_count, r.char_count) == (3, 14)
+
+    def test_txt_passthrough_normalized(self):
+        r = plaintext.extract_plaintext(
+            b"line1\r\nline2\n\n\n\n\nend", "a.txt", "text/plain")
+        assert r.text == "line1\nline2\n\n\nend"
+        assert r.file_type == "text/plain"
+
+
+# ------------------------------------------------------------------ html
+
+class TestHTMLStrip:
+    def test_basic_structure(self):
+        html = (b"<html><head><title> My Title </title>"
+                b"<style>p{color:red}</style></head><body>"
+                b"<nav>skip nav</nav>"
+                b"<h1>Head1</h1><h2>Head2</h2><h3>Head3</h3>"
+                b"<p>Para one.</p><ul><li>item1</li><li>item2</li></ul>"
+                b"<aside>skip aside</aside><footer>skip</footer>"
+                b"<script>var x=1;</script></body></html>")
+        r = plaintext.extract_html(html, "text/html")
+        assert r.text == ("# Head1\n\n## Head2\n\n### Head3\n\n"
+                          "Para one.\n\nitem1\n\nitem2")
+        assert r.metadata == {"title": "My Title"}
+        assert r.file_type == "document/html"
+
+    def test_whole_doc_fallback(self):
+        html = b"<html><body><div>just a div</div></body></html>"
+        r = plaintext.extract_html(html, "text/html")
+        assert r.text == "just a div"
+
+    def test_fallback_includes_title_text(self):
+        # nodeText over the whole tree includes the title (Go behavior:
+        # fallback uses htmlStripNodeText(root), html_strip.go:75-80).
+        html = b"<html><head><title>T</title></head><body><span>s</span></body></html>"
+        r = plaintext.extract_html(html, "text/html")
+        assert r.text == "Ts"
+
+    def test_empty_p_skipped_empty_h_kept(self):
+        html = b"<body><p>  </p><h1></h1><p>x</p></body>"
+        r = plaintext.extract_html(html, "text/html")
+        # h1 appended unconditionally: "# " + "" (html_strip.go:59-62)
+        assert r.text == "# \n\nx"
+
+    def test_nested_li_p_duplicates(self):
+        # walk recurses into li; nested p emitted twice (reference
+        # behavior, html_strip.go:63-72)
+        html = b"<body><ul><li><p>dup</p></li></ul></body>"
+        r = plaintext.extract_html(html, "text/html")
+        assert r.text == "dup\n\ndup"
+
+    def test_entities_decoded(self):
+        html = b"<body><p>a &amp; b &lt;c&gt; &#65;</p></body>"
+        r = plaintext.extract_html(html, "text/html")
+        assert r.text == "a & b <c> A"
+
+    def test_unclosed_p_autoclose(self):
+        html = b"<body><p>one<p>two</body>"
+        r = plaintext.extract_html(html, "text/html")
+        assert r.text == "one\n\ntwo"
+
+    def test_inline_markup_flattened(self):
+        html = b"<body><p>a <b>bold</b> and <a href='#'>link</a>.</p></body>"
+        r = plaintext.extract_html(html, "text/html")
+        assert r.text == "a bold and link."
+
+
+# ------------------------------------------------------------------- rtf
+
+class TestRTF:
+    def test_pipeline(self):
+        rtf = (br"{\rtf1\ansi\deff0 {\fonttbl {\f0 Times;}}"
+               br"\f0\fs24 Hello\tab world\par Second\'e9 line\par}")
+        r = plaintext.extract_rtf(rtf, "application/rtf")
+        # hand-traced through rtf.go:35-43: \par→\n first, \tab→\t,
+        # \'e9 hex dropped, control words + trailing space stripped,
+        # braces dropped, trim
+        assert r.text == "Times;Hello\t world\n Second line"
+
+    def test_exact_small(self):
+        r = plaintext.extract_rtf(br"a\par b\tab c", "text/rtf")
+        # \par → "\n" (space after "\par" is NOT consumed — only the
+        # generic control-word regex eats a trailing space)
+        assert r.text == "a\n b\t c"
+
+
+# ------------------------------------------------------------------- csv
+
+class TestCSV:
+    def test_comma(self):
+        r = structured.extract_csv(b"a,b\n1,2\n", "text/csv")
+        assert r.text == "| a | b |\n| --- | --- |\n| 1 | 2 |"
+        assert r.metadata == {"rows": "2", "columns": "2", "delimiter": ","}
+
+    def test_delimiter_probe_order(self):
+        # ';' grid: ',' parse gives 1 col → rejected; '\t' 1 col; ';' wins
+        r = structured.extract_csv(b"a;b\n1;2\n", "text/csv")
+        assert r.metadata["delimiter"] == ";"
+
+    def test_tab(self):
+        r = structured.extract_csv(b"a\tb\n1\t2\n", "text/tab-separated-values")
+        assert r.metadata["delimiter"] == "\t"
+
+    def test_row_cap_201_plus_note(self):
+        rows = b"h1,h2\n" + b"".join(b"x%d,y\n" % i for i in range(205))
+        r = structured.extract_csv(rows, "text/csv")
+        # 206 records total: header + 200 data rows in table, 5 dropped
+        # header + sep + 200 data rows each end in \n, + blank line
+        # before the note → 203 newlines
+        assert r.text.count("\n") == 203
+        assert r.text.endswith("... and 5 more rows")
+        assert r.metadata["rows"] == "206"
+
+    def test_quoted_fields(self):
+        r = structured.extract_csv(b'a,b\n"x, y","z""w"\n', "text/csv")
+        assert "| x, y | z\"w |" in r.text
+
+    def test_unparseable_falls_back_raw(self):
+        # single column for every delimiter → raw trimmed text
+        r = structured.extract_csv(b"just one col\nsecond\n", "text/csv")
+        assert r.text == "just one col\nsecond"
+        assert r.metadata is None
+
+    def test_ragged_rows_padded(self):
+        r = structured.extract_csv(b"a,b,c\n1,2\n", "text/csv")
+        assert r.text == "| a | b | c |\n| --- | --- | --- |\n| 1 | 2 |  |"
+
+
+# ------------------------------------------------------------------ json
+
+class TestJSON:
+    def test_pretty_sorted_keys(self):
+        r = structured.extract_json(b'{"b":1,"a":2}', "x.json",
+                                    "application/json")
+        assert r.text == '{\n  "a": 2,\n  "b": 1\n}'
+
+    def test_html_escape_like_go(self):
+        r = structured.extract_json(b'{"k":"a<b&c>d"}', "x.json",
+                                    "application/json")
+        assert r.text == '{\n  "k": "a\\u003cb\\u0026c\\u003ed"\n}'
+
+    def test_jsonl(self):
+        r = structured.extract_json(b'{"a":1}\n\n{"b":2}\n', "x.jsonl",
+                                    "application/json")
+        assert r.text == '{\n  "a": 1\n}\n\n---\n\n{\n  "b": 2\n}'
+
+    def test_invalid_raw(self):
+        r = structured.extract_json(b"not json", "x.json",
+                                    "application/json")
+        assert r.text == "not json"
+
+    def test_nested(self):
+        r = structured.extract_json(b'{"a":[1,2],"b":{"c":true}}',
+                                    "x.json", "application/json")
+        assert r.text == ('{\n  "a": [\n    1,\n    2\n  ],\n'
+                          '  "b": {\n    "c": true\n  }\n}')
+
+
+# ------------------------------------------------------------------- xml
+
+class TestXML:
+    def test_chardata_only(self):
+        xml = (b'<?xml version="1.0"?><root attr="skipme">\n'
+               b"  <a>one</a><b>two <c>three</c></b>\n"
+               b"  <!-- comment --><d><![CDATA[raw <cdata>]]></d></root>")
+        r = structured.extract_xml(xml, "application/xml")
+        assert r.text == "one\ntwo\nthree\nraw <cdata>"
+
+    def test_entities(self):
+        r = structured.extract_xml(b"<r>a &lt;&amp;&gt; b &#65;</r>",
+                                   "text/xml")
+        assert r.text == "a <&> b A"
+
+
+# ------------------------------------------------------------------ yaml
+
+class TestYAML:
+    def test_roundtrip_sorted(self):
+        r = structured.extract_yaml(b"b: 2\na: one two\n", "x.yaml",
+                                    "application/yaml")
+        assert r.text == "a: one two\nb: 2"
+
+    def test_list_indent(self):
+        r = structured.extract_yaml(b"items:\n  - x\n  - y\n", "x.yaml",
+                                    "application/yaml")
+        assert r.text == "items:\n    - x\n    - y"
+
+    def test_toml_passthrough(self):
+        r = structured.extract_yaml(b"key = 1\n", "x.toml",
+                                    "application/yaml")
+        assert r.text == "key = 1"
+
+
+# ------------------------------------------------------------------ code
+
+class TestCode:
+    def test_small_file(self):
+        src = b"def f():\n    return 1\n"
+        r = codefmt.extract_source(src, "a.py", "")
+        assert r.text == ("<!-- lang: python, lines: 2 -->\n\n"
+                          "```python\ndef f():\n    return 1\n```")
+        assert r.metadata == {"language": "python"}
+        assert r.method == "code"
+
+    def test_unknown_ext_lang_text(self):
+        r = codefmt.extract_source(b"x", "a.xyzlang", "")
+        assert "lang: text" in r.text
+
+    def test_large_file_summarized(self):
+        lines = [f"x = {i}" for i in range(10050)]
+        lines[0] = "def first():"
+        src = "\n".join(lines).encode()
+        r = codefmt.extract_source(src, "big.py", "")
+        assert "/* signatures + docs */" in r.text
+        assert "def first():" in r.text
+
+    def test_notebook(self):
+        nb = (b'{"cells":[{"cell_type":"markdown","source":["# Title"]},'
+              b'{"cell_type":"code","source":["print(1)\\n","print(2)"]},'
+              b'{"cell_type":"markdown","source":["  "]}]}')
+        r = codefmt.extract_notebook(nb, "application/x-ipynb+json")
+        assert r.text == "# Title\n\n---\n\n```python\nprint(1)\nprint(2)\n```"
+
+    def test_notebook_invalid(self):
+        r = codefmt.extract_notebook(b"[1,2]", "application/x-ipynb+json")
+        assert not r.success
+
+    def test_latex(self):
+        tex = (b"% comment line\n"
+               b"\\documentclass{article}\n"
+               b"\\section{Intro}\n"
+               b"Some \\textbf{bold} text.\n"
+               b"\\subsection{Sub}\n"
+               b"End.")
+        r = codefmt.extract_latex(tex, "application/x-tex")
+        assert "# Intro" in r.text
+        assert "## Sub" in r.text
+        assert "bold" not in r.text  # \textbf{bold} fully stripped
+        assert "documentclass" not in r.text
+        assert "{" not in r.text
+
+
+# --------------------------------------------------------------- quality
+
+class TestQuality:
+    def test_empty(self):
+        d = quality.score("", 20)
+        assert d.quality == 0.0 and d.needs_ocr
+        assert d.reasons == ["empty_text"]
+
+    def test_good_prose(self):
+        text = ("The quick brown fox jumps over the lazy dog while the "
+                "sun sets behind distant mountains and rivers flow "
+                "gently through ancient valleys toward the endless sea.")
+        d = quality.score(text, 20)
+        assert d.quality >= 0.9
+        assert not d.needs_ocr
+        assert "good_prose" in d.reasons
+
+    def test_garbage(self):
+        d = quality.score("\ufffd" * 40 + "ok", 20)
+        assert d.needs_ocr
+        assert "garbage_chars" in d.reasons
+
+    def test_low_word_count_penalty(self):
+        d = quality.score("few words only", 20)
+        assert "low_word_count" in d.reasons
+        # wc=3 < 20/2 → penalty 0.60; alpha high → no alpha penalty;
+        # expected score: 1 - 0.60 = 0.40 → needs OCR
+        assert abs(d.quality - 0.40) < 1e-9
+        assert d.needs_ocr
+
+    def test_repeated_patterns(self):
+        d = quality.score("normal words here " + "-" * 10, 20)
+        assert "repeated_patterns" in d.reasons
+
+    def test_count_words_unicode_ws(self):
+        assert quality.count_words("a\u00a0b c") == 3
+
+    def test_scrambled(self):
+        words = " ".join(["a"] * 40 + ["word"] * 40)
+        d = quality.score(words, 20)
+        assert "scrambled_text" in d.reasons
+
+
+# ---------------------------------------------------------------- router
+
+class TestRouterDispatch:
+    def test_extension_beats_mime(self):
+        # registry_test.go:22-34 parity: a .csv URL with HTML-looking
+        # payload still routes to CSV by extension.
+        res, fmt = router.extract_document(
+            "https://x.test/data.csv", b"<html><p>a,b</p></html>")
+        assert fmt == "csv"
+        assert res.file_type == "structured/csv"
+
+    def test_mime_fallback_no_ext(self):
+        res, fmt = router.extract_document(
+            "https://x.test/page", b"<html><body><p>hi there</p></body></html>")
+        assert fmt == "html"
+        assert res.text == "hi there"
+
+    def test_text_star_fallback(self):
+        res, fmt = router.extract_document(
+            "https://x.test/file.unknownext", b"plain text content")
+        # sniff → text/plain; unknown ext → text/* fallback to text
+        assert fmt == "text"
+        assert res.success
+
+    def test_unknown_binary(self):
+        res, fmt = router.extract_document(
+            "https://x.test/blob.xyz", b"\x00\x01\x02binary")
+        assert not res.success
+        assert fmt == "unknown"
+        assert res.error == ('no extractor registered for '
+                             'mime="application/octet-stream" '
+                             'extension=".xyz"')
+
+    def test_size_gate_message(self):
+        res, fmt = router.extract_document(
+            "https://x.test/big.txt", b"x" * (10 * 1024 * 1024 + 1))
+        assert not res.success
+        assert res.error == "file exceeds extractor limit (10MB)"
+        assert res.file_type == "text"
+
+    def test_svg_routes_to_xml(self):
+        # XML registers .svg after image → xml wins (main.go order).
+        assert registry.BY_EXT[".svg"].kernel == "xml"
+
+    def test_webm_routes_to_video(self):
+        assert registry.BY_EXT[".webm"].kernel == "video"
+
+    def test_counts_backfill(self):
+        res, _ = router.extract_document(
+            "https://x.test/a.txt", b"three short words")
+        assert res.word_count == 3
+        assert res.char_count == 17

@@ -1,0 +1,79 @@
+"""PDF text-layer kernel tests: span assembly, reading order, column
+detection, hybrid quality gating (FIXTURES.md §4 pdf_* fixtures)."""
+
+from __future__ import annotations
+
+from pdf_to_text_extraction_service_spark.kernel import pdfk
+from pdf_to_text_extraction_service_spark.sources import pdfgen
+
+GOOD_LINES = [
+    "The quick brown fox jumps over the lazy dog near the river bank.",
+    "Morning light settles across the quiet valley while birds gather.",
+    "Seasoned travelers often remark on the gentle slope of these hills.",
+]
+
+
+class TestReader:
+    def test_page_count(self):
+        pdf = pdfgen.simple_pdf([GOOD_LINES, GOOD_LINES])
+        assert pdfk.page_count(pdf) == 2
+
+    def test_not_a_pdf(self):
+        try:
+            pdfk.page_count(b"not a pdf")
+            raise AssertionError("expected PDFError")
+        except pdfk.PDFError:
+            pass
+
+    def test_single_page_text(self):
+        pdf = pdfgen.simple_pdf([["Hello world", "Second line"]])
+        assert pdfk.extract_page_text(pdf, 1) == "Hello world\nSecond line"
+
+    def test_escapes_in_strings(self):
+        pdf = pdfgen.simple_pdf([["paren (x) and \\ back"]])
+        assert pdfk.extract_page_text(pdf, 1) == "paren (x) and \\ back"
+
+    def test_reading_order_two_columns(self):
+        # Right column physically higher than left start, but the left
+        # column must be read first (column, -y, x).
+        pdf = pdfgen.build_pdf([
+            pdfgen.two_column_page(["L1", "L2"], ["R1", "R2"]),
+        ])
+        assert pdfk.extract_page_text(pdf, 1) == "L1\nL2\nR1\nR2"
+
+    def test_same_line_spans_joined(self):
+        spans = [(72.0, 700.0, "left"), (150.0, 700.0, "right")]
+        pdf = pdfgen.build_pdf([spans])
+        # 150-72 < COLUMN_GAP → same column, same y → joined by space
+        assert pdfk.extract_page_text(pdf, 1) == "left right"
+
+
+class TestHybrid:
+    def test_all_text_layer(self):
+        pdf = pdfgen.simple_pdf([GOOD_LINES, GOOD_LINES])
+        r = pdfk.extract_pdf(pdf, "application/pdf")
+        assert r.success
+        assert r.method == "hybrid"
+        assert len(r.pages) == 2
+        assert all(p.method == "text-layer" for p in r.pages)
+        assert "\n\n---\n\n" in r.text
+        assert r.file_type == "document/pdf"
+
+    def test_garbage_page_needs_ocr(self):
+        garbage = ["@#$% ^&*()!! ~~ ||", "#### !!!! @@@@ $$$$"]
+        pdf = pdfgen.simple_pdf([GOOD_LINES, garbage])
+        r = pdfk.extract_pdf(pdf, "application/pdf")
+        assert r.success
+        p2 = r.pages[1]
+        assert p2.method == "needs-ocr"
+        assert p2.text == ""  # hybrid.go:267-271 empties the page text
+        # combined text only contains the good page
+        assert "quick brown fox" in r.text
+        assert "@#$%" not in r.text
+
+    def test_word_counts_per_page(self):
+        pdf = pdfgen.simple_pdf([GOOD_LINES])
+        r = pdfk.extract_pdf(pdf, "application/pdf")
+        # quality.CountWords over cleaned page text
+        expected = sum(len(l.split()) for l in GOOD_LINES)
+        assert r.pages[0].word_count == expected
