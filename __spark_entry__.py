@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2);
+each runs the real Spark implementation at (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent SQL per query for the
+row-count/schema/value-hash correctness gate at sf0.01.
+
+The extraction queries synthesize the pages table
+``(url, warc_ts, html, text, lang)`` from the driver's ``documents``
+view with pure SQL expressions (sources/corpus.py), so DuckDB can
+construct the EXPECTED extraction output symbolically — documents.text
+is verified [a-z0-9 .,]+ with single spaces, which makes the
+HTML-strip/markdown kernels' output closed-form in SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +19,240 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_to_text_extraction_service_spark.operators.dedup import (
+    dedup_latest,
+    dedup_latest_window,
+)
+from pdf_to_text_extraction_service_spark.plans.pipeline import (
+    extract_pipeline,
+    flagship_lang_agg,
+)
+from pdf_to_text_extraction_service_spark.sources.corpus import (
+    load_documents,
+    pages_from_documents,
+)
+
+# DuckDB-side construction of the same pages the Spark side builds.
+_URL = ("'https://corpus.example/' || source || '/doc' || "
+        "CAST(doc_id AS VARCHAR) || '.html'")
+_EXTRACTED_TEXT = ("'# Doc ' || CAST(doc_id AS VARCHAR) || "
+                   "chr(10) || chr(10) || text")
+# BuildCounts word count of the extracted text: '#', 'Doc', '<id>' +
+# the single-space-separated document words (verified: no runs).
+# CASTs pin DuckDB's BIGINT/HUGEINT arithmetic onto the engine's
+# IntegerType output schema.
+_WC = "CAST(3 + len(string_split(text, ' ')) AS INTEGER)"
+_CC = f"CAST(length({_EXTRACTED_TEXT}) AS INTEGER)"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract sf0.001 pages (3 captures/url) → dedup →
+    per-language volume rollup."""
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    pages = pages_from_documents(docs, dup_factor=3)
+    extracted = extract_pipeline(pages, keep_pages_col=False)
+    return flagship_lang_agg(extracted).orderBy("lang")
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_extract_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(load_documents(spark, sf_dir))
+    out = extract_pipeline(pages, salt=True, dedup=False,
+                           keep_pages_col=False)
+    return out.select("url", "success", "text", "method", "file_type",
+                      "mime_type", "word_count", "char_count")
+
+
+def _q_extract_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://corpus.example/"), F.col("source"),
+                 F.lit("/doc"), F.col("doc_id").cast("string"),
+                 F.lit(".md")).alias("url"),
+        F.expr("timestamp '2026-01-01 00:00:00'").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("---\ntitle: corpus\n---\n"), F.col("text"),
+                     F.lit("\n")),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"), F.col("lang"),
+    )
+    out = extract_pipeline(pages, salt=False, dedup=False,
+                           keep_pages_col=False)
+    return out.select("url", "success", "text", "method", "file_type",
+                      "word_count", "char_count")
+
+
+def _q_extract_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(load_documents(spark, sf_dir),
+                                 dup_factor=3)
+    extracted = extract_pipeline(pages, keep_pages_col=False)
+    return flagship_lang_agg(extracted)
+
+
+def _q_dedup_latest_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(load_documents(spark, sf_dir),
+                                 dup_factor=3)
+    extracted = extract_pipeline(pages, dedup=False, keep_pages_col=False)
+    return dedup_latest(extracted).select("url", "warc_ts")
+
+
+def _q_dedup_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Deterministic latest event per user: order by (ts, event_id).
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+def _q1_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("timestamp '2024-09-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_join_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + deterministic top-k via window rank."""
+    from pyspark.sql import Window
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+    joined = rev.join(F.broadcast(cust),
+                      rev.o_custkey == cust.c_custkey, "inner")
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("c_custkey", "c_name", "revenue", "n_orders")
+    )
+
+
+def _q_anti_join_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — the resume/lineage join shape (SURVEY.md §2.8):
+    orders with no lineitem rows."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    missing = orders.join(li, orders.o_orderkey == li.l_orderkey,
+                          "left_anti")
+    return missing.agg(F.count("*").alias("orders_without_items"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_html_docs": _q_extract_html_docs,
+    "extract_markdown_docs": _q_extract_markdown_docs,
+    "extract_lang_agg": _q_extract_lang_agg,
+    "dedup_latest_url": _q_dedup_latest_url,
+    "dedup_window_events": _q_dedup_window_events,
+    "q1_lineitem_agg": _q1_lineitem_agg,
+    "join_topk_customers": _q_join_topk_customers,
+    "anti_join_manifest": _q_anti_join_manifest,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_html_docs": f"""
+            SELECT {_URL} AS url,
+                   TRUE AS success,
+                   {_EXTRACTED_TEXT} AS text,
+                   'native' AS method,
+                   'document/html' AS file_type,
+                   'text/html; charset=utf-8' AS mime_type,
+                   {_WC} AS word_count,
+                   {_CC} AS char_count
+            FROM documents
+        """,
+        "extract_markdown_docs": """
+            SELECT 'https://corpus.example/' || source || '/doc' ||
+                   CAST(doc_id AS VARCHAR) || '.md' AS url,
+                   TRUE AS success,
+                   text AS text,
+                   'native' AS method,
+                   'text/markdown' AS file_type,
+                   CAST(len(string_split(text, ' ')) AS INTEGER)
+                       AS word_count,
+                   CAST(length(text) AS INTEGER) AS char_count
+            FROM documents
+        """,
+        "extract_lang_agg": f"""
+            SELECT lang,
+                   COUNT(*) AS docs,
+                   CAST(SUM({_WC}) AS BIGINT) AS sum_words,
+                   CAST(SUM({_CC}) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY lang
+        """,
+        "dedup_latest_url": f"""
+            SELECT {_URL} AS url,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + (doc_id % 86400 + 2 * 3600) * INTERVAL 1 SECOND
+                     AS warc_ts
+            FROM documents
+        """,
+        "dedup_window_events": """
+            SELECT user_id, event_id, ts, event_type
+            FROM (
+                SELECT user_id, event_id, ts, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "q1_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_topk_customers": """
+            SELECT c_custkey, c_name, revenue, n_orders
+            FROM (
+                SELECT c.c_custkey, c.c_name,
+                       ROUND(SUM(o.o_totalprice), 2) AS revenue,
+                       COUNT(*) AS n_orders
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey, c.c_name
+            )
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY revenue DESC, c_custkey) <= 10
+        """,
+        "anti_join_manifest": """
+            SELECT COUNT(*) AS orders_without_items
+            FROM orders o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """,
+    }

@@ -1,0 +1,53 @@
+"""spark-submit batch entry: extract a pages table to an output table.
+
+    spark-submit --py-files engine.zip jobs/extract.py \
+        --input /data/pages_parquet --output /data/extracted \
+        --manifest /data/manifest --buckets 64
+
+Resumable: progress checkpoints per url-hash bucket into the manifest
+table (operators/manifest.py); a killed run re-runs only pending
+buckets (north_rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# Allow bare `spark-submit jobs/extract.py` (no --py-files): the
+# package lives next to this script's parent dir.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from pdf_to_text_extraction_service_spark.operators.manifest import (
+    run_resumable_extract,
+)
+from pdf_to_text_extraction_service_spark.plans.session import build_session
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--manifest", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--no-dedup", action="store_true")
+    args = ap.parse_args()
+
+    spark = build_session(app_name="webextract-job")
+    pages = spark.read.parquet(args.input)
+    run_resumable_extract(
+        spark, pages,
+        output_path=args.output,
+        manifest_path=args.manifest,
+        buckets=args.buckets,
+        dedup=not args.no_dedup,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

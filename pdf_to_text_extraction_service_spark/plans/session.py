@@ -1,0 +1,46 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Tunings map to the reference's hand-rolled cost controls (SURVEY.md §4):
+- AQE + skew-join handle the url-dedup / lineage-join shuffles at
+  100 TB (the reference's bounded-parallelism tiers are executor
+  sizing, not job code).
+- Arrow batch size is capped LOW (256 rows) because page payloads are
+  multi-MiB binary cells — the 10k default would OOM the Python worker
+  (SURVEY.md §7 hard-part 4; the analog of the reference's
+  io.LimitedReader streaming caps, download.go:70-79).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_MAX_RECORDS_PER_BATCH = 256
+
+
+def build_session(app_name: str = "webextract",
+                  master: str | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(ARROW_MAX_RECORDS_PER_BATCH))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

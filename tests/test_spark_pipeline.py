@@ -1,0 +1,163 @@
+"""Spark pipeline tests: mixed-format corpus end-to-end, Spark ≡
+kernel equivalence, dedup semantics, failure codes, kill/resume
+(SURVEY.md §5.2-2/3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_to_text_extraction_service_spark.functions.extract_udf import extract
+from pdf_to_text_extraction_service_spark.kernel import router
+from pdf_to_text_extraction_service_spark.operators.dedup import (
+    dedup_latest,
+    dedup_latest_window,
+)
+from pdf_to_text_extraction_service_spark.operators.manifest import (
+    run_resumable_extract,
+)
+from pdf_to_text_extraction_service_spark.operators.salt import (
+    size_tiered_repartition,
+)
+from pdf_to_text_extraction_service_spark.plans.pipeline import (
+    extract_pipeline,
+)
+from pdf_to_text_extraction_service_spark.sources import corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = corpus.generate_corpus_rows(300, seed=7)
+    df = spark.createDataFrame(
+        rows,
+        "url string, ts_off long, html binary, text string, lang string",
+    ).select(
+        "url",
+        F.expr(
+            "timestamp '2026-01-01 00:00:00' "
+            "+ make_interval(0,0,0,0,0,0, ts_off)"
+        ).alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    df = df.cache()
+    df.count()
+    return df
+
+
+def test_spark_equals_kernel(spark, corpus_df):
+    """Byte-identity: the Spark UDF output equals direct kernel calls
+    row-for-row (guards Arrow string mangling / encoding drift)."""
+    out = {
+        (r["url"], r["warc_ts"]): r
+        for r in extract(corpus_df).collect()
+    }
+    for row in corpus_df.collect():
+        res, fmt = router.extract_document(row["url"], bytes(row["html"]))
+        got = out[(row["url"], row["warc_ts"])]
+        assert got["text"] == res.text, row["url"]
+        assert got["success"] == res.success
+        assert got["format"] == fmt
+        assert got["word_count"] == res.word_count
+        assert got["char_count"] == res.char_count
+        assert got["error"] == res.error
+
+
+def test_formats_covered(spark, corpus_df):
+    out = extract(corpus_df)
+    fmts = {r["format"] for r in out.select("format").distinct().collect()}
+    assert {"html", "text", "csv", "json", "xml", "yaml", "source",
+            "notebook", "latex", "rtf", "pdf", "unknown"} <= fmts
+
+
+def test_failure_codes(spark, corpus_df):
+    out = extract(corpus_df)
+    failed = out.filter(~F.col("success"))
+    errs = [r["error"] for r in failed.collect()]
+    assert errs, "corpus must contain failure rows"
+    assert all(e for e in errs)
+    unknown = failed.filter(F.col("format") == "unknown")
+    assert unknown.count() > 0
+    msg = unknown.select("error").first()["error"]
+    assert msg.startswith("no extractor registered for mime=")
+
+
+def test_dedup_latest_wins(spark, corpus_df):
+    extracted = extract(corpus_df)
+    total = extracted.count()
+    distinct_urls = corpus_df.select("url").distinct().count()
+    assert total > distinct_urls  # corpus contains duplicate captures
+    for dedup_fn in (dedup_latest, dedup_latest_window):
+        deduped = dedup_fn(extracted)
+        assert deduped.count() == distinct_urls
+        # every kept row carries the max warc_ts for its url
+        maxes = extracted.groupBy("url").agg(F.max("warc_ts").alias("mx"))
+        joined = deduped.join(maxes, "url")
+        assert joined.filter(F.col("warc_ts") != F.col("mx")).count() == 0
+
+
+def test_salt_preserves_rows(spark, corpus_df):
+    salted = size_tiered_repartition(corpus_df, 8, big_bytes=2000)
+    assert salted.count() == corpus_df.count()
+    assert "_salt" not in salted.columns
+
+
+def test_oversize_row_failure(spark):
+    big = b"x" * (10 * 1024 * 1024 + 1)
+    df = spark.createDataFrame(
+        [("https://x.test/big.txt", big)], "url string, html binary"
+    )
+    row = extract(df).collect()[0]
+    assert not row["success"]
+    assert row["error"] == "file exceeds extractor limit (10MB)"
+
+
+def test_resume_skips_done_buckets(spark, corpus_df, tmp_path):
+    out_dir = str(tmp_path / "out")
+    mf_dir = str(tmp_path / "manifest")
+
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_resumable_extract(
+            spark, corpus_df, out_dir, mf_dir,
+            buckets=8, wave_count=4, fail_after_waves=2,
+        )
+    mf1 = spark.read.parquet(mf_dir)
+    done_first = mf1.count()
+    assert 0 < done_first < 8
+
+    # Resume: completes only the remaining buckets.
+    run_resumable_extract(
+        spark, corpus_df, out_dir, mf_dir, buckets=8, wave_count=4,
+    )
+    mf2 = spark.read.parquet(mf_dir)
+    assert mf2.select("bucket").distinct().count() == 8
+    # no bucket processed twice
+    assert mf2.groupBy("bucket").count().filter("count > 1").count() == 0
+
+    # Final output equals a straight single-pass run.
+    resumed = spark.read.parquet(out_dir)
+    direct = extract_pipeline(corpus_df, keep_pages_col=False)
+    assert resumed.count() == direct.count()
+    a = {(r["url"], r["text"]) for r in resumed.select("url", "text").collect()}
+    b = {(r["url"], r["text"]) for r in direct.select("url", "text").collect()}
+    assert a == b
+
+    # manifest row/ok counts reconcile with the output table
+    agg = resumed.groupBy().agg(
+        F.count("*").alias("rows"),
+        F.count_if(F.col("success")).alias("ok"),
+    ).first()
+    mf_tot = mf2.groupBy().agg(
+        F.sum("row_count").alias("rows"), F.sum("ok_count").alias("ok")
+    ).first()
+    assert (agg["rows"], agg["ok"]) == (mf_tot["rows"], mf_tot["ok"])
+
+
+def test_idempotent_rerun_noop(spark, corpus_df, tmp_path):
+    out_dir = str(tmp_path / "out")
+    mf_dir = str(tmp_path / "manifest")
+    run_resumable_extract(spark, corpus_df, out_dir, mf_dir,
+                          buckets=4, wave_count=2)
+    n1 = spark.read.parquet(mf_dir).count()
+    run_resumable_extract(spark, corpus_df, out_dir, mf_dir,
+                          buckets=4, wave_count=2)
+    assert spark.read.parquet(mf_dir).count() == n1
