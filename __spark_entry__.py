@@ -160,6 +160,110 @@ def _q_anti_join_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return missing.agg(F.count("*").alias("orders_without_items"))
 
 
+# ----------------------------------------------- training-data operators
+
+
+def _docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-duplicate mutants (text + ' qq', id + 100000) —
+    the deterministic near-dup corpus both engines can construct."""
+    docs = load_documents(spark, sf_dir)
+    mutants = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.select("doc_id", "text", "lang", "source", "n_chars") \
+        .unionByName(mutants)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_text_extraction_service_spark.operators.neardup import (
+        exact_dedup,
+    )
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return exact_dedup(doubled)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_text_extraction_service_spark.operators.neardup import (
+        minhash_lsh_pairs,
+    )
+    d2 = _docs_with_mutants(spark, sf_dir)
+    return minhash_lsh_pairs(d2, shingle_n=3, num_perm=96, bands=32,
+                             threshold=0.7)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_text_extraction_service_spark.operators.neardup import (
+        ngram_jaccard_pairs,
+    )
+    d2 = _docs_with_mutants(spark, sf_dir).withColumn(
+        "blk", (F.col("doc_id") % 100000) % 50
+    )
+    return ngram_jaccard_pairs(d2, block_col="blk", n=3, threshold=0.5)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_text_extraction_service_spark.operators.neardup import (
+        simhash_pairs,
+    )
+    d2 = _docs_with_mutants(spark, sf_dir)
+    return simhash_pairs(d2, max_hamming=8)
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_text_extraction_service_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return brute_force_topk(emb, [float(v) for v in qv], k=10)
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_text_extraction_service_spark.operators.similarity import (
+        lsh_topk,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return lsh_topk(emb, [float(v) for v in qv], k=10, bits=4)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_text_extraction_service_spark.operators.textstats import (
+        lang_id,
+    )
+    docs = load_documents(spark, sf_dir)
+    return lang_id(docs).select("doc_id", "lang_guess")
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_text_extraction_service_spark.operators.textstats import (
+        token_count,
+    )
+    docs = load_documents(spark, sf_dir)
+    return token_count(docs).select("doc_id", "n_tokens")
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_text_extraction_service_spark.operators.textstats import (
+        doc_fingerprint,
+    )
+    docs = load_documents(spark, sf_dir)
+    return doc_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_to_text_extraction_service_spark.operators.textstats import (
+        quality_scores,
+    )
+    docs = load_documents(spark, sf_dir)
+    return quality_scores(docs)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_html_docs": _q_extract_html_docs,
     "extract_markdown_docs": _q_extract_markdown_docs,
@@ -169,7 +273,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_lineitem_agg": _q1_lineitem_agg,
     "join_topk_customers": _q_join_topk_customers,
     "anti_join_manifest": _q_anti_join_manifest,
+    "dedup_exact": _q_dedup_exact,
+    "dedup_minhash_lsh": _q_minhash_lsh,
+    "dedup_ngram_jaccard": _q_ngram_jaccard,
+    "dedup_simhash": _q_simhash_pairs,
+    "ann_cosine_topk": _q_ann_cosine_topk,
+    "ann_lsh_topk": _q_ann_lsh_topk,
+    "lang_id_heuristic": _q_lang_id,
+    "token_count_bpe": _q_token_count,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "quality_scores_docs": _q_quality_scores,
 }
+
+# DuckDB mirror of the language-ID stopword scores (same formula as
+# operators/textstats.lang_scores; ties resolve to the
+# lexicographically first language, matching the Spark struct-argmax).
+from pdf_to_text_extraction_service_spark.operators.textstats import (
+    STOPWORDS as _STOPWORDS,
+)
+
+_LANG_EXPRS = {
+    lg: ("len(list_filter(toks, t -> list_contains(["
+         + ",".join(f"'{w}'" for w in _STOPWORDS[lg]) + "], t)))")
+    for lg in sorted(_STOPWORDS)
+}
+_LANG_SCORES_SQL = ", ".join(_LANG_EXPRS.values())
+_LANG_CASE_SQL = " ".join(
+    f"WHEN {expr} = greatest({_LANG_SCORES_SQL}) THEN '{lg}'"
+    for lg, expr in _LANG_EXPRS.items()
+)
+
+# DuckDB mirror of the near-dup corpus + trigram shingle sets.
+_SHINGLE_CTE = """
+    WITH d2 AS (
+        SELECT doc_id AS id, doc_id % 50 AS blk,
+               string_split(text, ' ') AS t
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, doc_id % 50,
+               string_split(text || ' qq', ' ')
+        FROM documents
+    ), sh AS (
+        SELECT id, blk,
+               list_distinct(list_transform(
+                   range(0, greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1:i + 3], ' '))) AS s
+        FROM d2
+    )
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -254,5 +405,83 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             WHERE NOT EXISTS (
                 SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, 2 * COUNT(*) AS dup_count
+            FROM documents
+            GROUP BY text
+        """,
+        # The LSH banding at (96 perms, 32 bands, r=3) detects J>=0.7
+        # pairs with P(miss) < 2e-6 per pair and exact verification
+        # removes every false positive, so the oracle is the full
+        # quadratic truth.
+        "dedup_minhash_lsh": _SHINGLE_CTE + """
+            SELECT a.id AS id_a, b.id AS id_b,
+                   ROUND(
+                       len(list_intersect(a.s, b.s))::DOUBLE /
+                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                       6) AS jaccard
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.7
+        """,
+        "dedup_ngram_jaccard": _SHINGLE_CTE + """
+            SELECT a.id AS id_a, b.id AS id_b,
+                   ROUND(
+                       len(list_intersect(a.s, b.s))::DOUBLE /
+                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                       6) AS jaccard
+            FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.5
+        """,
+        # dedup_simhash / ann_lsh_topk / quality_scores_docs: engine-
+        # hash- or kernel-dependent — rows-only checks (no oracle).
+        "ann_cosine_topk": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings
+                        WHERE vec_id = 0)), 6) AS cosine
+            FROM embeddings
+            QUALIFY ROW_NUMBER() OVER (
+                ORDER BY list_cosine_similarity(
+                    embedding::DOUBLE[],
+                    (SELECT embedding::DOUBLE[] FROM embeddings
+                     WHERE vec_id = 0)) DESC, vec_id) <= 10
+        """,
+        "lang_id_heuristic": f"""
+            SELECT doc_id,
+                   CASE WHEN greatest({_LANG_SCORES_SQL}) = 0 THEN 'und'
+                   {_LANG_CASE_SQL}
+                   ELSE 'und' END AS lang_guess
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                       AS INTEGER) AS n_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   list_min(list_transform(
+                       list_transform(
+                           range(0, greatest(len(t) - 4, 0) + 1),
+                           i -> array_to_string(t[i + 1:i + 4], ' ')),
+                       s -> list_reduce(
+                           list_prepend(0::BIGINT,
+                               list_transform(
+                                   list_filter(string_split_regex(s, ''),
+                                               c -> c <> ''),
+                                   c -> unicode(c)::BIGINT)),
+                           (a, c) -> (a * 31 + c) % 1000000007)
+                   )) AS fingerprint
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents)
         """,
     }

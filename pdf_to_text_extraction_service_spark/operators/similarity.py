@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (prompt mandate):
+- brute_force_topk: exact cosine top-k — the correctness baseline.
+  Dot products are one JVM ``aggregate(zip_with(...))`` expression per
+  row (whole-stage codegen; no Python). One shuffle for the global
+  top-k (rank window over a single ordered column set).
+- lsh_topk: the scale path — random-hyperplane LSH buckets; the query
+  only scans its own bucket (and optionally multi-probe neighbors).
+  At 100 TB the bucketed table is precomputed + partitioned by bucket,
+  so a query touches 1/2^bits of the data; the brute path stays as
+  the recall oracle.
+
+An IVF variant (k-means coarse quantizer) would need an iterative
+trainer; random-hyperplane LSH gives the same pruning shape without
+iterative state, so it is the round-1 scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        f"cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(F.expr(
+        f"aggregate({a}, cast(0.0 as double), (acc, v) -> "
+        f"acc + cast(v as double) * cast(v as double))"
+    ))
+
+
+def with_cosine(df: DataFrame, query_vec: list[float],
+                vec_col: str = "embedding") -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    df = df.withColumn("_q", q)
+    return (
+        df.withColumn(
+            "cosine",
+            _dot(vec_col, "_q")
+            / (_norm(vec_col) * _norm("_q")),
+        )
+        .drop("_q")
+    )
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k, deterministic tiebreak on id."""
+    scored = with_cosine(df, query_vec, vec_col)
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplane_bucket(vec_col: str, planes: list[list[float]]):
+    """LSH bucket id: sign bits against fixed random hyperplanes."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = "array(" + ",".join(f"cast({v} as double)" for v in p) + ")"
+        bits.append(
+            f"(case when aggregate(zip_with({vec_col}, {arr}, "
+            f"(x, y) -> cast(x as double) * y), cast(0.0 as double), "
+            f"(acc, v) -> acc + v) >= 0 then {1 << i} else 0 end)"
+        )
+    return F.expr(" + ".join(bits))
+
+
+def make_planes(dim: int, bits: int = 4, seed: int = 7) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)]
+            for _ in range(bits)]
+
+
+def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             bits: int = 4, seed: int = 7) -> DataFrame:
+    """Approximate top-k: scan only the query's hyperplane bucket."""
+    planes = make_planes(len(query_vec), bits, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, p)) >= 0:
+            qbits |= 1 << i
+    bucketed = df.withColumn("_bkt", hyperplane_bucket(vec_col, planes))
+    cand = bucketed.filter(F.col("_bkt") == qbits)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,161 @@
+"""Text-analysis operators: language-ID, token counting, quality
+scoring, document fingerprinting (prompt mandate).
+
+Everything except the quality scorer is pure JVM expressions so both
+Spark and the DuckDB oracle can evaluate the identical formula; the
+quality scorer reuses the byte-parity kernel (kernel/quality.py)
+through a pandas UDF (it is pinned by its own parity fixtures, not a
+SQL oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+# Tiny per-language stopword anchors for the n-gram/stopword heuristic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "une"),
+    "es": ("el", "la", "los", "y", "es", "no", "por", "una"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+
+# BPE-ish token regex: letter runs, digit runs, or single
+# punctuation/symbol — identical semantics in Spark and DuckDB RE2-ish
+# engines (ASCII classes only).
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "n_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(TOKEN_REGEX), 0)),
+    )
+
+
+def lang_scores(text_col: str):
+    """Per-language stopword-hit scores as JVM expressions: the count
+    of tokens present in each language's stopword set."""
+    toks = f"split({text_col}, ' ')"
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        arr = "array(" + ",".join(f"'{w}'" for w in words) + ")"
+        scores[lang] = F.expr(
+            f"size(filter({toks}, t -> array_contains({arr}, t)))"
+        )
+    return scores
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic argmax over stopword scores (ties → lexicographic
+    first language), plus 'und' (undetermined) when all scores are 0."""
+    scores = lang_scores(text_col)
+    langs = sorted(scores)
+    struct = F.greatest(*[
+        F.struct(scores[lg].alias("s"),
+                 F.lit(_NEG_ORD[lg]).alias("o"),
+                 F.lit(lg).alias("lang"))
+        for lg in langs
+    ])
+    return df.withColumn(
+        "lang_guess",
+        F.when(struct["s"] > 0, struct["lang"]).otherwise(F.lit("und")),
+    )
+
+
+# greatest() on structs compares fields in order; to make ties pick the
+# lexicographically FIRST language we give earlier languages a higher
+# second field.
+_NEG_ORD = {lg: 1000 - i for i, lg in enumerate(sorted(STOPWORDS))}
+
+
+# ------------------------------------------------------ fingerprinting
+
+FP_MOD = 1000000007
+FP_BASE = 31
+
+
+_POLY = (f"aggregate(filter(split(%s, ''), c -> c <> ''), 0L, "
+         f"(acc, c) -> (acc * {FP_BASE}L + ascii(c)) %% {FP_MOD}L)")
+
+
+def polyhash(expr: str):
+    """Rolling polynomial hash of a string, evaluable identically in
+    Spark and DuckDB: fold (acc*31 + codepoint) % 1e9+7 over chars.
+    (The empty-string filter guards Spark's trailing '' from
+    split-by-empty-pattern; DuckDB's char split has no empties.)"""
+    return F.expr(_POLY % expr)
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    n: int = 4) -> DataFrame:
+    """Winnowing-style fingerprint: min polynomial hash over word
+    n-grams (a 1-permutation MinHash with a cross-engine hash)."""
+    shingles = (
+        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)), "
+        f"i -> array_join(slice(split({text_col}, ' '), i + 1, {n}), ' '))"
+    )
+    return df.withColumn(
+        "fingerprint",
+        F.array_min(F.expr(
+            f"transform({shingles}, s -> {_POLY % 's'})"
+        )),
+    )
+
+
+# ------------------------------------------------------ quality scoring
+
+QUALITY_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("quality", DoubleType()),
+    StructField("needs_ocr", BooleanType()),
+    StructField("maybe_ocr", BooleanType()),
+    StructField("word_count", IntegerType()),
+])
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 20) -> DataFrame:
+    """Kernel quality scorer (quality.go parity) over a table — the
+    graft's "text-density/quality classification over batched byte
+    streams" (pandas UDF: Arrow batches, kernel loop per doc)."""
+
+    def _score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pdf_to_text_extraction_service_spark.kernel import quality
+
+        for batch in batches:
+            out = {"doc_id": [], "quality": [], "needs_ocr": [],
+                   "maybe_ocr": [], "word_count": []}
+            for did, text in zip(batch[id_col], batch[text_col]):
+                d = quality.score(text if text is not None else "",
+                                  min_words)
+                out["doc_id"].append(did)
+                out["quality"].append(d.quality)
+                out["needs_ocr"].append(d.needs_ocr)
+                out["maybe_ocr"].append(d.maybe_ocr)
+                out["word_count"].append(d.word_count)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(
+        _score, schema=QUALITY_SCHEMA
+    )

@@ -1,0 +1,131 @@
+"""Semantic tests for the training-data operators (dedup family,
+similarity search, text stats)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_to_text_extraction_service_spark.operators.neardup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from pdf_to_text_extraction_service_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from pdf_to_text_extraction_service_spark.operators.textstats import (
+    doc_fingerprint,
+    lang_id,
+    quality_scores,
+    token_count,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+    (3, "completely different content about spark partitions and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog again and again today"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, docs_df):
+    rows = {r["doc_id"]: r["dup_count"]
+            for r in exact_dedup(docs_df).collect()}
+    assert rows == {1: 2, 2: 1, 3: 1}
+
+
+def test_minhash_finds_planted_pair(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs_df, threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs  # one-word difference → high jaccard
+    assert not any({a, b} == {1, 3} for a, b in pairs)
+
+
+def test_ngram_jaccard_exact(spark, docs_df):
+    d = docs_df.withColumn("blk", F.lit(0))
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(d, block_col="blk",
+                                          threshold=0.5).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+
+
+def test_simhash_identical_zero_distance(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs_df, max_hamming=10).collect()}
+    assert pairs[(1, 4)] == 0
+    assert pairs.get((1, 2), 99) <= 10
+
+
+def test_brute_force_topk_self_first(spark):
+    vecs = [(i, [float((i * 7 + j * 3) % 10 - 5) for j in range(8)])
+            for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = vecs[5][1]
+    top = brute_force_topk(df, q, k=5).collect()
+    assert top[0]["vec_id"] in (5, 12, 19, 26, 33, 40, 47)  # identical vecs tie
+    assert top[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_subset_of_brute(spark):
+    import random
+    rng = random.Random(3)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = vecs[0][1]
+    brute = [r["vec_id"] for r in brute_force_topk(df, q, k=20).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(df, q, k=5, bits=3).collect()]
+    assert approx  # bucket non-empty (query's own vector is in it)
+    assert 0 in approx  # self-match survives bucketing
+    assert set(approx[:1]) <= set(brute[:1])
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "der hund und die katze ist nicht da"),
+         (3, "xyzzy plugh qwerty")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_guess"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "ab 12 cd. x")], "doc_id long, text string")
+    assert token_count(df).first()["n_tokens"] == 5
+
+
+def test_fingerprint_stable_under_prefix(spark):
+    # min-hash fingerprint of a doc is unchanged when content shifts
+    # position (the motivating property for winnowing-style hashing).
+    base = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, "zz " + base)], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["fingerprint"]
+           for r in doc_fingerprint(df).collect()}
+    # all 4-gram hashes of doc 1 are a subset of doc 2's → min can only
+    # decrease; with this fixture the min 4-gram is shared.
+    assert fps[1] >= fps[2]
+
+
+def test_quality_scores_batch(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog while the sun "
+             "sets behind distant mountains and rivers flow gently."),
+         (2, "@#$% ^&*()!!")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert not got[1]["needs_ocr"]
+    assert got[2]["needs_ocr"]
