@@ -108,12 +108,18 @@ def generate_corpus_rows(n: int, seed: int = 42,
         ("json", _gen_json), ("jsonl", _gen_jsonl), ("xml", _gen_xml),
         ("yaml", _gen_yaml), ("py", _gen_py), ("ipynb", _gen_ipynb),
         ("tex", _gen_tex), ("rtf", _gen_rtf), ("pdf", _gen_pdf),
+        ("docx", _gen_docx), ("xlsx", _gen_xlsx), ("pptx", _gen_pptx),
+        ("odt", _gen_odt), ("epub", _gen_epub),
     ]
+    nonhtml_k = 0
     for i in range(n):
         lang = _LANGS[i % len(_LANGS)]
         r = rng.random()
         if r < nonhtml_rate:
-            ext, gen = formats[i % len(formats)]
+            # round-robin over formats so every kernel appears even in
+            # small corpora
+            ext, gen = formats[nonhtml_k % len(formats)]
+            nonhtml_k += 1
             payload = gen(rng, i)
             url = f"{BASE_URL}/files/item{i}.{ext}"
         elif r < nonhtml_rate + 0.003:
@@ -232,3 +238,49 @@ def _gen_rtf(rng, i):
 def _gen_pdf(rng, i):
     lines = [_sentences(rng, 9) for _ in range(6)]
     return simple_pdf([lines])
+
+
+def _gen_docx(rng, i):
+    from . import officegen
+    return officegen.make_docx(
+        [{"text": f"Report {i}", "style": "Heading1"},
+         {"text": _sentences(rng, 30)},
+         {"text": _sentences(rng, 5), "num": "1"}],
+        title=f"Doc {i}", author="corpus",
+    )
+
+
+def _gen_xlsx(rng, i):
+    from . import officegen
+    rows = [["id", "word", "n"]] + [
+        [str(j), rng.choice(_WORDS), str(rng.randint(0, 9))]
+        for j in range(rng.randint(2, 6))
+    ]
+    return officegen.make_xlsx({"Sheet1": rows})
+
+
+def _gen_pptx(rng, i):
+    from . import officegen
+    return officegen.make_pptx(
+        [[f"Deck {i}", _sentences(rng, 8)], [_sentences(rng, 12)]],
+        notes={1: _sentences(rng, 6)},
+    )
+
+
+def _gen_odt(rng, i):
+    from . import officegen
+    return officegen.make_odt(
+        [{"type": "h", "text": f"Doc {i}", "level": 1},
+         {"type": "p", "text": _sentences(rng, 25)},
+         {"type": "list", "items": [_sentences(rng, 3) for _ in range(2)]}],
+        title=f"ODT {i}",
+    )
+
+
+def _gen_epub(rng, i):
+    from . import officegen
+    return officegen.make_epub(
+        [f"<h1>Chapter</h1><p>{_sentences(rng, 30)}</p>",
+         f"<p>{_sentences(rng, 20)}</p>"],
+        title=f"Book {i}", author="corpus",
+    )

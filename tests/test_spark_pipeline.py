@@ -27,7 +27,7 @@ from pdf_to_text_extraction_service_spark.sources import corpus
 
 @pytest.fixture(scope="module")
 def corpus_df(spark):
-    rows = corpus.generate_corpus_rows(300, seed=7)
+    rows = corpus.generate_corpus_rows(700, seed=7)
     df = spark.createDataFrame(
         rows,
         "url string, ts_off long, html binary, text string, lang string",
@@ -66,7 +66,8 @@ def test_formats_covered(spark, corpus_df):
     out = extract(corpus_df)
     fmts = {r["format"] for r in out.select("format").distinct().collect()}
     assert {"html", "text", "csv", "json", "xml", "yaml", "source",
-            "notebook", "latex", "rtf", "pdf", "unknown"} <= fmts
+            "notebook", "latex", "rtf", "pdf", "docx", "xlsx", "pptx",
+            "opendocument", "epub", "unknown"} <= fmts
 
 
 def test_failure_codes(spark, corpus_df):
