@@ -264,6 +264,45 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(docs)
 
 
+def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming pipeline (availableNow) over the same HTML
+    pages; with a single capture per url, first-wins streaming dedup
+    equals batch output — so the batch SQL oracle verifies the
+    STREAMING engine path too."""
+    import tempfile
+
+    from pdf_to_text_extraction_service_spark.streaming.stream import (
+        streaming_extract,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream-q-")
+    pages = pages_from_documents(load_documents(spark, sf_dir))
+    pages.write.mode("overwrite").parquet(f"{base}/pages")
+    q = streaming_extract(spark, f"{base}/pages", f"{base}/out",
+                          f"{base}/cp")
+    q.awaitTermination(600)
+    out = spark.read.parquet(f"{base}/out")
+    return out.select("url", "success", "text", "method", "file_type",
+                      "mime_type", "word_count", "char_count")
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode plumbing over fake-container payloads derived from
+    doc ids (rows-only: binary construction is not SQL-expressible)."""
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        image_features,
+        make_fake_image,
+    )
+
+    docs = load_documents(spark, sf_dir).select("doc_id").limit(200)
+    ids = [r["doc_id"] for r in docs.collect()]
+    media = spark.createDataFrame(
+        [(i, make_fake_image(4 + i % 16, 4 + i % 8, seed=i)) for i in ids],
+        "media_id long, payload binary",
+    )
+    return image_features(media)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_html_docs": _q_extract_html_docs,
     "extract_markdown_docs": _q_extract_markdown_docs,
@@ -283,6 +322,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_bpe": _q_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
     "quality_scores_docs": _q_quality_scores,
+    "streaming_extract_docs": _q_streaming_extract,
+    "multimodal_image_features": _q_multimodal_features,
 }
 
 # DuckDB mirror of the language-ID stopword scores (same formula as
@@ -459,6 +500,17 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'und' END AS lang_guess
             FROM (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents)
+        """,
+        "streaming_extract_docs": f"""
+            SELECT {_URL} AS url,
+                   TRUE AS success,
+                   {_EXTRACTED_TEXT} AS text,
+                   'native' AS method,
+                   'document/html' AS file_type,
+                   'text/html; charset=utf-8' AS mime_type,
+                   {_WC} AS word_count,
+                   {_CC} AS char_count
+            FROM documents
         """,
         "token_count_bpe": """
             SELECT doc_id,
