@@ -286,6 +286,27 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "mime_type", "word_count", "char_count")
 
 
+def _q_preview_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preview mode over .txt pages with a 120-byte cap — the
+    reference /api/preview truncate-and-recount semantics
+    (main.go:470-473), SQL-oracled (documents.text is ASCII so byte
+    and char truncation coincide)."""
+    from pdf_to_text_extraction_service_spark.functions.extract_udf import (
+        preview as spark_preview,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://corpus.example/"), F.col("source"),
+                 F.lit("/doc"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+    )
+    out = spark_preview(pages, max_chars=120)
+    return out.select("url", "success", "text", "method", "file_type",
+                      "word_count", "char_count")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-decode plumbing over fake-container payloads derived from
     doc ids (rows-only: binary construction is not SQL-expressible)."""
@@ -324,6 +345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores_docs": _q_quality_scores,
     "streaming_extract_docs": _q_streaming_extract,
     "multimodal_image_features": _q_multimodal_features,
+    "preview_truncation": _q_preview_truncation,
 }
 
 # DuckDB mirror of the language-ID stopword scores (same formula as
@@ -510,6 +532,25 @@ def oracle_sql() -> dict[str, str]:
                    'text/html; charset=utf-8' AS mime_type,
                    {_WC} AS word_count,
                    {_CC} AS char_count
+            FROM documents
+        """,
+        "preview_truncation": """
+            SELECT 'https://corpus.example/' || source || '/doc' ||
+                   CAST(doc_id AS VARCHAR) || '.txt' AS url,
+                   TRUE AS success,
+                   CASE WHEN length(text) > 120
+                        THEN substr(text, 1, 120) || '...'
+                        ELSE text END AS text,
+                   'native' AS method,
+                   'text/plain' AS file_type,
+                   CAST(len(list_filter(string_split(
+                       CASE WHEN length(text) > 120
+                            THEN substr(text, 1, 120) || '...'
+                            ELSE text END, ' '), x -> x <> ''))
+                       AS INTEGER) AS word_count,
+                   CAST(length(CASE WHEN length(text) > 120
+                        THEN substr(text, 1, 120) || '...'
+                        ELSE text END) AS INTEGER) AS char_count
             FROM documents
         """,
         "token_count_bpe": """

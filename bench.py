@@ -1,14 +1,19 @@
 """Benchmark harness — one JSON line to stdout.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The extraction
-pipeline is measured over an amplified page table (dup_factor
-replicas per document → latest-capture dedup is exercised at volume).
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Measured steady-state: corpus synthesis and a Python-worker warm-up
+run happen OFF the clock, so timings reflect pipeline execution, not
+JVM/Arrow spin-up. Extraction is measured on two tables:
+- an amplified HTML page table (dup_factor captures per document →
+  dedup at volume), salt disabled (uniform rows, no skew to break);
+- a mixed-format corpus covering every dispatch kernel, salt enabled
+  (pdf/office rows are larger: the size-tiered salt is live).
 
 Usage:
-    python bench.py                  # one JSON line
-    python bench.py --scaling       # also run at N and 4N cores and
-                                     # report scaling efficiency
+    python bench.py              # one JSON line
+    python bench.py --scaling    # add N vs N/4 cores scaling efficiency
 """
 
 from __future__ import annotations
@@ -16,44 +21,96 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 
-def _run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+def _prepare(spark, sf_dir: str, base: str) -> dict:
+    """Build bench inputs (untimed)."""
+    from pyspark.sql import functions as F
+
+    from pdf_to_text_extraction_service_spark.sources.corpus import (
+        generate_corpus_rows,
+        load_documents,
+        pages_from_documents,
+    )
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    n_mixed = max(int(40000 * sf), 500)
+
+    docs = load_documents(spark, sf_dir)
+    n_docs = docs.count()
+    dup = 8
+    html_pages_path = f"{base}/html_pages"
+    pages_from_documents(docs, dup_factor=dup).write.mode(
+        "overwrite").parquet(html_pages_path)
+
+    rows = generate_corpus_rows(n_mixed, seed=42)
+    mixed_path = f"{base}/mixed_pages"
+    spark.createDataFrame(
+        rows,
+        "url string, ts_off long, html binary, text string, lang string",
+    ).select(
+        "url",
+        F.expr("timestamp '2026-01-01 00:00:00' "
+               "+ make_interval(0,0,0,0,0,0, ts_off)").alias("warc_ts"),
+        "html", "text", "lang",
+    ).repartition(32).write.mode("overwrite").parquet(mixed_path)
+    n_mixed_rows = spark.read.parquet(mixed_path).count()
+
+    return {
+        "html_pages_path": html_pages_path,
+        "mixed_path": mixed_path,
+        "html_docs": n_docs * dup,
+        "mixed_docs": n_mixed_rows,
+    }
+
+
+def _warmup(spark, ctx: dict) -> None:
+    from pdf_to_text_extraction_service_spark.plans.pipeline import (
+        extract_pipeline,
+    )
+
+    small = spark.read.parquet(ctx["html_pages_path"]).limit(256)
+    extract_pipeline(small, salt=False, keep_pages_col=False).count()
+
+
+def _run_suite(spark, sf_dir: str, ctx: dict):
     import __spark_entry__ as entry_mod
     from pdf_to_text_extraction_service_spark.plans.pipeline import (
         extract_pipeline,
         flagship_lang_agg,
     )
-    from pdf_to_text_extraction_service_spark.sources.corpus import (
-        load_documents,
-        pages_from_documents,
-    )
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    docs = load_documents(spark, sf_dir)
-    n_docs = docs.count()
-    dup = 4
-    pages = pages_from_documents(docs, dup_factor=dup)
-
+    html_pages = spark.read.parquet(ctx["html_pages_path"])
     t0 = time.perf_counter()
-    extracted = extract_pipeline(pages, keep_pages_col=False)
-    out_rows = extracted.count()
+    extracted = extract_pipeline(html_pages, salt=False,
+                                 keep_pages_col=False)
+    flagship_lang_agg(extracted).collect()
     t1 = time.perf_counter()
-    timings["extract_dedup_pipeline"] = t1 - t0
-    extras["docs_extracted"] = n_docs * dup
-    extras["docs_after_dedup"] = out_rows
-    extras["extraction_docs_per_sec"] = (n_docs * dup) / (t1 - t0)
+    timings["extract_dedup_flagship_html"] = t1 - t0
 
+    mixed = spark.read.parquet(ctx["mixed_path"])
     t0 = time.perf_counter()
-    extracted2 = extract_pipeline(pages, keep_pages_col=False)
-    flagship_lang_agg(extracted2).collect()
-    timings["flagship_lang_agg"] = time.perf_counter() - t0
+    n_out = extract_pipeline(mixed, salt=True,
+                             keep_pages_col=False).count()
+    t1 = time.perf_counter()
+    timings["extract_mixed_all_kernels"] = t1 - t0
+    extras["mixed_rows_out"] = n_out
+
+    total_docs = ctx["html_docs"] + ctx["mixed_docs"]
+    total_extract_time = (timings["extract_dedup_flagship_html"]
+                          + timings["extract_mixed_all_kernels"])
+    extras["docs_extracted"] = total_docs
+    extras["extraction_docs_per_sec"] = total_docs / total_extract_time
 
     for name in ("q1_lineitem_agg", "join_topk_customers",
-                 "dedup_window_events", "anti_join_manifest"):
+                 "dedup_window_events", "anti_join_manifest",
+                 "dedup_minhash_lsh", "ann_cosine_topk",
+                 "doc_fingerprint", "lang_id_heuristic"):
         q = entry_mod.queries()[name]
         t0 = time.perf_counter()
         q(spark, sf_dir).collect()
@@ -71,8 +128,11 @@ def _bench_once(cpus: int, sf_dir: str):
         app_name=f"bench-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
     )
+    base = tempfile.mkdtemp(prefix=f"bench-{cpus}-")
     try:
-        timings, extras = _run_suite(spark, sf_dir)
+        ctx = _prepare(spark, sf_dir, base)
+        _warmup(spark, ctx)
+        timings, extras = _run_suite(spark, sf_dir, ctx)
     finally:
         spark.stop()
     return timings, extras

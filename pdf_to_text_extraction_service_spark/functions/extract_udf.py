@@ -109,6 +109,64 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
         yield pd.DataFrame(out)
 
 
+def preview(pages_df: DataFrame,
+            max_chars: int = 20000,
+            max_pages: int = 8) -> DataFrame:
+    """Preview-mode pipeline: same batching as extract(), but the
+    cost-bounded early-exit kernel (kernel/preview.py — reference
+    /api/preview semantics: allowlist, PDF text-layer only, byte
+    truncation + '...')."""
+
+    def _preview_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pdf_to_text_extraction_service_spark.kernel import (
+            preview as kpreview,
+        )
+
+        for batch in batches:
+            urls = batch["url"].tolist()
+            payloads = batch["html"].tolist()
+            ts = batch["warc_ts"].tolist() if "warc_ts" in batch \
+                else [None] * len(urls)
+            langs = batch["lang"].tolist() if "lang" in batch \
+                else [None] * len(urls)
+            out: dict[str, list] = {k: [] for k in (
+                "url", "warc_ts", "lang", "format", "success", "text",
+                "method", "file_type", "mime_type", "pages", "metadata",
+                "word_count", "char_count", "error",
+            )}
+            for i, url in enumerate(urls):
+                payload = payloads[i]
+                if payload is not None and not isinstance(payload, bytes):
+                    payload = bytes(payload)
+                res, fmt = kpreview.preview_document(
+                    url, payload, max_chars=max_chars,
+                    max_pages=max_pages,
+                )
+                out["url"].append(url)
+                out["warc_ts"].append(ts[i])
+                out["lang"].append(langs[i])
+                out["format"].append(fmt)
+                out["success"].append(res.success)
+                out["text"].append(res.text)
+                out["method"].append(res.method)
+                out["file_type"].append(res.file_type)
+                out["mime_type"].append(res.mime_type)
+                out["pages"].append(None)
+                out["metadata"].append(res.metadata)
+                out["word_count"].append(res.word_count)
+                out["char_count"].append(res.char_count)
+                out["error"].append(res.error)
+            yield pd.DataFrame(out)
+
+    cols = [c for c in ("url", "warc_ts", "html", "lang")
+            if c in pages_df.columns]
+    return pages_df.select(*cols).mapInPandas(
+        _preview_batches, schema=EXTRACTED_SCHEMA
+    )
+
+
 def extract(pages_df: DataFrame) -> DataFrame:
     """Run the extraction kernel over a pages DataFrame.
 

@@ -72,13 +72,21 @@ def word_shingles(text_col: str, n: int = 3):
 _MERSENNE = (1 << 31) - 1
 
 
-def minhash_signature(shingle_col: str, k: int = 64, seed: int = 1):
-    """k-permutation MinHash over xxhash64 shingle ids.
+def shingle_hashes(shingle_col: str):
+    """Shingle strings → 31-bit xxhash ids (ONE string-hash pass; the
+    k permutations then run integer arithmetic only)."""
+    return F.expr(
+        f"transform({shingle_col}, s -> xxhash64(s) & {_MERSENNE}L)"
+    )
 
-    h_i(x) = (a_i * x31 + b_i) mod M31 with x31 the low 31 bits of
-    xxhash64, one JVM expression per permutation; array_min folds
-    each. Seeds derive deterministically from ``seed`` (no wall clock
-    anywhere).
+
+def minhash_signature(hash_col: str, k: int = 64, seed: int = 1):
+    """k-permutation MinHash over pre-hashed shingle ids
+    (shingle_hashes).
+
+    h_i(x) = (a_i * x + b_i) mod M31, one JVM expression per
+    permutation; array_min folds each. Seeds derive deterministically
+    from ``seed`` (no wall clock anywhere).
     """
     import random
 
@@ -90,9 +98,8 @@ def minhash_signature(shingle_col: str, k: int = 64, seed: int = 1):
         mins.append(
             F.array_min(
                 F.expr(
-                    f"transform({shingle_col}, s -> "
-                    f"(({a}L * (xxhash64(s) & {_MERSENNE}L) + {b}L) "
-                    f"% {_MERSENNE}L))"
+                    f"transform({hash_col}, x -> "
+                    f"(({a}L * x + {b}L) % {_MERSENNE}L))"
                 )
             )
         )
@@ -117,17 +124,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     auditing recall can inspect it.
     """
     rows_per_band = num_perm // bands
-    sig = (
+    sh = (
         df.select(
             F.col(id_col).alias("_id"),
             F.array_distinct(word_shingles(text_col, shingle_n))
             .alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
-        .withColumn("_sig", minhash_signature("_sh", num_perm))
     )
+    # Shingle arrays are computed ONCE and never travel through the
+    # banding explode/shuffle — the banded relation is 3 small scalars
+    # per (doc, band). Candidates join back to `sh` for verification.
+    sh = sh.persist()
+    sig = sh.withColumn("_xs", shingle_hashes("_sh")) \
+        .withColumn("_sig", minhash_signature("_xs", num_perm))
     banded = sig.select(
-        "_id", "_sh",
+        "_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
@@ -135,11 +147,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                 f"{rows_per_band}) as key))"
             )
         ).alias("_b"),
-    ).select("_id", "_sh", F.col("_b.band").alias("_band"),
+    ).select("_id", F.col("_b.band").alias("_band"),
              F.hash("_b.key").alias("_key"))
 
     # Self-join inside buckets; bucket size cap bounds the quadratic
-    # blow-up from degenerate signatures.
+    # blow-up from degenerate signatures (boilerplate floods).
     bucketed = banded.withColumn(
         "_rn",
         F.row_number().over(
@@ -147,22 +159,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         ),
     ).filter(F.col("_rn") <= max_bucket)
 
-    left = bucketed.select("_band", "_key",
-                           F.col("_id").alias("id_a"),
-                           F.col("_sh").alias("_sh_a"))
-    right = bucketed.select("_band", "_key",
-                            F.col("_id").alias("id_b"),
-                            F.col("_sh").alias("_sh_b"))
+    left = bucketed.select("_band", "_key", F.col("_id").alias("id_a"))
+    right = bucketed.select("_band", "_key", F.col("_id").alias("id_b"))
     cand = (
         left.join(right, ["_band", "_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    jac = cand.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("_sh_a", "_sh_b"))
-        / F.size(F.array_union("_sh_a", "_sh_b")),
+    jac = (
+        cand
+        .join(sh.select(F.col("_id").alias("id_a"),
+                        F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"),
+                        F.col("_sh").alias("_sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b"))
+            / F.size(F.array_union("_sh_a", "_sh_b")),
+        )
     )
     return (
         jac.filter(F.col("jaccard") >= threshold)
