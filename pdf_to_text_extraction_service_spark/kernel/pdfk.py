@@ -83,33 +83,53 @@ def _kids(pages_obj: bytes) -> list[int]:
     return [int(k.group(1)) for k in _KID_REF.finditer(m.group(1))]
 
 
+class PDFDoc:
+    """Parsed object table + page list — built ONCE per document so
+    per-page extraction doesn't rescan the file (the poppler analog
+    opens the file once per pdftotext call; we do better)."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise PDFError("not a PDF")
+        self.objs = _objects(data)
+        pages_obj = _find_pages_obj(self.objs)
+        if pages_obj is None:
+            raise PDFError("no /Pages object")
+        self.kids = _kids(pages_obj)
+        n = len(self.kids)
+        if n < 1 or n > MAX_PAGES:
+            raise PDFError(f"invalid page count: {n}")
+
+    @property
+    def page_count(self) -> int:
+        return len(self.kids)
+
+    def page_text(self, page_num: int) -> str:
+        if page_num < 1 or page_num > len(self.kids):
+            raise PDFError(f"page {page_num} out of range")
+        page_body = self.objs.get(self.kids[page_num - 1])
+        if page_body is None:
+            raise PDFError("missing page object")
+        contents_ref = None
+        for ref in _REF_RE.finditer(page_body):
+            if ref.group(1) == b"Contents":
+                contents_ref = int(ref.group(2))
+                break
+        if contents_ref is None:
+            return ""
+        content_body = self.objs.get(contents_ref)
+        if content_body is None:
+            raise PDFError("missing content stream")
+        sm = _STREAM_RE.search(content_body)
+        if sm is None:
+            return ""
+        spans = _parse_content_spans(sm.group(1))
+        return assemble_reading_order(spans)
+
+
 def extract_page_text(data: bytes, page_num: int) -> str:
     """Text of 1-indexed page page_num (the pdftotext-per-page analog)."""
-    objs = _objects(data)
-    pages_obj = _find_pages_obj(objs)
-    if pages_obj is None:
-        raise PDFError("no /Pages object")
-    kids = _kids(pages_obj)
-    if page_num < 1 or page_num > len(kids):
-        raise PDFError(f"page {page_num} out of range")
-    page_body = objs.get(kids[page_num - 1])
-    if page_body is None:
-        raise PDFError("missing page object")
-    contents_ref = None
-    for ref in _REF_RE.finditer(page_body):
-        if ref.group(1) == b"Contents":
-            contents_ref = int(ref.group(2))
-            break
-    if contents_ref is None:
-        return ""
-    content_body = objs.get(contents_ref)
-    if content_body is None:
-        raise PDFError("missing content stream")
-    sm = _STREAM_RE.search(content_body)
-    if sm is None:
-        return ""
-    spans = _parse_content_spans(sm.group(1))
-    return assemble_reading_order(spans)
+    return PDFDoc(data).page_text(page_num)
 
 
 # --- content-stream tokenizer -----------------------------------------
@@ -302,7 +322,8 @@ def assemble_reading_order(spans: list[tuple[float, float, str]]) -> str:
 def extract_pdf(b: bytes, mime: str) -> Result:
     """pdf.go:32-61 + hybrid.go:63-142 decision structure."""
     try:
-        total = page_count(b)
+        doc = PDFDoc(b)
+        total = doc.page_count
     except PDFError as exc:
         msg = f"page count failed: {exc}"
         return Result(success=False, method="hybrid",
@@ -317,7 +338,7 @@ def extract_pdf(b: bytes, mime: str) -> Result:
     for page_num in range(1, total + 1):
         pr = PageResult(page_number=page_num, method="text-layer")
         try:
-            text = extract_page_text(b, page_num)
+            text = doc.page_text(page_num)
         except PDFError:
             pr.method = "needs-ocr"
             pages.append(pr)

@@ -114,7 +114,8 @@ def _preview_pdf(payload: bytes, mime: str, max_chars: int,
     """hybrid.go:144-200 + the handler's PDF branch
     (main.go:412-446)."""
     try:
-        total = pdfk.page_count(payload)
+        doc = pdfk.PDFDoc(payload)
+        total = doc.page_count
     except pdfk.PDFError as exc:
         return Result(success=False, method="preview-text-layer",
                       file_type="document/pdf", mime_type=mime,
@@ -129,7 +130,7 @@ def _preview_pdf(payload: bytes, mime: str, max_chars: int,
     parts: list[str] = []
     for page_num in range(1, preview_pages + 1):
         try:
-            text = pdfk.extract_page_text(payload, page_num)
+            text = doc.page_text(page_num)
         except pdfk.PDFError:
             needs_ocr += 1
             continue

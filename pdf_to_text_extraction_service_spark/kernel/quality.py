@@ -176,11 +176,30 @@ def score(text: str, min_words: int) -> Decision:
         return Decision(quality=0.0, needs_ocr=True, maybe_ocr=False,
                         reasons=["empty_text"], word_count=0)
 
-    alpha = float(sum(1 for ch in clean if runes.is_letter(ch)))
-    digits = float(sum(1 for ch in clean if runes.is_digit(ch)))
-    punct = float(sum(1 for ch in clean if runes.is_punct(ch)))
-    spaces = float(sum(1 for ch in clean if runes.is_space(ch)))
-    garbage = float(_count_garbage(clean))
+    # Single pass over the text for all five char-class counters (the
+    # scorer is on the per-page hot path).
+    n_alpha = n_digit = n_punct = n_space = n_garbage = 0
+    _is_letter = runes.is_letter
+    _is_digit = runes.is_digit
+    _is_punct = runes.is_punct
+    _ws = runes.WS_SET
+    _is_ctrl = runes.is_control
+    for ch in clean:
+        if _is_letter(ch):
+            n_alpha += 1
+        elif _is_digit(ch):
+            n_digit += 1
+        elif _is_punct(ch):
+            n_punct += 1
+        if ch in _ws:
+            n_space += 1
+        if ch == "�" or (_is_ctrl(ch) and ch not in "\n\t"):
+            n_garbage += 1
+    alpha = float(n_alpha)
+    digits = float(n_digit)
+    punct = float(n_punct)
+    spaces = float(n_space)
+    garbage = float(n_garbage)
 
     alpha_ratio = alpha / total
     digit_ratio = digits / total

@@ -24,30 +24,52 @@ from __future__ import annotations
 
 import unicodedata
 
-# Unicode White_Space property (= Go unicode.IsSpace): the Zs/Zl/Zp
-# categories plus the non-Z whitespace controls.
-_WS_EXTRA = frozenset("\t\n\v\f\r\x85")
+# Unicode White_Space property (= Go unicode.IsSpace): the full fixed
+# codepoint set (Zs/Zl/Zp categories + the non-Z whitespace controls).
+WS_SET = frozenset(
+    "\t\n\v\f\r \x85\xa0 "
+    "          "
+    "     　"
+)
+
+# Hot path: per-char unicodedata.category calls dominate kernel time,
+# so precompute the general-category initial for ASCII (plus an exact
+# Nd flag) once at import; non-ASCII falls back to unicodedata.
+_ASCII_CAT = [unicodedata.category(chr(c)) for c in range(128)]
+_ASCII_LETTER = [c[0] == "L" for c in _ASCII_CAT]
+_ASCII_DIGIT = [c == "Nd" for c in _ASCII_CAT]
+_ASCII_PUNCT = [c[0] == "P" for c in _ASCII_CAT]
 
 
 def is_space(ch: str) -> bool:
-    if ch in _WS_EXTRA:
-        return True
-    return unicodedata.category(ch) in ("Zs", "Zl", "Zp")
+    return ch in WS_SET
 
 
 def is_letter(ch: str) -> bool:
+    o = ord(ch)
+    if o < 128:
+        return _ASCII_LETTER[o]
     return unicodedata.category(ch)[0] == "L"
 
 
 def is_digit(ch: str) -> bool:
+    o = ord(ch)
+    if o < 128:
+        return _ASCII_DIGIT[o]
     return unicodedata.category(ch) == "Nd"
 
 
 def is_punct(ch: str) -> bool:
+    o = ord(ch)
+    if o < 128:
+        return _ASCII_PUNCT[o]
     return unicodedata.category(ch)[0] == "P"
 
 
 def is_control(ch: str) -> bool:
+    o = ord(ch)
+    if o < 128:
+        return o < 0x20 or o == 0x7F
     return unicodedata.category(ch) == "Cc"
 
 

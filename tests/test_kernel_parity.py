@@ -42,6 +42,16 @@ class TestBuildCounts:
     def test_empty(self):
         assert runes.build_counts("") == (0, 0)
 
+    def test_ws_set_is_unicode_white_space(self):
+        # WS_SET must equal Go unicode.IsSpace's White_Space property
+        # exactly (fast-path table, pinned against unicodedata).
+        import unicodedata
+        expected = set("\t\n\v\f\r\x85") | {
+            chr(c) for c in range(0x110000)
+            if unicodedata.category(chr(c)) in ("Zs", "Zl", "Zp")
+        }
+        assert runes.WS_SET == frozenset(expected)
+
     def test_go_digit_vs_python(self):
         # Superscript two: Python str.isdigit() True, Go IsDigit false.
         assert not runes.is_digit("²")
