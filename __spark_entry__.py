@@ -307,6 +307,35 @@ def _q_preview_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "word_count", "char_count")
 
 
+def _q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid PDF pipeline over generated multi-page PDFs + the
+    pages-array tallies (countOCRPages/TextLayerPages/savings,
+    hybrid.go:136-138) as JVM array expressions. Rows-only: PDF
+    payload construction is not SQL-expressible."""
+    from pdf_to_text_extraction_service_spark.functions.extract_udf import (
+        extract,
+    )
+    from pdf_to_text_extraction_service_spark.operators.pagestats import (
+        pdf_page_stats,
+    )
+    from pdf_to_text_extraction_service_spark.sources import pdfgen
+
+    ids = [r["doc_id"] for r in
+           load_documents(spark, sf_dir).select("doc_id").limit(100).collect()]
+    good = ["The quick brown fox jumps over the lazy dog near the river.",
+            "Morning light settles across the quiet valley while birds sing."]
+    garbage = ["@#$% ^&*()!! ~~ ||"]
+    rows = []
+    for i in ids:
+        pages = [good] * (1 + i % 3)
+        if i % 4 == 0:
+            pages.append(garbage)
+        rows.append((f"https://corpus.example/pdf/{i}.pdf",
+                     pdfgen.simple_pdf(pages)))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    return pdf_page_stats(extract(df))
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-decode plumbing over fake-container payloads derived from
     doc ids (rows-only: binary construction is not SQL-expressible)."""
@@ -346,6 +375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_extract_docs": _q_streaming_extract,
     "multimodal_image_features": _q_multimodal_features,
     "preview_truncation": _q_preview_truncation,
+    "pdf_page_stats": _q_pdf_page_stats,
 }
 
 # DuckDB mirror of the language-ID stopword scores (same formula as
