@@ -232,6 +232,20 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, [float(v) for v in qv], k=10, bits=4)
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a DataFrame-trained k-means coarse quantizer
+    (rows-only: iterative training is not single-statement SQL)."""
+    from pdf_to_text_extraction_service_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_topk,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(v) for v in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    indexed, centroids = build_ivf_index(emb, k=16, iters=3)
+    return ivf_topk(indexed, centroids, qv, topk=10, nprobe=4)
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_to_text_extraction_service_spark.operators.textstats import (
         lang_id,
@@ -368,6 +382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": _q_simhash_pairs,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
+    "ann_ivf_topk": _q_ann_ivf_topk,
     "lang_id_heuristic": _q_lang_id,
     "token_count_bpe": _q_token_count,
     "doc_fingerprint": _q_doc_fingerprint,

@@ -153,6 +153,20 @@ def test_resume_skips_done_buckets(spark, corpus_df, tmp_path):
     assert (agg["rows"], agg["ok"]) == (mf_tot["rows"], mf_tot["ok"])
 
 
+def test_page_table_io_parquet_fallback(spark, corpus_df, tmp_path):
+    from pdf_to_text_extraction_service_spark.sources.catalog import (
+        PageTableIO,
+        iceberg_available,
+    )
+    # sandbox has no iceberg jar/catalog → parquet backend
+    assert not iceberg_available(spark)
+    io = PageTableIO(spark)
+    ref = str(tmp_path / "pages_io")
+    io.append(corpus_df, ref)
+    io.append(corpus_df, ref)
+    assert io.read(ref).count() == 2 * corpus_df.count()
+
+
 def test_idempotent_rerun_noop(spark, corpus_df, tmp_path):
     out_dir = str(tmp_path / "out")
     mf_dir = str(tmp_path / "manifest")
