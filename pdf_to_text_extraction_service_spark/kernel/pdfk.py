@@ -30,6 +30,8 @@ MIN_WORDS_THRESHOLD = 20   # config.go:138 DEFAULT_MIN_WORDS
 OCR_TRIGGER_RATIO = 0.25   # config.go:139 DEFAULT_OCR_TRIGGER_RATIO
 PAGE_SEPARATOR = "\n\n---\n\n"  # config.go:140
 MAX_PAGES = 50000          # poppler.go:201-206 sanity gate
+MAX_PAGE_TEXT_BYTES = 10 << 20  # poppler.go:107 per-page output cap
+MAX_DOC_TEXT_BYTES = 50 << 20   # poppler.go:141 whole-doc output cap
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
 _REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
@@ -124,7 +126,12 @@ class PDFDoc:
         if sm is None:
             return ""
         spans = _parse_content_spans(sm.group(1))
-        return assemble_reading_order(spans)
+        text = assemble_reading_order(spans)
+        # poppler.go:107 hard-caps per-page pdftotext output; an
+        # oversized page is a per-page failure (→ needs-ocr).
+        if len(text.encode("utf-8", errors="replace")) > MAX_PAGE_TEXT_BYTES:
+            raise PDFError("page text exceeds 10MB limit")
+        return text
 
 
 def extract_page_text(data: bytes, page_num: int) -> str:

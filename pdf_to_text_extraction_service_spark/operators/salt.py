@@ -31,13 +31,14 @@ def size_tiered_repartition(df: DataFrame, num_partitions: int,
                             key: str = "url",
                             big_bytes: int = 1 << 20,
                             big_partitions: int | None = None) -> DataFrame:
-    """Repartition with the oversized tail on its own salt space.
+    """Repartition with the oversized tail spread one-per-salt.
 
-    Small rows salt into [0, num_partitions); rows with
-    length(payload) >= big_bytes salt into [num_partitions,
-    num_partitions + big_partitions) — disjoint salt values, so after
-    hashing the salt the giants occupy their own partitions except for
-    rare hash collisions. Spreading giants one-per-task is what lets
+    Small rows salt into [0, num_partitions) (bounded salt domain →
+    bounded partitioning metadata); rows with length(payload) >=
+    big_bytes take their FULL 64-bit url hash as salt — a unique salt
+    per giant, so after the partitioner re-hashes the salt the giants
+    place i.i.d.-uniformly across partitions instead of clustering on
+    a narrow salt range. Spreading giants one-per-task is what lets
     speculative execution / AQE see them as independent stragglers.
     """
     if big_partitions is None:
@@ -45,11 +46,8 @@ def size_tiered_repartition(df: DataFrame, num_partitions: int,
     big = F.length(F.col(payload)) >= F.lit(big_bytes)
     salted = df.withColumn(
         "_salt",
-        F.when(
-            big,
-            F.pmod(F.xxhash64(F.col(key)), F.lit(big_partitions))
-            + F.lit(num_partitions),
-        ).otherwise(F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions))),
+        F.when(big, F.xxhash64(F.col(key)))
+        .otherwise(F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions))),
     )
     return (
         salted.repartition(num_partitions + big_partitions, "_salt")

@@ -102,6 +102,27 @@ def test_salt_preserves_rows(spark, corpus_df):
     assert "_salt" not in salted.columns
 
 
+def test_salt_balances_skewed_payloads(spark):
+    """A few giant rows mixed with many tiny rows must spread across
+    partitions instead of landing wherever the input files put them."""
+    tiny = [(f"https://x.test/t{i}.txt", b"x" * 100) for i in range(400)]
+    # 8 giants, adversarially colocated in one input partition
+    giants = [(f"https://x.test/g{i}.txt", b"y" * 400_000)
+              for i in range(8)]
+    df = spark.createDataFrame(giants + tiny,
+                               "url string, html binary").coalesce(1)
+    salted = size_tiered_repartition(df, 8, big_bytes=100_000,
+                                     big_partitions=8)
+    per_part = salted.rdd.mapPartitions(
+        lambda it: [sum(len(r["html"]) for r in it)]
+    ).collect()
+    loads = sorted(per_part, reverse=True)
+    # no partition should carry more than 3 of the 8 giants' bytes
+    assert loads[0] <= 3 * 400_000 + 400 * 100
+    # giants spread over at least 4 partitions
+    assert sum(1 for x in loads if x >= 400_000) >= 4
+
+
 def test_oversize_row_failure(spark):
     big = b"x" * (10 * 1024 * 1024 + 1)
     df = spark.createDataFrame(
