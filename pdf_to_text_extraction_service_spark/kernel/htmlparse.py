@@ -97,7 +97,9 @@ def parse(data: bytes | str) -> Node:
             i = lt + 1
             continue
         i = m.end()
-        if m.group("comment") is not None:
+        # single lastgroup lookup instead of probing all alternatives
+        kind = m.lastgroup
+        if kind == "comment":
             end = s.find("-->", lt + 4)
             if end < 0:
                 stack[-1].children.append(Node(COMMENT, s[lt + 4:]))
@@ -105,9 +107,9 @@ def parse(data: bytes | str) -> Node:
             stack[-1].children.append(Node(COMMENT, s[lt + 4:end]))
             i = end + 3
             continue
-        if m.group("decl") is not None or m.group("pi") is not None:
+        if kind == "decl" or kind == "pi":
             continue
-        if m.group("end") is not None:
+        if kind == "end":
             tag = m.group("end")[1:].strip().lower()
             tag = tag.split()[0] if tag.split() else tag
             if tag in open_tags:

@@ -41,6 +41,14 @@ _ASCII_DIGIT = [c == "Nd" for c in _ASCII_CAT]
 _ASCII_PUNCT = [c[0] == "P" for c in _ASCII_CAT]
 
 
+# C-level helpers built from the verified set: str.strip(chars) /
+# str.translate are exact over an explicit character set, unlike
+# str.split()/str.strip() whose default whitespace includes
+# U+001C..001F (not White_Space).
+_WS_STR = "".join(sorted(WS_SET))
+_WS_TO_SPACE = {ord(c): " " for c in WS_SET}
+
+
 def is_space(ch: str) -> bool:
     return ch in WS_SET
 
@@ -74,29 +82,24 @@ def is_control(ch: str) -> bool:
 
 
 def fields(s: str) -> list[str]:
-    """Go strings.Fields: split around runs of White_Space."""
-    out: list[str] = []
-    start = -1
-    for i, ch in enumerate(s):
-        if is_space(ch):
-            if start >= 0:
-                out.append(s[start:i])
-                start = -1
-        elif start < 0:
-            start = i
-    if start >= 0:
-        out.append(s[start:])
-    return out
+    """Go strings.Fields: split around runs of White_Space.
+
+    Fast path: pure-ASCII-whitespace text splits directly; otherwise
+    map every White_Space char to ' ' first (C-level translate) so
+    the split set is exactly White_Space.
+    """
+    if s.isascii():
+        # ASCII ∩ White_Space = {\t,\n,\v,\f,\r,space} = str.split()'s
+        # ASCII behavior minus \x1c-\x1f, which we must not split on.
+        if "\x1c" in s or "\x1d" in s or "\x1e" in s or "\x1f" in s:
+            return list(filter(None, s.translate(_WS_TO_SPACE).split(" ")))
+        return s.split()
+    return list(filter(None, s.translate(_WS_TO_SPACE).split(" ")))
 
 
 def trim_space(s: str) -> str:
     """Go strings.TrimSpace (Unicode White_Space on both ends)."""
-    i, n = 0, len(s)
-    while i < n and is_space(s[i]):
-        i += 1
-    while n > i and is_space(s[n - 1]):
-        n -= 1
-    return s[i:n]
+    return s.strip(_WS_STR)
 
 
 def trim_right(s: str, cutset: str) -> str:
@@ -113,25 +116,20 @@ def trim_left(s: str, cutset: str) -> str:
     return s[i:]
 
 
+_BC_TO_SPACE = {ord("\n"): " ", ord("\t"): " ", ord("\r"): " "}
+
+
 def build_counts(text: str) -> tuple[int, int]:
     """Reference internal/extract/result.go:32-50.
 
     Word split on exactly {space, \\n, \\t, \\r} — deliberately NOT the
     Unicode-whitespace split used by quality.CountWords; char count is
-    Unicode codepoints (Go len([]rune(text))).
+    Unicode codepoints (Go len([]rune(text))). Implemented with
+    C-level translate+split over exactly that 4-char set.
     """
     char_count = len(text)
-    word_count = 0
-    in_word = False
-    for ch in text:
-        if ch in " \n\t\r":
-            if in_word:
-                word_count += 1
-                in_word = False
-            continue
-        in_word = True
-    if in_word:
-        word_count += 1
+    parts = text.translate(_BC_TO_SPACE).split(" ")
+    word_count = len(parts) - parts.count("")
     return word_count, char_count
 
 

@@ -52,6 +52,58 @@ class TestBuildCounts:
         }
         assert runes.WS_SET == frozenset(expected)
 
+    def test_fast_paths_match_reference_semantics(self):
+        # property check: the C-level fast paths equal a literal
+        # reimplementation of the Go semantics on adversarial inputs
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        tricky = st.text(
+            alphabet=st.sampled_from(
+                list("ab 1.\t\n\r\v\f\x1c\x1d\x1e\x1f\x85\xa0")
+                + [" ", " ", "　", "é", "中", "🌍"]
+            ),
+            max_size=40,
+        )
+
+        def ref_fields(s):
+            out, start = [], -1
+            for i, ch in enumerate(s):
+                if ch in runes.WS_SET:
+                    if start >= 0:
+                        out.append(s[start:i])
+                        start = -1
+                elif start < 0:
+                    start = i
+            if start >= 0:
+                out.append(s[start:])
+            return out
+
+        def ref_counts(s):
+            wc, in_word = 0, False
+            for ch in s:
+                if ch in " \n\t\r":
+                    if in_word:
+                        wc += 1
+                        in_word = False
+                    continue
+                in_word = True
+            return wc + (1 if in_word else 0), len(s)
+
+        @given(tricky)
+        @settings(max_examples=300, deadline=None)
+        def check(s):
+            assert runes.fields(s) == ref_fields(s)
+            assert runes.build_counts(s) == ref_counts(s)
+            i, n = 0, len(s)
+            while i < n and s[i] in runes.WS_SET:
+                i += 1
+            while n > i and s[n - 1] in runes.WS_SET:
+                n -= 1
+            assert runes.trim_space(s) == s[i:n]
+
+        check()
+
     def test_go_digit_vs_python(self):
         # Superscript two: Python str.isdigit() True, Go IsDigit false.
         assert not runes.is_digit("²")
