@@ -275,7 +275,9 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_scores,
     )
     docs = load_documents(spark, sf_dir)
-    return quality_scores(docs)
+    out = quality_scores(docs)
+    return out.select("doc_id", F.round("quality", 6).alias("quality"),
+                      "needs_ocr", "maybe_ocr", "word_count")
 
 
 def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,6 +413,72 @@ _LANG_CASE_SQL = " ".join(
     for lg, expr in _LANG_EXPRS.items()
 )
 
+# DuckDB mirror of the quality scorer (quality.go:25-186) — valid on
+# the documents charset [a-z0-9 .,] with single spaces and no
+# newlines (verified), where the garbage/equation/fragmentation terms
+# are closed-form. Term ORDER mirrors the Python/Go accumulation so
+# IEEE doubles agree bit-for-bit before rounding.
+_Q_REPEAT_ALT = "|".join(
+    [f"{c}{{5}}" for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    + [r"\.{5}", ",{5}", " {5}"]
+)
+_QUALITY_CTE = f"""
+    WITH feats AS (
+        SELECT doc_id,
+            text,
+            len(string_split(text, ' ')) AS wc,
+            CAST(length(text) AS DOUBLE) AS total,
+            CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                / length(text) AS alpha_r,
+            CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                / length(text) AS digit_r,
+            CAST(length(regexp_replace(text, '[^.,]', '', 'g')) AS DOUBLE)
+                / length(text) AS punct_r,
+            CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+                / length(text) AS space_r,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) AS uniq_r,
+            regexp_matches(text, '{_Q_REPEAT_ALT}') AS repeated,
+            CAST(len(list_filter(string_split(text, ' '),
+                 w -> length(w) = 1)) AS DOUBLE)
+                / len(string_split(text, ' ')) AS scram_r,
+            (CASE WHEN length(text) > 2 AND
+                  substr(text, 2, 1) = '.' AND
+                  regexp_matches(substr(text, 1, 1), '[a-z0-9]')
+                  THEN 1.0 ELSE 0.0 END) AS bullet_r
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, wc,
+            greatest(0.0, least(1.0,
+              1.0
+              - (CASE WHEN wc < 20 THEN
+                   (CASE WHEN wc < 10 THEN 0.60 ELSE 0.45 END)
+                   * (CASE WHEN bullet_r > 0.3 THEN 0.5 ELSE 1.0 END)
+                 ELSE 0.0 END)
+              - (CASE WHEN alpha_r < 0.25 THEN
+                   (CASE WHEN alpha_r < 0.15 THEN 0.50 ELSE 0.35 END)
+                   * (CASE WHEN digit_r > 0.20 THEN 0.6 ELSE 1.0 END)
+                 ELSE 0.0 END)
+              - (CASE WHEN wc > 50 AND uniq_r < 0.20
+                 THEN 0.15 ELSE 0.0 END)
+              - (CASE WHEN repeated THEN 0.20 ELSE 0.0 END)
+              - (CASE WHEN scram_r > 0.30 THEN 0.25 ELSE 0.0 END)
+              - (CASE WHEN punct_r > 0.50 AND alpha_r < 0.20
+                 THEN 0.20 ELSE 0.0 END)
+              - (CASE WHEN space_r > 0.60 OR (wc > 10 AND space_r < 0.05)
+                 THEN 0.15 ELSE 0.0 END)
+              + (CASE WHEN digit_r > 0.25 AND alpha_r > 0.15 AND wc >= 10
+                 THEN 0.10 ELSE 0.0 END)
+              + (CASE WHEN alpha_r > 0.60 AND wc >= 20 AND uniq_r > 0.30
+                 THEN 0.10 ELSE 0.0 END)
+              + (CASE WHEN bullet_r > 0.2 THEN 0.15 ELSE 0.0 END)
+              + (CASE WHEN alpha_r > 0.40 AND digit_r > 0.10 AND wc >= 20
+                 THEN 0.10 ELSE 0.0 END)
+            )) AS score
+        FROM feats
+    )
+"""
+
 # DuckDB mirror of the near-dup corpus + trigram shingle sets.
 _SHINGLE_CTE = """
     WITH d2 AS (
@@ -545,8 +613,17 @@ def oracle_sql() -> dict[str, str]:
                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
                   >= 0.5
         """,
-        # dedup_simhash / ann_lsh_topk / quality_scores_docs: engine-
-        # hash- or kernel-dependent — rows-only checks (no oracle).
+        "quality_scores_docs": _QUALITY_CTE + """
+            SELECT doc_id,
+                   ROUND(score, 6) AS quality,
+                   score < 0.50 AS needs_ocr,
+                   score >= 0.50 AND score < 0.70 AS maybe_ocr,
+                   CAST(wc AS INTEGER) AS word_count
+            FROM scored
+        """,
+        # dedup_simhash / ann_lsh_topk / ann_ivf_topk /
+        # multimodal / pdf_page_stats: engine-hash-, binary- or
+        # iteration-dependent — rows-only checks (no oracle).
         "ann_cosine_topk": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(
