@@ -1,0 +1,62 @@
+"""WARC reader/writer + Spark integration."""
+
+from __future__ import annotations
+
+import os
+
+from pdf_to_text_extraction_service_spark.functions.extract_udf import extract
+from pdf_to_text_extraction_service_spark.sources.warc import (
+    parse_warc,
+    read_warc_pages,
+    write_warc,
+)
+
+
+def test_roundtrip():
+    recs = [
+        ("https://a.test/x.html", "2026-01-01T00:00:00Z",
+         b"<html><body><p>one</p></body></html>"),
+        ("https://a.test/y.html", "2026-01-01T01:02:03Z",
+         b"<html><body><p>two</p></body></html>"),
+    ]
+    data = write_warc(recs)
+    parsed = list(parse_warc(data))
+    assert [(u, t) for u, t, _ in parsed] == [(u, t) for u, t, _ in recs]
+    assert parsed[0][2] == recs[0][2]  # HTTP headers stripped
+
+
+def test_skips_non_response_records():
+    data = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+            b"\r\ninfo\r\n\r\n")
+    data += write_warc([("https://a.test/z.html",
+                         "2026-01-01T00:00:00Z", b"<p>z</p>")])
+    parsed = list(parse_warc(data))
+    assert len(parsed) == 1
+    assert parsed[0][0] == "https://a.test/z.html"
+
+
+def test_truncated_record_partial_output():
+    good = write_warc([("https://a.test/1.html",
+                        "2026-01-01T00:00:00Z", b"<p>ok</p>")])
+    broken = good + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Le"
+    assert len(list(parse_warc(broken))) == 1
+
+
+def test_spark_warc_to_extraction(spark, tmp_path):
+    warc_dir = str(tmp_path / "warc")
+    os.makedirs(warc_dir)
+    for f in range(3):
+        recs = [
+            (f"https://warc.test/f{f}/p{i}.html", "2026-01-01T00:00:00Z",
+             (f"<html><head><title>T{i}</title></head><body>"
+              f"<p>page {f} {i} content words</p></body></html>").encode())
+            for i in range(5)
+        ]
+        with open(f"{warc_dir}/seg{f}.warc", "wb") as fh:
+            fh.write(write_warc(recs))
+    pages = read_warc_pages(spark, warc_dir + "/*.warc")
+    assert pages.count() == 15
+    out = extract(pages)
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["https://warc.test/f1/p2.html"]["text"] == "page 1 2 content words"
+    assert all(r["success"] for r in rows.values())
