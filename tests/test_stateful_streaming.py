@@ -1,0 +1,87 @@
+"""applyInPandasWithState host counters + streamed-output compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_to_text_extraction_service_spark.sources import corpus
+from pdf_to_text_extraction_service_spark.streaming.stateful import (
+    compact_streamed_output,
+    host_crawl_stats,
+)
+from pdf_to_text_extraction_service_spark.streaming.stream import (
+    PAGES_SCHEMA,
+)
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "url string, ts_off long, html binary, text string, lang string"
+    ).select(
+        "url",
+        F.expr("timestamp '2026-01-01 00:00:00' "
+               "+ make_interval(0,0,0,0,0,0, ts_off)").alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    df.write.mode("append").parquet(path)
+
+
+def test_host_crawl_stats_state_across_batches(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+
+    _write_batch(spark, in_dir, [
+        ("https://a.test/1.html", 0, b"<p>x</p>", None, "en"),
+        ("https://a.test/2.html", 1, b"<p>yy</p>", None, "en"),
+        ("https://b.test/1.html", 2, b"<p>zzz</p>", None, "en"),
+    ])
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+    q = (
+        host_crawl_stats(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # second micro-batch run: state must carry over (a.test -> 3 pages)
+    _write_batch(spark, in_dir, [
+        ("https://a.test/3.html", 3, b"<p>www</p>", None, "en"),
+    ])
+    stream2 = spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+    q2 = (
+        host_crawl_stats(stream2)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+
+    out = spark.read.parquet(out_dir)
+    # latest state row per host
+    latest = {r["host"]: r for r in out.orderBy("batches").collect()}
+    assert latest["a.test"]["pages"] == 3
+    assert latest["a.test"]["batches"] == 2  # state survived restart
+    assert latest["b.test"]["pages"] == 1
+
+
+def test_compact_streamed_output(spark):
+    rows = corpus.generate_corpus_rows(80, seed=9)
+    df = spark.createDataFrame(
+        rows, "url string, ts_off long, html binary, text string, lang string"
+    ).select(
+        "url",
+        F.expr("timestamp '2026-01-01 00:00:00' "
+               "+ make_interval(0,0,0,0,0,0, ts_off)").alias("warc_ts"),
+        "lang",
+    )
+    compacted = compact_streamed_output(df)
+    assert compacted.count() == df.select("url").distinct().count()
