@@ -115,16 +115,27 @@ def read_warc_pages(spark: SparkSession, path_glob: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path_glob)
 
     def _records(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import gzip
+
         import pandas as pd
 
         for batch in batches:
             rows: dict[str, list] = {"url": [], "warc_ts": [], "html": []}
-            for content in batch["content"]:
-                for url, ts, payload in parse_warc(bytes(content)):
+            for path, content in zip(batch["path"], batch["content"]):
+                data = bytes(content)
+                if str(path).endswith(".gz") or data[:2] == b"\x1f\x8b":
+                    # CC ships .warc.gz with one gzip MEMBER per
+                    # record; gzip.decompress handles the
+                    # concatenated-members stream.
+                    try:
+                        data = gzip.decompress(data)
+                    except OSError:
+                        continue  # corrupt segment → skip file
+                for url, ts, payload in parse_warc(data):
                     rows["url"].append(url)
                     rows["warc_ts"].append(_parse_ts(ts))
                     rows["html"].append(payload)
             yield pd.DataFrame(rows)
 
-    return files.select("content").mapInPandas(_records,
-                                               schema=PAGES_SCHEMA)
+    return files.select("path", "content").mapInPandas(
+        _records, schema=PAGES_SCHEMA)

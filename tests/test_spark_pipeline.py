@@ -123,6 +123,16 @@ def test_salt_balances_skewed_payloads(spark):
     assert sum(1 for x in loads if x >= 400_000) >= 4
 
 
+def test_null_payload_failure(spark):
+    df = spark.createDataFrame(
+        [("https://x.test/null.html", None)], "url string, html binary"
+    )
+    row = extract(df).collect()[0]
+    assert not row["success"]
+    assert row["error"] == "empty payload"
+    assert row["format"] == "unknown"
+
+
 def test_oversize_row_failure(spark):
     big = b"x" * (10 * 1024 * 1024 + 1)
     df = spark.createDataFrame(

@@ -42,6 +42,24 @@ def test_truncated_record_partial_output():
     assert len(list(parse_warc(broken))) == 1
 
 
+def test_gzip_warc_member_per_record(spark, tmp_path):
+    import gzip
+
+    warc_dir = str(tmp_path / "gz")
+    os.makedirs(warc_dir)
+    # one gzip member per record, concatenated — the CC layout
+    members = b"".join(
+        gzip.compress(write_warc([(f"https://gz.test/p{i}.html",
+                                   "2026-01-01T00:00:00Z",
+                                   f"<p>gz {i}</p>".encode())]))
+        for i in range(4)
+    )
+    with open(f"{warc_dir}/seg.warc.gz", "wb") as fh:
+        fh.write(members)
+    pages = read_warc_pages(spark, warc_dir + "/*.warc.gz")
+    assert pages.count() == 4
+
+
 def test_spark_warc_to_extraction(spark, tmp_path):
     warc_dir = str(tmp_path / "warc")
     os.makedirs(warc_dir)
