@@ -46,3 +46,33 @@ def dedup_latest_window(df: DataFrame, key: str = "url",
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def prune_duplicate_captures(pages: DataFrame, key: str = "url",
+                             ts: str = "warc_ts") -> DataFrame:
+    """Dedup BEFORE extraction — for high-duplication corpora.
+
+    The default plan extracts every capture and dedups the small
+    extracted rows (never shuffling html). When the duplicate rate is
+    high (Common Crawl urls repeat across monthly snapshots), the
+    wasted kernel CPU exceeds the cost of moving payloads once, and
+    pre-pruning wins. Two-pass shape:
+
+    1. winners: a (url, max warc_ts) aggregate that scans ONLY the two
+       key columns (columnar projection — the multi-MiB html column is
+       never read in this pass; see ReadSchema in .explain).
+    2. inner join pages × winners on (url, ts). On a url-bucketed
+       source (operators/bucketing.py / Iceberg bucket(url, N)) this
+       is storage-partitioned and shuffle-free on the pages side; on
+       raw parquet it is one payload shuffle — exactly the salt
+       shuffle the pipeline would have done anyway, so pruning is
+       never worse.
+
+    Ties on (url, max ts) keep all tied captures (extraction is
+    idempotent per (url, ts); the post-extract dedup_latest remains
+    the uniqueness authority).
+    """
+    winners = pages.select(key, ts).groupBy(key).agg(
+        F.max(ts).alias(ts)
+    )
+    return pages.join(winners, [key, ts], "left_semi")

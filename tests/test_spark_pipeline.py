@@ -12,6 +12,7 @@ from pdf_to_text_extraction_service_spark.kernel import router
 from pdf_to_text_extraction_service_spark.operators.dedup import (
     dedup_latest,
     dedup_latest_window,
+    prune_duplicate_captures,
 )
 from pdf_to_text_extraction_service_spark.operators.manifest import (
     run_resumable_extract,
@@ -94,6 +95,26 @@ def test_dedup_latest_wins(spark, corpus_df):
         maxes = extracted.groupBy("url").agg(F.max("warc_ts").alias("mx"))
         joined = deduped.join(maxes, "url")
         assert joined.filter(F.col("warc_ts") != F.col("mx")).count() == 0
+
+
+def test_prune_duplicate_captures(spark, corpus_df, tmp_path):
+    pruned = prune_duplicate_captures(corpus_df)
+    distinct_urls = corpus_df.select("url").distinct().count()
+    assert pruned.count() == distinct_urls  # corpus has no ts ties
+    # pruned-then-extract equals extract-then-dedup
+    a = {(r["url"], r["text"]) for r in
+         extract(pruned).select("url", "text").collect()}
+    b = {(r["url"], r["text"]) for r in
+         dedup_latest(extract(corpus_df)).select("url", "text").collect()}
+    assert a == b
+    # winners pass reads only the two key columns from a file source
+    path = str(tmp_path / "pages")
+    corpus_df.write.parquet(path)
+    plan = (
+        prune_duplicate_captures(spark.read.parquet(path))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema: struct<url:string,warc_ts:timestamp>" in plan
 
 
 def test_salt_preserves_rows(spark, corpus_df):
