@@ -246,6 +246,28 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(indexed, centroids, qv, topk=10, nprobe=4)
 
 
+def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (scheme/host case, default ports,
+    fragments, utm params, query sort) over messy urls constructed
+    from the documents table — the normalizer ahead of url-keyed
+    dedup."""
+    from pdf_to_text_extraction_service_spark.operators.urlnorm import (
+        with_canonical_url,
+    )
+    docs = load_documents(spark, sf_dir)
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://"), F.upper(F.col("source")),
+            F.lit(".Example.COM:80/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&b=2&a=1&#section-"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return with_canonical_url(messy).select("doc_id", "canonical_url")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_to_text_extraction_service_spark.operators.textstats import (
         lang_id,
@@ -385,6 +407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_ivf_topk": _q_ann_ivf_topk,
+    "canonical_urls": _q_canonical_urls,
     "lang_id_heuristic": _q_lang_id,
     "token_count_bpe": _q_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
@@ -477,6 +500,18 @@ _QUALITY_CTE = f"""
             )) AS score
         FROM feats
     )
+"""
+
+from pdf_to_text_extraction_service_spark.operators.urlnorm import (
+    canonical_url_sql as _canonical_url_sql,
+)
+
+_MESSY_URL = ("'HTTP://' || upper(source) || '.Example.COM:80/Docs/' || "
+              "CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1&#section-'"
+              " || CAST(doc_id AS VARCHAR)")
+_CANONICAL_URLS_SQL = f"""
+    SELECT doc_id, {_canonical_url_sql(f"({_MESSY_URL})")} AS canonical_url
+    FROM documents
 """
 
 # DuckDB mirror of the near-dup corpus + trigram shingle sets.
@@ -637,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
                     (SELECT embedding::DOUBLE[] FROM embeddings
                      WHERE vec_id = 0)) DESC, vec_id) <= 10
         """,
+        "canonical_urls": _CANONICAL_URLS_SQL,
         "lang_id_heuristic": f"""
             SELECT doc_id,
                    CASE WHEN greatest({_LANG_SCORES_SQL}) = 0 THEN 'und'

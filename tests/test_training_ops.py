@@ -119,6 +119,25 @@ def test_fingerprint_stable_under_prefix(spark):
     assert fps[1] >= fps[2]
 
 
+def test_canonical_url_rules(spark):
+    from pdf_to_text_extraction_service_spark.operators.urlnorm import (
+        with_canonical_url,
+    )
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/B?z=1&a=2#frag",
+         "https://www.example.com/A/B?a=2&z=1"),
+        ("http://host.test:80/", "http://host.test/"),
+        ("http://host.test:8080/x", "http://host.test:8080/x"),
+        ("https://host.test", "https://host.test/"),
+        ("http://h.test/p?utm_source=x&utm_medium=y", "http://h.test/p"),
+        ("not a url", "not a url"),  # schemeless passthrough
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["canonical_url"]
+           for r in with_canonical_url(df).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_quality_scores_batch(spark):
     df = spark.createDataFrame(
         [(1, "The quick brown fox jumps over the lazy dog while the sun "
