@@ -75,7 +75,7 @@ class TestMessyHTML:
 
 
 @given(st.binary(max_size=300))
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 def test_never_raises_on_arbitrary_bytes(data):
     text, meta = strip_html(data)
     assert isinstance(text, str)

@@ -91,7 +91,7 @@ class TestBuildCounts:
             return wc + (1 if in_word else 0), len(s)
 
         @given(tricky)
-        @settings(max_examples=300, deadline=None)
+        @settings(max_examples=300, deadline=None, derandomize=True)
         def check(s):
             assert runes.fields(s) == ref_fields(s)
             assert runes.build_counts(s) == ref_counts(s)

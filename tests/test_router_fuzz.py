@@ -24,7 +24,7 @@ payloads = st.one_of(
 
 
 @given(ext=st.sampled_from(ALL_EXTS), payload=payloads)
-@settings(max_examples=400, deadline=None)
+@settings(max_examples=400, deadline=None, derandomize=True)
 def test_router_never_raises(ext, payload):
     res, fmt = router.extract_document(f"https://f.test/x{ext}", payload)
     assert isinstance(res.success, bool)
@@ -32,7 +32,7 @@ def test_router_never_raises(ext, payload):
 
 
 @given(ext=st.sampled_from(ALL_EXTS), payload=payloads)
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 def test_preview_never_raises(ext, payload):
     res, fmt = preview.preview_document(f"https://f.test/x{ext}", payload)
     assert isinstance(res.success, bool)
