@@ -1,13 +1,23 @@
 """spark-submit batch entry: extract a pages table to an output table.
 
-    spark-submit --py-files engine.zip jobs/extract.py \
+    spark-submit --driver-memory 8g --py-files engine.zip \
+        jobs/extract.py \
         --input /data/pages_parquet --output /data/extracted \
         --manifest /data/manifest --buckets 64
 
 Resumable: progress checkpoints per url-hash bucket into the manifest
-table (operators/manifest.py); a killed run re-runs only pending
+table (operators/manifest.py); a SIGKILLed run re-runs only pending
 buckets (north_rule: "resumable from checkpoint with per-partition
-lineage + metrics").
+lineage + metrics"). Verified at 1M pages: killed mid-run with 2/16
+buckets committed, the rerun completed exactly the missing 14 and the
+output held 1M distinct urls.
+
+NOTE --driver-memory must be passed on the spark-submit command line
+(local mode: driver == executor heap; the session builder cannot
+raise it after JVM launch). With the default 1g heap, concurrent
+parquet column batches + shuffle buffers over multi-KB binary cells
+exhaust execution memory ("Cannot reserve additional contiguous
+bytes in the vectorized reader").
 """
 
 from __future__ import annotations

@@ -8,6 +8,11 @@ Tunings map to the reference's hand-rolled cost controls (SURVEY.md §4):
   multi-MiB binary cells — the 10k default would OOM the Python worker
   (SURVEY.md §7 hard-part 4; the analog of the reference's
   io.LimitedReader streaming caps, download.go:70-79).
+- The parquet VECTORIZED READER batch is capped for the same reason:
+  the default 4096-row columnar batch over KB-to-MB binary cells
+  fails with "Cannot reserve additional contiguous bytes" under
+  concurrent shuffle memory pressure (observed on a 1M-page run of
+  jobs/extract.py); 512 rows bounds each column batch to a few MiB.
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ def build_session(app_name: str = "webextract",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS_PER_BATCH))
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
