@@ -326,8 +326,18 @@ def assemble_reading_order(spans: list[tuple[float, float, str]]) -> str:
 # --- hybrid pipeline --------------------------------------------------
 
 
-def extract_pdf(b: bytes, mime: str) -> Result:
-    """pdf.go:32-61 + hybrid.go:63-142 decision structure."""
+def extract_pdf(b: bytes, mime: str,
+                page_list: list[int] | None = None,
+                page_separator: str = PAGE_SEPARATOR,
+                include_page_nums: bool = False,
+                min_words: int = MIN_WORDS_THRESHOLD) -> Result:
+    """pdf.go:32-61 + hybrid.go:63-142 decision structure.
+
+    The keyword knobs mirror HybridProcessorOptions (types.go:3-17):
+    ``page_list`` = opts.Pages (1-indexed subset; default all pages,
+    hybrid.go:89-95), ``page_separator`` / ``include_page_nums`` feed
+    format.Combine, ``min_words`` the quality gate. The batch engine
+    applies one option set per job (SURVEY.md §1.3)."""
     try:
         doc = PDFDoc(b)
         total = doc.page_count
@@ -340,9 +350,10 @@ def extract_pdf(b: bytes, mime: str) -> Result:
                       file_type="document/pdf", mime_type=mime,
                       error="PDF has no pages")
 
+    page_nums = page_list if page_list else range(1, total + 1)
     pages: list[PageResult] = []
     needs_ocr_pages: list[int] = []
-    for page_num in range(1, total + 1):
+    for page_num in page_nums:
         pr = PageResult(page_number=page_num, method="text-layer")
         try:
             text = doc.page_text(page_num)
@@ -353,7 +364,7 @@ def extract_pdf(b: bytes, mime: str) -> Result:
             continue
         text = textnorm.clean_text(text)
         pr.text = text
-        decision = quality.score(text, MIN_WORDS_THRESHOLD)
+        decision = quality.score(text, min_words)
         pr.word_count = decision.word_count
         if decision.needs_ocr:
             pr.method = "needs-ocr"
@@ -367,7 +378,7 @@ def extract_pdf(b: bytes, mime: str) -> Result:
     # and pdf.go drops that error on wrap, so pages keep method
     # "needs-ocr" with empty text.
 
-    combined = mdformat.combine(pages, PAGE_SEPARATOR, False)
+    combined = mdformat.combine(pages, page_separator, include_page_nums)
     w, c = runes.build_counts(combined)
     return Result(success=True, text=combined, method="hybrid",
                   file_type="document/pdf", mime_type=mime,

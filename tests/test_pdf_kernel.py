@@ -71,6 +71,18 @@ class TestHybrid:
         assert "quick brown fox" in r.text
         assert "@#$%" not in r.text
 
+    def test_page_subset_and_markers(self):
+        # HybridProcessorOptions knobs: Pages subset (hybrid.go:89-95),
+        # IncludePageNumbers (format.go:34-38), custom separator
+        pdf = pdfgen.simple_pdf([GOOD_LINES, GOOD_LINES, GOOD_LINES])
+        r = pdfk.extract_pdf(pdf, "application/pdf",
+                             page_list=[3, 1],
+                             page_separator="\n\n===\n\n",
+                             include_page_nums=True)
+        assert [p.page_number for p in r.pages] == [3, 1]
+        assert r.text.startswith("[Page 3]\n\n")
+        assert "\n\n===\n\n[Page 1]\n\n" in r.text
+
     def test_word_counts_per_page(self):
         pdf = pdfgen.simple_pdf([GOOD_LINES])
         r = pdfk.extract_pdf(pdf, "application/pdf")
