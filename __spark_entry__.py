@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from pdf_to_text_extraction_service_spark.operators.dedup import (
     dedup_latest,
-    dedup_latest_window,
 )
 from pdf_to_text_extraction_service_spark.plans.pipeline import (
     extract_pipeline,
