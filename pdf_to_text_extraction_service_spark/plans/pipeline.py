@@ -22,14 +22,20 @@ from pyspark.sql import functions as F
 from ..functions.extract_udf import extract
 from ..operators.dedup import dedup_latest
 from ..operators.salt import size_tiered_repartition
+from ..operators.urlnorm import canonical_url
 
 
 def extract_pipeline(pages: DataFrame,
                      num_partitions: int | None = None,
                      salt: bool = True,
                      dedup: bool = True,
-                     keep_pages_col: bool = True) -> DataFrame:
+                     keep_pages_col: bool = True,
+                     canonicalize_urls: bool = False) -> DataFrame:
     df = pages
+    if canonicalize_urls:
+        # normalize BEFORE salting/dedup so case/port/param variants of
+        # the same page share a url key (operators/urlnorm.py)
+        df = df.withColumn("url", canonical_url("url"))
     if salt:
         if num_partitions is None:
             num_partitions = df.sparkSession.sparkContext.defaultParallelism

@@ -75,6 +75,34 @@ class TestPDFPreview:
         assert r.method == "preview-text-layer"
 
 
+def test_preview_equals_extract_when_uncapped():
+    """Invariant: for preview-allowed types, preview with a cap larger
+    than the text IS the extract result (same kernel, no truncation) —
+    ties the two pipelines together (main.go:448-482 runs the normal
+    kernel)."""
+    from pdf_to_text_extraction_service_spark.kernel import router
+    from pdf_to_text_extraction_service_spark.sources import corpus
+
+    rows = corpus.generate_corpus_rows(150, seed=13)
+    checked = 0
+    for url, _ts, payload, _t, _l in rows:
+        pres, pfmt = preview.preview_document(url, payload,
+                                              max_chars=10 ** 9)
+        eres, efmt = router.extract_document(url, payload)
+        if not pres.success:
+            continue  # media/unknown rejections
+        assert pfmt == efmt
+        if efmt == "pdf":
+            # PDF preview is text-layer-pages-joined, a different
+            # envelope by design (method preview-text-layer)
+            assert pres.method == "preview-text-layer"
+            continue
+        assert pres.text == eres.text, url
+        assert pres.word_count == eres.word_count
+        checked += 1
+    assert checked > 80
+
+
 def test_spark_preview_udf(spark):
     from pdf_to_text_extraction_service_spark.functions.extract_udf import (
         preview as spark_preview,

@@ -117,6 +117,25 @@ def test_prune_duplicate_captures(spark, corpus_df, tmp_path):
     assert "ReadSchema: struct<url:string,warc_ts:timestamp>" in plan
 
 
+def test_pipeline_canonicalize_urls(spark):
+    rows = [
+        ("HTTP://Host.Test:80/a?utm_source=x", b"<p>v1</p>"),
+        ("http://host.test/a", b"<p>v2</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary").withColumn(
+        "warc_ts",
+        F.expr("timestamp '2026-01-01' + make_interval(0,0,0,0,0,0, "
+               "case when html = encode('<p>v2</p>', 'utf-8') "
+               "then 10 else 0 end)"),
+    )
+    out = extract_pipeline(df, salt=False, keep_pages_col=False,
+                           canonicalize_urls=True).collect()
+    # both captures canonicalize to the same url; latest (v2) wins
+    assert len(out) == 1
+    assert out[0]["url"] == "http://host.test/a"
+    assert out[0]["text"] == "v2"
+
+
 def test_salt_preserves_rows(spark, corpus_df):
     salted = size_tiered_repartition(corpus_df, 8, big_bytes=2000)
     assert salted.count() == corpus_df.count()
