@@ -122,10 +122,10 @@ class PDFDoc:
         content_body = self.objs.get(contents_ref)
         if content_body is None:
             raise PDFError("missing content stream")
-        sm = _STREAM_RE.search(content_body)
-        if sm is None:
+        stream = _stream_bytes(content_body)
+        if stream is None:
             return ""
-        spans = _parse_content_spans(sm.group(1))
+        spans = _parse_content_spans(stream)
         text = assemble_reading_order(spans)
         # poppler.go:107 hard-caps per-page pdftotext output; an
         # oversized page is a per-page failure (→ needs-ocr).
@@ -137,6 +137,38 @@ class PDFDoc:
 def extract_page_text(data: bytes, page_num: int) -> str:
     """Text of 1-indexed page page_num (the pdftotext-per-page analog)."""
     return PDFDoc(data).page_text(page_num)
+
+
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+
+
+def _stream_bytes(content_body: bytes) -> bytes | None:
+    """Slice a content stream by its declared /Length (binary-safe —
+    compressed data may contain 'endstream' bytes), falling back to
+    the endstream delimiter; FlateDecode via zlib."""
+    marker = content_body.find(b"stream")
+    if marker < 0:
+        return None
+    start = marker + len(b"stream")
+    if content_body[start:start + 2] == b"\r\n":
+        start += 2
+    elif content_body[start:start + 1] == b"\n":
+        start += 1
+    lm = _LENGTH_RE.search(content_body[:marker])
+    if lm is not None:
+        raw = content_body[start:start + int(lm.group(1))]
+    else:
+        sm = _STREAM_RE.search(content_body)
+        if sm is None:
+            return None
+        raw = sm.group(1)
+    if b"/FlateDecode" in content_body[:marker]:
+        import zlib
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error as exc:
+            raise PDFError(f"flate decode failed: {exc}") from exc
+    return raw
 
 
 # --- content-stream tokenizer -----------------------------------------

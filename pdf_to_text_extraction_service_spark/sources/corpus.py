@@ -22,7 +22,6 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pdfgen import simple_pdf
 
 BASE_URL = "https://corpus.example"
 EPOCH = "2026-01-01 00:00:00"
@@ -236,8 +235,10 @@ def _gen_rtf(rng, i):
 
 
 def _gen_pdf(rng, i):
+    from .pdfgen import build_pdf, single_column_page
     lines = [_sentences(rng, 9) for _ in range(6)]
-    return simple_pdf([lines])
+    # alternate raw and FlateDecode streams (both kernel paths live)
+    return build_pdf([single_column_page(lines)], compress=(i % 2 == 0))
 
 
 def _gen_docx(rng, i):

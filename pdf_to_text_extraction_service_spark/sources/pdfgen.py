@@ -37,8 +37,11 @@ def two_column_page(left: list[str], right: list[str],
     return spans
 
 
-def build_pdf(pages: list[list[Span]]) -> bytes:
-    """Assemble an uncompressed PDF 1.4 file with correct xref."""
+def build_pdf(pages: list[list[Span]], compress: bool = False) -> bytes:
+    """Assemble a PDF 1.4 file with correct xref; compress=True emits
+    FlateDecode content streams (the realistic CC-PDF case)."""
+    import zlib
+
     n_pages = len(pages)
     # Object numbering: 1 catalog, 2 pages, then per page: page obj,
     # content obj.
@@ -50,6 +53,10 @@ def build_pdf(pages: list[list[Span]]) -> bytes:
     )
     for i, spans in enumerate(pages):
         content = page_content(spans)
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b" /Filter /FlateDecode"
         page_num = 3 + 2 * i
         objs.append(
             (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
@@ -57,7 +64,8 @@ def build_pdf(pages: list[list[Span]]) -> bytes:
              f"/Contents {page_num + 1} 0 R >>").encode()
         )
         objs.append(
-            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+            b"<< /Length %d%s >>\nstream\n%s\nendstream"
+            % (len(content), filt, content)
         )
     objs.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"

@@ -71,6 +71,26 @@ class TestHybrid:
         assert "quick brown fox" in r.text
         assert "@#$%" not in r.text
 
+    def test_flate_compressed_streams(self):
+        spans = [pdfgen.single_column_page(GOOD_LINES)] * 2
+        plain = pdfgen.build_pdf(spans, compress=False)
+        packed = pdfgen.build_pdf(spans, compress=True)
+        assert b"/FlateDecode" in packed
+        r1 = pdfk.extract_pdf(plain, "application/pdf")
+        r2 = pdfk.extract_pdf(packed, "application/pdf")
+        assert r2.success
+        assert r2.text == r1.text  # identical text either encoding
+
+    def test_corrupt_flate_is_failure_not_crash(self):
+        spans = [pdfgen.single_column_page(GOOD_LINES)]
+        packed = bytearray(pdfgen.build_pdf(spans, compress=True))
+        i = packed.find(b"stream\n") + 10
+        packed[i] ^= 0xFF  # corrupt the deflate data
+        r = pdfk.extract_pdf(bytes(packed), "application/pdf")
+        # per-page PDFError → needs-ocr page, doc still succeeds
+        assert r.success
+        assert r.pages[0].method == "needs-ocr"
+
     def test_page_subset_and_markers(self):
         # HybridProcessorOptions knobs: Pages subset (hybrid.go:89-95),
         # IncludePageNumbers (format.go:34-38), custom separator
