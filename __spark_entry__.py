@@ -375,19 +375,36 @@ def _q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-decode plumbing over fake-container payloads derived from
-    doc ids (rows-only: binary construction is not SQL-expressible)."""
+    doc ids. The decoded histogram features are closed-form from the
+    seeded generator (multimodal.make_fake_image), so the oracle
+    reconstructs width/height/n_bytes AND a polyhash digest of the
+    16-bin histogram symbolically — a full rows+schema+hash gate over
+    the mapInPandas decode path."""
     from pdf_to_text_extraction_service_spark.functions.multimodal import (
         image_features,
         make_fake_image,
     )
 
-    docs = load_documents(spark, sf_dir).select("doc_id").limit(200)
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
     ids = [r["doc_id"] for r in docs.collect()]
     media = spark.createDataFrame(
         [(i, make_fake_image(4 + i % 16, 4 + i % 8, seed=i)) for i in ids],
         "media_id long, payload binary",
     )
-    return image_features(media)
+    feats = image_features(media)
+    # Scalar projection for the driver's canonicalizer: recover the
+    # integer histogram counts from the L1-normalized features
+    # (count = round(v * pixels), exact for IEEE doubles of small
+    # ints) and fold them into one cross-engine polyhash digest.
+    return feats.select(
+        "media_id", "width", "height", "n_bytes",
+        F.expr(
+            "aggregate(transform(features, v -> cast(round(v * cast("
+            "width * height as double)) as bigint)), 0L, "
+            "(acc, c) -> (acc * 31L + c) % 1000000007L)"
+        ).alias("feat_digest"),
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -533,6 +550,55 @@ _SHINGLE_CTE = """
 """
 
 
+# DuckDB mirror of operators/neardup.simhash64 + simhash_pairs.
+from pdf_to_text_extraction_service_spark.operators.neardup import (
+    SIM_BASES as _SIM_BASES,
+    SIM_PRIME as _SIM_PRIME,
+)
+
+
+def _sim_tokhash_duck(base: int) -> str:
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(list_filter(string_split_regex(t, ''), "
+        "c -> c <> ''), c -> unicode(c)::BIGINT)), "
+        f"(a, c) -> (a * {base} + c) % {_SIM_PRIME})"
+    )
+
+
+_SIMHASH_SQL = f"""
+    WITH d2 AS (
+        SELECT doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || ' qq' FROM documents
+    ), th AS (
+        SELECT id, list_transform(string_split(text, ' '), t -> [
+            {", ".join(_sim_tokhash_duck(b) for b in _SIM_BASES)}
+        ]) AS hs
+        FROM d2
+    ), sig AS (
+        SELECT id,
+            list_sum(list_transform(range(0, 64), bit ->
+                CASE WHEN list_sum(list_transform(hs, h ->
+                         CASE WHEN ((h[bit // 31 + 1] >> (bit % 31)) & 1) = 1
+                              THEN 1 ELSE -1 END)) >= 0
+                     THEN (CASE WHEN bit = 63 THEN -9223372036854775808
+                                ELSE (1::BIGINT << CAST(bit AS INTEGER)) END)
+                     ELSE 0::BIGINT END))::BIGINT AS sig
+        FROM th
+    ), banded AS (
+        SELECT id, sig, b.range AS band,
+               (sig >> CAST(b.range * 16 AS INTEGER)) & 65535 AS key
+        FROM sig, range(0, 4) b
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 8
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
@@ -655,9 +721,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wc AS INTEGER) AS word_count
             FROM scored
         """,
-        # dedup_simhash / ann_lsh_topk / ann_ivf_topk /
-        # multimodal / pdf_page_stats: engine-hash-, binary- or
-        # iteration-dependent — rows-only checks (no oracle).
+        # ann_ivf_topk: iterative k-means training is not
+        # single-statement SQL — rows-only check (no oracle).
+        # SimHash mirror: identical 31-bit rolling token hashes
+        # (bases 31/37/41 mod 2^31-1), identical sign-bit fold,
+        # identical 4x16-bit banding — DuckDB >> is arithmetic like
+        # Spark's shiftright, and & 65535 masks the fill bits, so
+        # band keys agree; 1<<63 overflows in DuckDB so bit 63 is the
+        # min-long literal.
+        "dedup_simhash": _SIMHASH_SQL,
+        # Fake-image payloads (multimodal.make_fake_image) are
+        # closed-form: body byte i of media m is (i*31 + m*7 + 13) %
+        # 256, so DuckDB rebuilds the 16-bin histogram and its
+        # polyhash digest symbolically.
+        "multimodal_image_features": """
+            SELECT doc_id AS media_id,
+                   CAST(4 + doc_id % 16 AS INTEGER) AS width,
+                   CAST(4 + doc_id % 8 AS INTEGER) AS height,
+                   CAST(16 + (4 + doc_id % 16) * (4 + doc_id % 8) AS BIGINT)
+                       AS n_bytes,
+                   list_reduce(
+                       list_prepend(0::BIGINT, list_transform(range(0, 16),
+                           b -> CAST(len(list_filter(
+                               range(0, (4 + doc_id % 16) * (4 + doc_id % 8)),
+                               i -> (i * 31 + doc_id * 7 + 13) % 256 >= b * 16
+                                AND (i * 31 + doc_id * 7 + 13) % 256 < b * 16 + 16
+                           )) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 1000000007) AS feat_digest
+            FROM documents WHERE doc_id < 200
+        """,
         "ann_cosine_topk": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(

@@ -188,14 +188,41 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 # --------------------------------------------------------------- simhash
 
 
+# SimHash token hashes: 31-bit cross-engine rolling hashes (same
+# fold as textstats.polyhash but mod 2^31-1 so all 31 bits are
+# near-uniform). Three bases cover the 64 signature bits: bit b reads
+# bit (b % 31) of hash (b div 31). Cross-engine means DuckDB mirrors
+# the whole signature, so dedup_simhash is oracle-checkable.
+SIM_PRIME = 2147483647  # 2^31 - 1
+SIM_BASES = (31, 37, 41)
+
+
+def _sim_tokhash(base: int) -> str:
+    # acc < 2^31, so acc*41 + c < 2^37 — safe in BIGINT both engines.
+    return (f"aggregate(filter(split(t, ''), c -> c <> ''), 0L, "
+            f"(acc, c) -> (acc * {base}L + ascii(c)) % {SIM_PRIME}L)")
+
+
 def simhash64(text_col: str):
-    """64-bit SimHash over whitespace tokens, pure JVM expressions:
-    per bit, sign of the sum of (+1/-1) token-hash bits."""
+    """64-bit SimHash over whitespace tokens — single hashing pass.
+
+    The token-hash array is the ``aggregate`` INPUT, so each token is
+    hashed exactly once (previously: re-split + re-hashed per bit,
+    64x redundant). The merge lambda updates all 64 counters per
+    token (zip_with over the counter array); the finish lambda folds
+    counters into sign bits.
+    """
+    th = (f"transform(split({text_col}, ' '), t -> "
+          "array(" + ", ".join(_sim_tokhash(b) for b in SIM_BASES) + "))")
     return F.expr(
-        "aggregate(sequence(0, 63), 0L, (acc, bit) -> acc + "
-        f"(case when aggregate(split({text_col}, ' '), 0L, (s, t) -> s + "
-        "(case when (shiftright(xxhash64(t), bit) & 1) = 1 then 1 else -1 end)"
-        ") >= 0 then shiftleft(1L, bit) else 0L end))"
+        f"aggregate({th}, "
+        "array_repeat(0, 64), "
+        "(acc, h) -> zip_with(acc, sequence(0, 63), (a, bit) -> a + "
+        "(case when (shiftright(element_at(h, cast(bit div 31 as int) + 1), "
+        "bit % 31) & 1) = 1 then 1 else -1 end)), "
+        "acc -> aggregate(zip_with(acc, sequence(0, 63), (c, bit) -> "
+        "case when c >= 0 then shiftleft(1L, bit) else 0L end), "
+        "0L, (s, v) -> s + v))"
     )
 
 
