@@ -22,6 +22,8 @@ Scale notes per operator:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,10 +57,19 @@ def tokens_col(text_col: str):
     return F.split(F.col(text_col), " ")
 
 
+def shingles_from_tokens(tokens_col: str, n: int = 3):
+    """Word n-gram shingles from a PRE-SPLIT token array column —
+    the token array is materialized once per row instead of re-split
+    inside the per-shingle lambda."""
+    return F.expr(
+        f"transform(sequence(0, greatest(size({tokens_col}) - {n}, 0)), "
+        f"i -> array_join(slice({tokens_col}, i + 1, {n}), ' '))"
+    )
+
+
 def word_shingles(text_col: str, n: int = 3):
     """Word n-gram shingles as an array<string> expression (JVM-side:
     transform over a sequence of start offsets)."""
-    toks = tokens_col(text_col)
     return F.expr(
         f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)), "
         f"i -> array_join(slice(split({text_col}, ' '), i + 1, {n}), ' '))"
@@ -80,30 +91,79 @@ def shingle_hashes(shingle_col: str):
     )
 
 
-def minhash_signature(hash_col: str, k: int = 64, seed: int = 1):
-    """k-permutation MinHash over pre-hashed shingle ids
-    (shingle_hashes).
-
-    h_i(x) = (a_i * x + b_i) mod M31, one JVM expression per
-    permutation; array_min folds each. Seeds derive deterministically
-    from ``seed`` (no wall clock anywhere).
-    """
+def _perm_coeffs(k: int, seed: int):
+    """Deterministic (a_i, b_i) permutation coefficients — shared by
+    the JVM and numpy signature paths so both produce identical
+    signatures."""
     import random
 
     rng = random.Random(seed)
-    mins = []
+    coeffs = []
     for _ in range(k):
         a = rng.randrange(1, _MERSENNE)
         b = rng.randrange(0, _MERSENNE)
-        mins.append(
-            F.array_min(
-                F.expr(
-                    f"transform({hash_col}, x -> "
-                    f"(({a}L * x + {b}L) % {_MERSENNE}L))"
-                )
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signature(hash_col: str, k: int = 64, seed: int = 1):
+    """k-permutation MinHash over pre-hashed shingle ids
+    (shingle_hashes) — pure-JVM variant.
+
+    h_i(x) = (a_i * x + b_i) mod M31, one JVM expression per
+    permutation; array_min folds each. Seeds derive deterministically
+    from ``seed`` (no wall clock anywhere). Kept as the reference
+    implementation / cross-check for minhash_signature_udf; k
+    interpreted HOF passes make it the slower path for large k.
+    """
+    mins = [
+        F.array_min(
+            F.expr(
+                f"transform({hash_col}, x -> "
+                f"(({a}L * x + {b}L) % {_MERSENNE}L))"
             )
         )
+        for a, b in _perm_coeffs(k, seed)
+    ]
     return F.array(*mins)
+
+
+def minhash_signature_udf(k: int = 64, seed: int = 1):
+    """Vectorized MinHash signatures: one Arrow-batched pandas_udf
+    computing all k permutations with a single numpy matmul-shaped
+    pass ((k x 1) * (1 x N) broadcast, then per-row segment min).
+
+    Bit-identical to minhash_signature (same coefficients, same
+    int64 arithmetic: a, x < 2^31 so a*x + b < 2^62 never overflows),
+    but ~one numpy kernel per batch instead of k interpreted HOF
+    passes per row. The signature is the ONLY Python hop in the LSH
+    pipeline; shingle string-hashing stays JVM-side (xxhash64).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = _perm_coeffs(k, seed)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    @pandas_udf("array<bigint>")
+    def _sig(xs: pd.Series) -> pd.Series:
+        arrs = [np.asarray(v, dtype=np.int64) for v in xs]
+        lens = np.array([len(v) for v in arrs], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series([None] * len(arrs))
+        flat = np.concatenate([v for v in arrs if len(v)]) \
+            if len(arrs) else np.empty(0, np.int64)
+        m = (A * flat[None, :] + B) % _MERSENNE  # k x N, one pass
+        out, lo = [], 0
+        for n in lens:
+            if n == 0:
+                out.append(None)  # array_min([]) is null in the JVM path
+                continue
+            out.append(m[:, lo:lo + n].min(axis=1))
+            lo += n
+        return pd.Series(out)
+
+    return _sig
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -127,7 +187,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     sh = (
         df.select(
             F.col(id_col).alias("_id"),
-            F.array_distinct(word_shingles(text_col, shingle_n))
+            tokens_col(text_col).alias("_t"),
+        )
+        .select(
+            "_id",
+            F.array_distinct(shingles_from_tokens("_t", shingle_n))
             .alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
@@ -136,8 +200,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # banding explode/shuffle — the banded relation is 3 small scalars
     # per (doc, band). Candidates join back to `sh` for verification.
     sh = sh.persist()
+    sig_udf = minhash_signature_udf(num_perm)
     sig = sh.withColumn("_xs", shingle_hashes("_sh")) \
-        .withColumn("_sig", minhash_signature("_xs", num_perm))
+        .withColumn("_sig", sig_udf("_xs"))
     banded = sig.select(
         "_id",
         F.explode(
@@ -265,11 +330,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.5) -> DataFrame:
     """Exact word-n-gram Jaccard for all pairs within a blocking key
     (quadratic per block — audit tool / fine-block path)."""
+    if block_col is None:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is a full cartesian "
+            "self-join; pass an explicit blocking column (or a "
+            "constant column to opt into the quadratic audit path)"
+        )
     base = df.select(
         F.col(id_col).alias("_id"),
-        *( [F.col(block_col).alias("_blk")] if block_col else
-           [F.lit(0).alias("_blk")] ),
-        F.array_distinct(word_shingles(text_col, n)).alias("_sh"),
+        F.col(block_col).alias("_blk"),
+        tokens_col(text_col).alias("_t"),
+    ).select(
+        "_id", "_blk",
+        F.array_distinct(shingles_from_tokens("_t", n)).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     a = base.select("_blk", F.col("_id").alias("id_a"),
                     F.col("_sh").alias("_sh_a"))

@@ -107,16 +107,24 @@ def polyhash(expr: str):
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     n: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: min polynomial hash over word
-    n-grams (a 1-permutation MinHash with a cross-engine hash)."""
+    n-grams (a 1-permutation MinHash with a cross-engine hash).
+
+    Tokens are split ONCE into a materialized column; the per-shingle
+    lambda only slices the array (CollapseProject keeps the split out
+    of the lambda because it is non-cheap and multiply referenced)."""
     shingles = (
-        f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)), "
-        f"i -> array_join(slice(split({text_col}, ' '), i + 1, {n}), ' '))"
+        f"transform(sequence(0, greatest(size(_fp_t) - {n}, 0)), "
+        f"i -> array_join(slice(_fp_t, i + 1, {n}), ' '))"
     )
-    return df.withColumn(
-        "fingerprint",
-        F.array_min(F.expr(
-            f"transform({shingles}, s -> {_POLY % 's'})"
-        )),
+    return (
+        df.withColumn("_fp_t", F.split(F.col(text_col), " "))
+        .withColumn(
+            "fingerprint",
+            F.array_min(F.expr(
+                f"transform({shingles}, s -> {_POLY % 's'})"
+            )),
+        )
+        .drop("_fp_t")
     )
 
 

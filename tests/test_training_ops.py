@@ -50,6 +50,36 @@ def test_minhash_finds_planted_pair(spark, docs_df):
     assert not any({a, b} == {1, 3} for a, b in pairs)
 
 
+def test_minhash_udf_matches_jvm_signatures(spark):
+    """The vectorized numpy signature path must be bit-identical to
+    the pure-JVM reference implementation (same coefficients, same
+    mod-2^31-1 arithmetic)."""
+    from pdf_to_text_extraction_service_spark.operators.neardup import (
+        minhash_signature,
+        minhash_signature_udf,
+        shingle_hashes,
+        word_shingles,
+    )
+    from pdf_to_text_extraction_service_spark.sources.corpus import (
+        load_documents,
+    )
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles("text", 3)).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    both = (
+        sh.withColumn("_xs", shingle_hashes("_sh"))
+        .withColumn("jvm", minhash_signature("_xs", 96))
+        .withColumn("np", minhash_signature_udf(96)("_xs"))
+        .select(F.sum((F.col("jvm") == F.col("np")).cast("int")).alias("eq"),
+                F.count("*").alias("n"))
+        .first()
+    )
+    assert both["eq"] == both["n"] and both["n"] > 0
+
+
 def test_ngram_jaccard_exact(spark, docs_df):
     d = docs_df.withColumn("blk", F.lit(0))
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
