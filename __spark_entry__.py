@@ -552,17 +552,18 @@ _SHINGLE_CTE = """
 
 # DuckDB mirror of operators/neardup.simhash64 + simhash_pairs.
 from pdf_to_text_extraction_service_spark.operators.neardup import (
-    SIM_BASES as _SIM_BASES,
+    SIM_MIX as _SIM_MIX,
     SIM_PRIME as _SIM_PRIME,
 )
 
 
-def _sim_tokhash_duck(base: int) -> str:
+def _sim_tokhash_duck(base: int, mult: int, add: int) -> str:
     return (
-        "list_reduce(list_prepend(0::BIGINT, "
+        "(list_reduce(list_prepend(0::BIGINT, "
         "list_transform(list_filter(string_split_regex(t, ''), "
         "c -> c <> ''), c -> unicode(c)::BIGINT)), "
-        f"(a, c) -> (a * {base} + c) % {_SIM_PRIME})"
+        f"(a, c) -> (a * {base} + c) % {_SIM_PRIME}) "
+        f"* {mult} + {add}) % {_SIM_PRIME}"
     )
 
 
@@ -573,7 +574,7 @@ _SIMHASH_SQL = f"""
         SELECT doc_id + 100000, text || ' qq' FROM documents
     ), th AS (
         SELECT id, list_transform(string_split(text, ' '), t -> [
-            {", ".join(_sim_tokhash_duck(b) for b in _SIM_BASES)}
+            {", ".join(_sim_tokhash_duck(*m) for m in _SIM_MIX)}
         ]) AS hs
         FROM d2
     ), sig AS (
@@ -597,6 +598,50 @@ _SIMHASH_SQL = f"""
       ON a.band = b.band AND a.key = b.key AND a.id < b.id
     WHERE bit_count(xor(a.sig, b.sig)) <= 8
 """
+
+
+# DuckDB mirror of operators/similarity.lsh_topk. The hyperplanes are
+# deterministic driver-side literals (make_planes seed=7), so the same
+# float constants are emitted into both engines; the dot products fold
+# strictly left-to-right in both (Spark `aggregate`, DuckDB
+# list_reduce over a 0.0-prepended product list), so the sign bits —
+# and hence the bucket — agree bit-for-bit.
+
+
+def _ann_lsh_sql(dim: int = 64, bits: int = 4, seed: int = 7) -> str:
+    from pdf_to_text_extraction_service_spark.operators.similarity import (
+        make_planes,
+    )
+
+    planes = make_planes(dim, bits, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+        dot = (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dim + 1}), "
+            f"i -> embedding[i]::DOUBLE * ({lit})[i])), (a, v) -> a + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {bucket} AS bkt
+            FROM embeddings
+        )
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(
+                   embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings
+                    WHERE vec_id = 0)), 6) AS cosine
+        FROM b
+        WHERE bkt = (SELECT bkt FROM b WHERE vec_id = 0)
+        QUALIFY ROW_NUMBER() OVER (
+            ORDER BY list_cosine_similarity(
+                embedding::DOUBLE[],
+                (SELECT embedding::DOUBLE[] FROM embeddings
+                 WHERE vec_id = 0)) DESC, vec_id) <= 10
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -763,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
                     (SELECT embedding::DOUBLE[] FROM embeddings
                      WHERE vec_id = 0)) DESC, vec_id) <= 10
         """,
+        "ann_lsh_topk": _ann_lsh_sql(),
         "canonical_urls": _CANONICAL_URLS_SQL,
         "lang_id_heuristic": f"""
             SELECT doc_id,

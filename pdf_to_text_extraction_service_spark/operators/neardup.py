@@ -255,17 +255,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # SimHash token hashes: 31-bit cross-engine rolling hashes (same
 # fold as textstats.polyhash but mod 2^31-1 so all 31 bits are
-# near-uniform). Three bases cover the 64 signature bits: bit b reads
-# bit (b % 31) of hash (b div 31). Cross-engine means DuckDB mirrors
-# the whole signature, so dedup_simhash is oracle-checkable.
+# near-uniform). Three (base, mult, add) triples cover the 64
+# signature bits: bit b reads bit (b % 31) of hash (b div 31).
+# The affine finalizer (h*mult + add) % M matters: a bare rolling
+# hash of a short token is a SMALL number (3 chars < 2^17), leaving
+# the high bits constantly zero across the corpus and collapsing the
+# effective hamming space; the affine permutation mod the prime
+# spreads every token across all 31 bits. Cross-engine means DuckDB
+# mirrors the whole signature, so dedup_simhash is oracle-checkable.
 SIM_PRIME = 2147483647  # 2^31 - 1
-SIM_BASES = (31, 37, 41)
+SIM_MIX = (
+    (31, 1103515245, 12345),
+    (37, 1566083941, 1013904223),
+    (41, 1812433253, 362437),
+)
 
 
-def _sim_tokhash(base: int) -> str:
-    # acc < 2^31, so acc*41 + c < 2^37 — safe in BIGINT both engines.
-    return (f"aggregate(filter(split(t, ''), c -> c <> ''), 0L, "
-            f"(acc, c) -> (acc * {base}L + ascii(c)) % {SIM_PRIME}L)")
+def _sim_tokhash(base: int, mult: int, add: int) -> str:
+    # acc < 2^31, so acc*41 + c < 2^37; h*mult < 2^62 — safe in
+    # BIGINT both engines (no overflow under Spark ANSI mode).
+    return (f"(aggregate(filter(split(t, ''), c -> c <> ''), 0L, "
+            f"(acc, c) -> (acc * {base}L + ascii(c)) % {SIM_PRIME}L) "
+            f"* {mult}L + {add}L) % {SIM_PRIME}L")
 
 
 def simhash64(text_col: str):
@@ -278,7 +289,7 @@ def simhash64(text_col: str):
     counters into sign bits.
     """
     th = (f"transform(split({text_col}, ' '), t -> "
-          "array(" + ", ".join(_sim_tokhash(b) for b in SIM_BASES) + "))")
+          "array(" + ", ".join(_sim_tokhash(*m) for m in SIM_MIX) + "))")
     return F.expr(
         f"aggregate({th}, "
         "array_repeat(0, 64), "
