@@ -232,16 +232,29 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a DataFrame-trained k-means coarse quantizer
-    (rows-only: iterative training is not single-statement SQL)."""
+    """IVF ANN against a PREBUILT index (rows-only: iterative k-means
+    training is not single-statement SQL). The index is built once
+    per corpus into a cluster-partitioned parquet table + centroid
+    side table; the query itself never trains — its filter on
+    ``cluster`` is parquet partition pruning."""
+    import os
+    import tempfile
+
     from pdf_to_text_extraction_service_spark.operators.ivf import (
-        build_ivf_index,
         ivf_topk,
+        load_ivf_index,
+        write_ivf_index,
     )
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    tag = sf_dir.strip("/").replace("/", "-")
+    path = os.path.join(tempfile.gettempdir(), f"ivf-index-{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        write_ivf_index(emb, path, k=16, iters=3)
+    indexed, centroids = load_ivf_index(spark, path)
     qv = [float(v) for v in
-          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    indexed, centroids = build_ivf_index(emb, k=16, iters=3)
+          spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+          .filter(F.col("vec_id") == 0).first()["embedding"]]
     return ivf_topk(indexed, centroids, qv, topk=10, nprobe=4)
 
 
@@ -357,8 +370,8 @@ def _q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pdf_to_text_extraction_service_spark.sources import pdfgen
 
-    ids = [r["doc_id"] for r in
-           load_documents(spark, sf_dir).select("doc_id").limit(100).collect()]
+    ids = [r["doc_id"] for r in load_documents(spark, sf_dir)
+           .select("doc_id").filter(F.col("doc_id") < 100).collect()]
     good = ["The quick brown fox jumps over the lazy dog near the river.",
             "Morning light settles across the quiet valley while birds sing."]
     garbage = ["@#$% ^&*()!! ~~ ||"]
@@ -407,6 +420,60 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ocr_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processOCROnly post-processing (image.go:218-263) over sidecar
+    OCR page markdown built from documents: page 1 is the doc text
+    with trailing spaces, page 2 a markdown image ref the cleaner
+    strips, page 3 a lone '.' the combiner drops; every 7th doc gets
+    symbol-only OCR output that must FAIL the meaningfulness gate
+    with the reference's exact error string."""
+    from pdf_to_text_extraction_service_spark.functions.ocr import (
+        ocr_clean_results,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.array(F.lit("!! ?? $$ %% ^^")),
+        ).otherwise(F.array(
+            F.concat(F.col("text"), F.lit("  ")),
+            F.concat(F.lit("![fig](img"), F.col("doc_id").cast("string"),
+                     F.lit(".png)")),
+            F.lit("."),
+        )).alias("ocr_pages"),
+    )
+    return ocr_clean_results(media)
+
+
+def _q_audio_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamped transcript assembly (transcribe.go:80-126) over
+    Whisper-style segment sidecar columns built from documents; the
+    second segment starts past the hour to exercise the HH:MM:SS
+    format branch."""
+    from pdf_to_text_extraction_service_spark.functions.ocr import (
+        transcript_results,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.array(
+            F.struct(
+                (F.col("doc_id").cast("double") + F.lit(0.2)).alias("start"),
+                F.col("text").alias("text"),
+            ),
+            F.struct(
+                (F.col("doc_id").cast("double") + F.lit(3605.2))
+                .alias("start"),
+                F.lit("qq end").alias("text"),
+            ),
+        ).alias("segments"),
+    )
+    return transcript_results(media)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_html_docs": _q_extract_html_docs,
     "extract_markdown_docs": _q_extract_markdown_docs,
@@ -430,6 +497,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores_docs": _q_quality_scores,
     "streaming_extract_docs": _q_streaming_extract,
     "multimodal_image_features": _q_multimodal_features,
+    "ocr_clean_docs": _q_ocr_clean_docs,
+    "audio_transcripts": _q_audio_transcripts,
     "preview_truncation": _q_preview_truncation,
     "pdf_page_stats": _q_pdf_page_stats,
 }
@@ -809,6 +878,81 @@ def oracle_sql() -> dict[str, str]:
                      WHERE vec_id = 0)) DESC, vec_id) <= 10
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        # OCR-clean mirror: the constructed pages are closed-form —
+        # combine drops the '.' page and trims page 1, cleaning strips
+        # the markdown image ref, leaving text + page separator; the
+        # every-7th symbol-only doc fails the meaningfulness gate.
+        "ocr_clean_docs": """
+            SELECT doc_id AS media_id,
+                   doc_id % 7 <> 0 AS success,
+                   CASE WHEN doc_id % 7 = 0 THEN ''
+                        ELSE text || chr(10) || chr(10) || '-----'
+                   END AS text,
+                   'ocr' AS method,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                        ELSE len(string_split(text, ' ')) + 1
+                   END AS INTEGER) AS word_count,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                        ELSE length(text) + 7
+                   END AS INTEGER) AS char_count,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'image contains no extractable text'
+                   END AS error
+            FROM documents
+        """,
+        # Transcript mirror: timecodes are closed-form (int(s + 0.5)
+        # truncation — the .2 fractional starts round down), segment
+        # 2 exercises the HH:MM:SS branch; BuildCounts splits on the
+        # exact 4-char whitespace set.
+        "audio_transcripts": """
+            WITH t AS (
+                SELECT doc_id,
+                       '[' || printf('%02d:%02d', doc_id // 60,
+                                     doc_id % 60) || '] ' || text ||
+                       chr(10) || chr(10) ||
+                       '[' || printf('%02d:%02d:%02d',
+                                     (doc_id + 3605) // 3600,
+                                     ((doc_id + 3605) % 3600) // 60,
+                                     (doc_id + 3605) % 60) ||
+                       '] qq end' AS txt
+                FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   TRUE AS success,
+                   txt AS text,
+                   'groq' AS method,
+                   CAST(len(list_filter(
+                       string_split_regex(txt, '[ \n\t\r]'),
+                       x -> x <> '')) AS INTEGER) AS word_count,
+                   CAST(length(txt) AS INTEGER) AS char_count,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM t
+        """,
+        # pdf_page_stats oracle: the generated corpus is closed-form
+        # in doc_id — each doc gets (1 + i%3) good pages of the two
+        # fixed sentences (12 + 10 BuildCounts words) plus, when
+        # i%4=0, one 4-word garbage page that the quality gate marks
+        # needs-ocr. The Spark side runs the REAL pdf writer + parser
+        # + per-page quality kernel; this SQL encodes what those page
+        # tallies must come out to.
+        "pdf_page_stats": """
+            SELECT 'https://corpus.example/pdf/' ||
+                       CAST(doc_id AS VARCHAR) || '.pdf' AS url,
+                   CAST(1 + doc_id % 3
+                        + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS total_pages,
+                   CAST(1 + doc_id % 3
+                        + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS text_layer_pages,
+                   CAST(0 AS INTEGER) AS ocr_pages,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS needs_ocr_pages,
+                   CAST(100 AS INTEGER) AS cost_savings_percent,
+                   CAST(22 * (1 + doc_id % 3)
+                        + CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END
+                        AS INTEGER) AS sum_page_words
+            FROM documents WHERE doc_id < 100
+        """,
         "canonical_urls": _CANONICAL_URLS_SQL,
         "lang_id_heuristic": f"""
             SELECT doc_id,

@@ -119,7 +119,12 @@ def _run_suite(spark, sf_dir: str, ctx: dict):
     return timings, extras
 
 
-def _bench_once(cpus: int, sf_dir: str):
+def _bench_once(cpus: int, sf_dir: str, repeats: int = 3):
+    """Per-query MEDIAN over ``repeats`` suite runs — sandbox timings
+    jitter ±15% run-to-run, so round-over-round BENCH comparisons need
+    medians to be signal rather than noise."""
+    import statistics
+
     from pdf_to_text_extraction_service_spark.plans.session import (
         build_session,
     )
@@ -132,7 +137,17 @@ def _bench_once(cpus: int, sf_dir: str):
     try:
         ctx = _prepare(spark, sf_dir, base)
         _warmup(spark, ctx)
-        timings, extras = _run_suite(spark, sf_dir, ctx)
+        runs = [_run_suite(spark, sf_dir, ctx) for _ in range(repeats)]
+        timings = {
+            k: statistics.median(t[k] for t, _ in runs)
+            for k in runs[0][0]
+        }
+        extras = dict(runs[-1][1])
+        total_docs = ctx["html_docs"] + ctx["mixed_docs"]
+        med_extract = (timings["extract_dedup_flagship_html"]
+                       + timings["extract_mixed_all_kernels"])
+        extras["extraction_docs_per_sec"] = total_docs / med_extract
+        extras["bench_repeats"] = repeats
     finally:
         spark.stop()
     return timings, extras

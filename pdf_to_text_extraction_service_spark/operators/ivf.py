@@ -82,6 +82,36 @@ def build_ivf_index(df: DataFrame, k: int = 16, iters: int = 5,
     return assign_clusters(df, centroids, vec_col), centroids
 
 
+def write_ivf_index(df: DataFrame, path: str, k: int = 16,
+                    iters: int = 5, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Build ONCE, query many: persist the clustered vector table
+    partitioned by ``cluster`` (so a query's nprobe filter becomes
+    parquet partition PRUNING — untouched clusters are never read)
+    plus the k centroids as a tiny side table. At 100 TB this is the
+    index build job; queries never retrain."""
+    indexed, centroids = build_ivf_index(df, k, iters, id_col, vec_col)
+    indexed.write.mode("overwrite").partitionBy("cluster") \
+        .parquet(f"{path}/vectors")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str):
+    """Returns (indexed_df, centroids). The vectors df is the
+    partition-pruned parquet scan; centroids come back to the driver
+    (k x dim floats — tiny)."""
+    indexed = spark.read.parquet(f"{path}/vectors")
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    by_cluster = {r["cluster"]: [float(v) for v in r["centroid"]]
+                  for r in rows}
+    centroids = [by_cluster[i] for i in range(len(by_cluster))]
+    return indexed, centroids
+
+
 def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
              query_vec: list[float], topk: int = 10, nprobe: int = 4,
              id_col: str = "vec_id",

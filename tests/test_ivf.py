@@ -30,7 +30,50 @@ def test_kmeans_deterministic(spark, emb):
     assert len(c1) == 4 and len(c1[0]) == 64
 
 
-def test_ivf_recall(spark, emb):
+def test_ivf_persisted_index_partition_pruning(spark, emb, tmp_path):
+    """write_ivf_index + load_ivf_index: the nprobe filter must reach
+    the scan as parquet PARTITION pruning — only probed cluster=K
+    directories are read — and results must equal the in-memory
+    index path."""
+    from pdf_to_text_extraction_service_spark.operators.ivf import (
+        load_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, k=8, iters=3)
+    indexed, centroids = load_ivf_index(spark, path)
+    q = [float(v) for v in
+         emb.filter("vec_id = 0").first()["embedding"]]
+
+    got = ivf_topk(indexed, centroids, q, topk=10, nprobe=4)
+    mem_indexed, mem_centroids = build_ivf_index(emb, k=8, iters=3)
+    assert centroids == mem_centroids
+    want = ivf_topk(mem_indexed, mem_centroids, q, topk=10, nprobe=4)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+
+    # partition pruning: the cluster filter must appear as a
+    # PartitionFilter on the file scan (metadata-only pruning, no
+    # data read from unprobed cluster= directories)
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((x - y) ** 2 for x, y in zip(centroids[i], q)),
+    )
+    probe = sorted(order[:4])
+    from pyspark.sql import functions as F
+    cand = indexed.filter(F.col("cluster").isin(probe))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cluster" in pf and all(str(k) in pf for k in probe), pf
+    # and the pruned scan reads 4 of the 8 partition directories
+    cand.collect()
+    leaves = cand._jdf.queryExecution().executedPlan().collectLeaves()
+    scan = leaves.head()
+    n_files = scan.metrics().get("numFiles").get().value()
+    all_files = len(indexed.inputFiles())
+    assert n_files < all_files, (n_files, all_files)
     indexed, centroids = build_ivf_index(emb, k=8, iters=3)
     q = [float(v) for v in
          emb.filter("vec_id = 0").first()["embedding"]]
