@@ -29,7 +29,9 @@ def strip_html(data: bytes) -> tuple[str, dict[str, str]]:
     try:
         root = htmlparse.parse(data)
     except Exception:
-        return data.decode("utf-8", errors="replace"), meta
+        from . import charset
+
+        return charset.decode(data)[0], meta
 
     lines: list[str] = []
 

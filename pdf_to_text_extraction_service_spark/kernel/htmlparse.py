@@ -64,9 +64,13 @@ _unescape = _htmlmod.unescape
 
 
 def parse(data: bytes | str) -> Node:
-    """Parse HTML bytes into a Node tree rooted at a DOCUMENT node."""
+    """Parse HTML bytes into a Node tree rooted at a DOCUMENT node.
+    Bytes are decoded with BOM/<meta charset> detection + UTF-8
+    validity check + windows-1252 fallback (kernel/charset.py)."""
     if isinstance(data, bytes):
-        s = data.decode("utf-8", errors="replace")
+        from . import charset
+
+        s, _ = charset.decode(data)
     else:
         s = data
 

@@ -18,7 +18,11 @@ _MD_EXTS = (".md", ".mdx", ".markdown")
 
 
 def extract_plaintext(b: bytes, file_name: str, mime: str) -> Result:
-    text = b.decode("utf-8", errors="replace")
+    # BOM + UTF-8 validity + windows-1252 fallback; no meta prescan
+    # for non-HTML payloads (kernel/charset.py divergence note).
+    from . import charset
+
+    text, _ = charset.decode(b, scan_meta=False)
     ext = _ext(file_name)
     file_type = "text/plain"
     if ext in _MD_EXTS:
