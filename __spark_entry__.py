@@ -380,8 +380,11 @@ def _q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages = [good] * (1 + i % 3)
         if i % 4 == 0:
             pages.append(garbage)
+        # odd ids use the PDF 1.5 xref-stream + object-stream layout;
+        # the oracle is layout-independent, so this gates the modern
+        # reader (kernel/pdfk._read_xref/_expand_objstm) end-to-end.
         rows.append((f"https://corpus.example/pdf/{i}.pdf",
-                     pdfgen.simple_pdf(pages)))
+                     pdfgen.simple_pdf(pages, modern=bool(i % 2))))
     df = spark.createDataFrame(rows, "url string, html binary")
     return pdf_page_stats(extract(df))
 

@@ -44,8 +44,324 @@ class PDFError(ValueError):
     pass
 
 
-def _objects(data: bytes) -> dict[int, bytes]:
+def _objects_scan(data: bytes) -> dict[int, bytes]:
+    """Legacy whole-file regex scan (fallback when the xref is broken
+    or missing). Object-stream members are expanded afterwards."""
     return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+
+
+# --- xref-driven object loading (PDF 1.5+ layouts) ---------------------
+#
+# Modern writers emit cross-reference STREAMS (binary triples, usually
+# FlateDecode + PNG predictor) and pack the small dictionary objects
+# (catalog, pages tree, page dicts, fonts) into OBJECT STREAMS
+# (/Type /ObjStm). poppler handles these natively (poppler.go:51-164
+# behavior on any real-world PDF); this loader follows the
+# startxref → xref chain (/Prev), slices objects by offset with exact
+# /Length stream boundaries (binary-safe even when compressed bytes
+# contain 'endobj'), and expands ObjStm members. Any structural
+# failure falls back to the regex scan above.
+
+
+def _skip_literal_string(data: bytes, i: int) -> int:
+    """i at '(' — return index just past the matching ')'."""
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n and depth > 0:
+        c = data[i]
+        if c == 0x5C:  # backslash escape
+            i += 2
+        elif c == 0x28:  # (
+            depth += 1
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            i += 1
+        else:
+            i += 1
+    return i
+
+
+def _dict_end(data: bytes, i: int) -> int:
+    """i at '<<' — return index just past the matching '>>',
+    skipping literal strings, hex strings and comments."""
+    depth = 0
+    n = len(data)
+    while i < n:
+        two = data[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return i
+        elif data[i] == 0x28:  # (
+            i = _skip_literal_string(data, i)
+        elif data[i] == 0x3C:  # lone '<' → hex string
+            j = data.find(b">", i + 1)
+            i = j + 1 if j >= 0 else n
+        elif data[i] == 0x25:  # % comment
+            j = data.find(b"\n", i)
+            i = j + 1 if j >= 0 else n
+        else:
+            i += 1
+    raise PDFError("unterminated dictionary")
+
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj")
+# (?![0-9]) pins the digit run (no backtracking into '/Length 12'3 0 R)
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?![0-9]|\s+\d+\s+R)")
+_LENGTH_INDIRECT_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+_STREAM_KW_RE = re.compile(rb"\s*stream(\r\n|\n|\r)")
+
+
+def _object_body_at(data: bytes, off: int,
+                    length_resolver=None) -> tuple[int, bytes]:
+    """Parse the object starting at ``off``; returns (obj_num, body)
+    where body spans from after 'N G obj' to before 'endobj' — the
+    same slice shape _OBJ_RE captures, but bounded by the declared
+    stream /Length instead of the first 'endobj' byte pattern."""
+    m = _OBJ_HEAD_RE.match(data, off) or _OBJ_HEAD_RE.match(
+        data, off + len(data[off:off + 32])
+        - len(data[off:off + 32].lstrip()))
+    if m is None:
+        raise PDFError(f"no object header at offset {off}")
+    num = int(m.group(1))
+    i = m.end()
+    while i < len(data) and data[i] in b" \t\r\n":
+        i += 1
+    if data[i:i + 2] == b"<<":
+        dend = _dict_end(data, i)
+        sm = _STREAM_KW_RE.match(data, dend)
+        if sm:
+            dict_bytes = data[i:dend]
+            lm = _LENGTH_DIRECT_RE.search(dict_bytes)
+            if lm is not None:
+                length = int(lm.group(1))
+            else:
+                lm = _LENGTH_INDIRECT_RE.search(dict_bytes)
+                if lm is None or length_resolver is None:
+                    raise PDFError("stream without resolvable /Length")
+                length = length_resolver(int(lm.group(1)))
+            end = sm.end() + length
+            # body through 'endstream' so _stream_bytes sees it whole
+            es = data.find(b"endstream", end)
+            if es < 0:
+                raise PDFError("missing endstream")
+            return num, data[i:es + len(b"endstream")]
+        return num, data[i:dend]
+    # non-dict object (int, array, …): ends at 'endobj'
+    e = data.find(b"endobj", i)
+    if e < 0:
+        raise PDFError("missing endobj")
+    return num, data[i:e]
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row filters (predictor >= 10): each row is a filter
+    byte + ``columns`` bytes; filters 0-4 = None/Sub/Up/Average/Paeth
+    with byte-per-pixel geometry (xref streams always use bpp=1)."""
+    row_len = columns + 1
+    if row_len <= 1 or len(data) % row_len != 0:
+        raise PDFError("bad predictor geometry")
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), row_len):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + row_len])
+        if ft == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i > 0 else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i > 0 else 0
+                b = prev[i]
+                c = prev[i - 1] if i > 0 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise PDFError(f"unknown PNG filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)\s*%%EOF", re.DOTALL)
+_PREV_RE = re.compile(rb"/Prev\s+(\d+)")
+_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_SIZE_RE = re.compile(rb"/Size\s+(\d+)")
+_INDEX_RE = re.compile(rb"/Index\s*\[((?:\s*\d+)+)\s*\]")
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLS_RE = re.compile(rb"/Columns\s+(\d+)")
+
+
+def _read_xref(data: bytes) -> dict[int, tuple]:
+    """Follow startxref → xref chain. Entry per object number:
+    ('off', byte_offset) or ('objstm', stream_obj_num, index_in_stm).
+    Newest section wins (first seen along the /Prev chain)."""
+    matches = list(_STARTXREF_RE.finditer(data[-2048:]))
+    if not matches:
+        raise PDFError("no startxref")
+    off = int(matches[-1].group(1))
+    entries: dict[int, tuple] = {}
+    seen: set[int] = set()
+    while off >= 0 and off not in seen and off < len(data):
+        seen.add(off)
+        window = data[off:off + 32].lstrip()
+        if window.startswith(b"xref"):
+            off = _read_xref_table(data, off, entries)
+        else:
+            off = _read_xref_stream(data, off, entries)
+    return entries
+
+
+def _read_xref_table(data: bytes, off: int, entries: dict) -> int:
+    """Classic 'xref' table section + trailer; returns /Prev or -1."""
+    i = data.find(b"xref", off) + 4
+    while True:
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s*(\r\n|\r|\n)", data[i:i + 64])
+        if m is None:
+            break
+        start, count = int(m.group(1)), int(m.group(2))
+        i += m.end()
+        for k in range(count):
+            raw = data[i:i + 20]
+            if len(raw) < 18:
+                raise PDFError("truncated xref entry")
+            typ = raw[17:18]
+            if typ == b"n":
+                entries.setdefault(start + k, ("off", int(raw[0:10])))
+            i += 20
+    t = data.find(b"trailer", i)
+    if t < 0:
+        return -1
+    d0 = data.find(b"<<", t)
+    trailer = data[d0:_dict_end(data, d0)]
+    pm = _PREV_RE.search(trailer)
+    return int(pm.group(1)) if pm else -1
+
+
+def _read_xref_stream(data: bytes, off: int, entries: dict) -> int:
+    """XRef STREAM section (PDF 1.5): binary (type, a, b) triples,
+    widths per /W, optionally PNG-predicted; returns /Prev or -1."""
+    _, body = _object_body_at(data, off)
+    marker = body.find(b"stream")
+    head = body[:marker]
+    if b"/XRef" not in head:
+        raise PDFError("startxref does not point at an XRef stream")
+    wm = _W_RE.search(head)
+    sm = _SIZE_RE.search(head)
+    if wm is None or sm is None:
+        raise PDFError("XRef stream missing /W or /Size")
+    w1, w2, w3 = (int(wm.group(i)) for i in (1, 2, 3))
+    size = int(sm.group(1))
+    index = [0, size]
+    im = _INDEX_RE.search(head)
+    if im:
+        index = [int(x) for x in im.group(1).split()]
+    raw = _stream_bytes(body)
+    if raw is None:
+        raise PDFError("XRef stream has no data")
+    pm = _PRED_RE.search(head)
+    if pm and int(pm.group(1)) >= 10:
+        cm = _COLS_RE.search(head)
+        cols = int(cm.group(1)) if cm else w1 + w2 + w3
+        raw = _png_unpredict(raw, cols)
+    rec = w1 + w2 + w3
+    pos = 0
+    for s in range(0, len(index), 2):
+        start, count = index[s], index[s + 1]
+        for k in range(count):
+            if pos + rec > len(raw):
+                raise PDFError("truncated XRef stream")
+            f1 = int.from_bytes(raw[pos:pos + w1], "big") if w1 else 1
+            f2 = int.from_bytes(raw[pos + w1:pos + w1 + w2], "big")
+            f3 = int.from_bytes(raw[pos + w1 + w2:pos + rec], "big")
+            pos += rec
+            num = start + k
+            if f1 == 1:
+                entries.setdefault(num, ("off", f2))
+            elif f1 == 2:
+                entries.setdefault(num, ("objstm", f2, f3))
+    prevm = _PREV_RE.search(head)
+    return int(prevm.group(1)) if prevm else -1
+
+
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_objstm(body: bytes, objs: dict[int, bytes]) -> None:
+    """Decompress a /Type /ObjStm body and add its member objects
+    (pairs of 'num offset' in the header, bodies packed after /First)
+    to the object table; direct objects win on conflict."""
+    marker = body.find(b"stream")
+    head = body[:marker] if marker >= 0 else body
+    nm = _OBJSTM_N_RE.search(head)
+    fm = _OBJSTM_FIRST_RE.search(head)
+    if nm is None or fm is None:
+        return
+    count, first = int(nm.group(1)), int(fm.group(1))
+    data = _stream_bytes(body, objs)
+    if data is None:
+        return
+    nums_offs = data[:first].split()
+    pairs = [(int(nums_offs[2 * i]), int(nums_offs[2 * i + 1]))
+             for i in range(min(count, len(nums_offs) // 2))]
+    for i, (num, o) in enumerate(pairs):
+        end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(data)
+        objs.setdefault(num, data[first + o:end])
+
+
+def _load_objects(data: bytes) -> dict[int, bytes]:
+    """Object table via the xref chain (offset-exact, ObjStm-aware);
+    regex-scan fallback on any structural failure. Either way, any
+    /Type /ObjStm bodies found get expanded."""
+    objs: dict[int, bytes] = {}
+    try:
+        xref = _read_xref(data)
+        if not xref:
+            raise PDFError("empty xref")
+
+        def resolve_length(num: int) -> int:
+            ent = xref.get(num)
+            if ent is None or ent[0] != "off":
+                raise PDFError(f"unresolvable /Length {num} 0 R")
+            _, b = _object_body_at(data, ent[1])
+            return int(b.strip())
+
+        for num, ent in xref.items():
+            if ent[0] == "off" and 0 <= ent[1] < len(data):
+                try:
+                    got, body = _object_body_at(data, ent[1],
+                                                resolve_length)
+                    objs.setdefault(got, body)
+                except PDFError:
+                    continue
+        if not objs:
+            raise PDFError("xref resolved no objects")
+    except PDFError:
+        objs = _objects_scan(data)
+    for body in list(objs.values()):
+        if b"/ObjStm" in body[:256]:
+            try:
+                _expand_objstm(body, objs)
+            except (PDFError, ValueError):
+                continue
+    return objs
 
 
 def page_count(data: bytes) -> int:
@@ -53,7 +369,7 @@ def page_count(data: bytes) -> int:
     structurally broken PDFs."""
     if not data.startswith(b"%PDF-"):
         raise PDFError("not a PDF")
-    objs = _objects(data)
+    objs = _load_objects(data)
     pages_obj = _find_pages_obj(objs)
     if pages_obj is None:
         raise PDFError("no /Pages object")
@@ -93,7 +409,7 @@ class PDFDoc:
     def __init__(self, data: bytes):
         if not data.startswith(b"%PDF-"):
             raise PDFError("not a PDF")
-        self.objs = _objects(data)
+        self.objs = _load_objects(data)
         pages_obj = _find_pages_obj(self.objs)
         if pages_obj is None:
             raise PDFError("no /Pages object")
@@ -122,7 +438,7 @@ class PDFDoc:
         content_body = self.objs.get(contents_ref)
         if content_body is None:
             raise PDFError("missing content stream")
-        stream = _stream_bytes(content_body)
+        stream = _stream_bytes(content_body, self.objs)
         if stream is None:
             return ""
         spans = _parse_content_spans(stream)
@@ -139,13 +455,30 @@ def extract_page_text(data: bytes, page_num: int) -> str:
     return PDFDoc(data).page_text(page_num)
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+def _declared_length(head: bytes,
+                     objs: dict[int, bytes] | None) -> int | None:
+    """/Length as a direct int, or resolved through an indirect
+    'N 0 R' reference; None when undeclared/unresolvable."""
+    lm = _LENGTH_DIRECT_RE.search(head)
+    if lm is not None:
+        return int(lm.group(1))
+    ind = _LENGTH_INDIRECT_RE.search(head)
+    if ind is not None and objs is not None:
+        ref = objs.get(int(ind.group(1)))
+        if ref is not None:
+            try:
+                return int(ref.strip())
+            except ValueError:
+                return None
+    return None
 
 
-def _stream_bytes(content_body: bytes) -> bytes | None:
+def _stream_bytes(content_body: bytes,
+                  objs: dict[int, bytes] | None = None) -> bytes | None:
     """Slice a content stream by its declared /Length (binary-safe —
-    compressed data may contain 'endstream' bytes), falling back to
-    the endstream delimiter; FlateDecode via zlib."""
+    compressed data may contain 'endstream' bytes), resolving an
+    indirect '/Length N 0 R' through ``objs``, falling back to the
+    endstream delimiter; FlateDecode via zlib."""
     marker = content_body.find(b"stream")
     if marker < 0:
         return None
@@ -154,9 +487,9 @@ def _stream_bytes(content_body: bytes) -> bytes | None:
         start += 2
     elif content_body[start:start + 1] == b"\n":
         start += 1
-    lm = _LENGTH_RE.search(content_body[:marker])
-    if lm is not None:
-        raw = content_body[start:start + int(lm.group(1))]
+    length = _declared_length(content_body[:marker], objs)
+    if length is not None:
+        raw = content_body[start:start + length]
     else:
         sm = _STREAM_RE.search(content_body)
         if sm is None:

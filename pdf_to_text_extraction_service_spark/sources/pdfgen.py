@@ -86,6 +86,135 @@ def build_pdf(pages: list[list[Span]], compress: bool = False) -> bytes:
     return bytes(out)
 
 
-def simple_pdf(page_lines: list[list[str]]) -> bytes:
-    """One single-column page per entry of page_lines."""
-    return build_pdf([single_column_page(lines) for lines in page_lines])
+def build_pdf_modern(pages: list[list[Span]],
+                     predictor: bool = True,
+                     indirect_length: bool = False) -> bytes:
+    """PDF 1.5 layout — what today's writers actually emit: the small
+    dictionary objects (catalog, pages tree, page dicts, font) packed
+    into a FlateDecode OBJECT STREAM, and a cross-reference STREAM
+    (binary W-triples, optionally PNG Up-predictor) instead of the
+    classic xref table. Content streams stay top-level (spec: streams
+    may not live inside an ObjStm). ``indirect_length`` declares each
+    content stream's /Length as an indirect reference, another
+    modern-writer habit the reader must resolve.
+    """
+    import zlib
+
+    n = len(pages)
+    # Numbering: 1..n content streams; (if indirect_length) n+1..2n
+    # their /Length ints; then compressed: catalog, pages, page dicts,
+    # font; finally ObjStm and XRef stream objects.
+    len_base = n if indirect_length else 0
+    catalog_num = n + len_base + 1
+    pages_num = catalog_num + 1
+    first_page_num = pages_num + 1
+    font_num = first_page_num + n
+    objstm_num = font_num + 1
+    xref_num = objstm_num + 1
+
+    contents = []
+    for spans in pages:
+        contents.append(zlib.compress(page_content(spans)))
+
+    kids = " ".join(f"{first_page_num + i} 0 R" for i in range(n))
+    compressed_members: list[tuple[int, bytes]] = [
+        (catalog_num, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num),
+        (pages_num,
+         f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
+    ]
+    for i in range(n):
+        compressed_members.append((
+            first_page_num + i,
+            (f"<< /Type /Page /Parent {pages_num} 0 R "
+             f"/MediaBox [0 0 612 792] "
+             f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+             f"/Contents {i + 1} 0 R >>").encode(),
+        ))
+    compressed_members.append((
+        font_num,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ))
+
+    # ObjStm payload: 'num off' header pairs, then packed bodies.
+    bodies = b" ".join(b for _, b in compressed_members)
+    offs, pos = [], 0
+    for _, b in compressed_members:
+        offs.append(pos)
+        pos += len(b) + 1  # the single joining space
+    header = " ".join(
+        f"{num} {off}" for (num, _), off in zip(compressed_members, offs)
+    ).encode() + b" "
+    objstm_payload = zlib.compress(header + bodies)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n%s\nendobj\n" % (num, body))
+
+    for i, c in enumerate(contents):
+        if indirect_length:
+            emit(i + 1,
+                 b"<< /Length %d 0 R /Filter /FlateDecode >>\n"
+                 b"stream\n%s\nendstream" % (n + i + 1, c))
+            emit(n + i + 1, b"%d" % len(c))
+        else:
+            emit(i + 1,
+                 b"<< /Length %d /Filter /FlateDecode >>\n"
+                 b"stream\n%s\nendstream" % (len(c), c))
+    emit(objstm_num,
+         b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+         b"/Length %d >>\nstream\n%s\nendstream"
+         % (len(compressed_members), len(header), len(objstm_payload),
+            objstm_payload))
+
+    # XRef stream: W = [1 4 2]; entries for objects 0..size-1.
+    size = xref_num + 1
+    xref_off = len(out)
+    offsets[xref_num] = xref_off
+    rows = []
+    for num in range(size):
+        if num == 0:
+            rows.append((0, 0, 65535))
+        elif num in offsets:
+            rows.append((1, offsets[num], 0))
+        else:  # a compressed member: (objstm, index)
+            idx = next(i for i, (m, _) in enumerate(compressed_members)
+                       if m == num)
+            rows.append((2, objstm_num, idx))
+    w1, w2, w3 = 1, 4, 2
+    raw = b"".join(
+        t.to_bytes(w1, "big") + a.to_bytes(w2, "big") + b.to_bytes(w3, "big")
+        for t, a, b in rows
+    )
+    parms = b""
+    if predictor:
+        cols = w1 + w2 + w3
+        pred_rows = bytearray()
+        prev = bytes(cols)
+        for r in range(0, len(raw), cols):
+            row = raw[r:r + cols]
+            pred_rows += b"\x02" + bytes(
+                (row[i] - prev[i]) & 0xFF for i in range(cols)
+            )  # PNG Up filter
+            prev = row
+        raw = bytes(pred_rows)
+        parms = b" /DecodeParms << /Predictor 12 /Columns %d >>" % cols
+    xref_payload = zlib.compress(raw)
+    out.extend(
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
+        b"/Filter /FlateDecode%s /Length %d >>\nstream\n%s\nendstream\n"
+        b"endobj\n"
+        % (xref_num, size, catalog_num, parms, len(xref_payload),
+           xref_payload)
+    )
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_off)
+    return bytes(out)
+
+
+def simple_pdf(page_lines: list[list[str]], modern: bool = False) -> bytes:
+    """One single-column page per entry of page_lines; ``modern``
+    emits the PDF 1.5 xref-stream + object-stream layout."""
+    pages = [single_column_page(lines) for lines in page_lines]
+    return build_pdf_modern(pages) if modern else build_pdf(pages)

@@ -109,3 +109,94 @@ class TestHybrid:
         # quality.CountWords over cleaned page text
         expected = sum(len(l.split()) for l in GOOD_LINES)
         assert r.pages[0].word_count == expected
+
+
+class TestModernLayouts:
+    """PDF 1.5 layouts: xref stream + object streams (pdfk._read_xref
+    / _expand_objstm), PNG Up-predictor, indirect /Length — the
+    default output of modern writers (poppler.go handles these
+    natively; docs/NEXT.md #3)."""
+
+    def _classic_and_modern(self, **kw):
+        pages = [GOOD_LINES, GOOD_LINES + ["extra line two three"]]
+        spans = [pdfgen.single_column_page(l) for l in pages]
+        return pdfgen.build_pdf(spans), pdfgen.build_pdf_modern(spans, **kw)
+
+    def test_xref_stream_objstm_text_identical(self):
+        classic, modern = self._classic_and_modern()
+        assert pdfk.page_count(modern) == pdfk.page_count(classic) == 2
+        for p in (1, 2):
+            assert pdfk.extract_page_text(modern, p) == \
+                pdfk.extract_page_text(classic, p)
+
+    def test_no_predictor_variant(self):
+        classic, modern = self._classic_and_modern(predictor=False)
+        assert pdfk.extract_page_text(modern, 1) == \
+            pdfk.extract_page_text(classic, 1)
+
+    def test_indirect_length_variant(self):
+        classic, modern = self._classic_and_modern(indirect_length=True)
+        for p in (1, 2):
+            assert pdfk.extract_page_text(modern, p) == \
+                pdfk.extract_page_text(classic, p)
+
+    def test_full_extract_pdf_parity_across_layouts(self):
+        classic, modern = self._classic_and_modern()
+        a = pdfk.extract_pdf(classic, "application/pdf")
+        b = pdfk.extract_pdf(modern, "application/pdf")
+        assert b.success and b.text == a.text
+        assert [p.method for p in b.pages] == [p.method for p in a.pages]
+
+    def test_broken_startxref_falls_back_to_scan(self):
+        # classic layout with a lying startxref: offset-based loading
+        # fails, the regex scan fallback must still read it
+        pages = [pdfgen.single_column_page(GOOD_LINES)]
+        pdf = pdfgen.build_pdf(pages)
+        broken = pdf.replace(b"startxref\n", b"startxref\n9", 1)
+        assert pdfk.extract_page_text(broken, 1) == \
+            pdfk.extract_page_text(pdf, 1)
+
+    def test_modern_corrupt_objstm_is_failure_not_crash(self):
+        spans = [pdfgen.single_column_page(GOOD_LINES)]
+        packed = bytearray(pdfgen.build_pdf_modern(spans))
+        i = packed.find(b"/ObjStm")
+        j = packed.find(b"stream\n", i) + 10
+        packed[j] ^= 0xFF  # corrupt the ObjStm deflate data
+        r = pdfk.extract_pdf(bytes(packed), "application/pdf")
+        # catalog/pages are unreachable → structured failure result
+        assert not r.success and r.error is not None
+
+    def test_png_unpredict_filters(self):
+        # round-trip every filter type through the decoder
+        import random
+        rng = random.Random(5)
+        cols = 7
+        rows = [bytes(rng.randrange(256) for _ in range(cols))
+                for _ in range(6)]
+        enc = bytearray()
+        prev = bytes(cols)
+        for ft, row in zip((0, 1, 2, 3, 4, 2), rows):
+            if ft == 0:
+                filt = row
+            elif ft == 1:
+                filt = bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF
+                             for i in range(cols))
+            elif ft == 2:
+                filt = bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+            elif ft == 3:
+                filt = bytes((row[i] - (((row[i - 1] if i else 0)
+                                         + prev[i]) >> 1)) & 0xFF
+                             for i in range(cols))
+            else:
+                def paeth(a, b, c):
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    return a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                filt = bytes((row[i] - paeth(row[i - 1] if i else 0,
+                                             prev[i],
+                                             prev[i - 1] if i else 0)) & 0xFF
+                             for i in range(cols))
+            enc += bytes([ft]) + filt
+            prev = row
+        assert pdfk._png_unpredict(bytes(enc), cols) == b"".join(rows)
