@@ -258,6 +258,33 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(indexed, centroids, qv, topk=10, nprobe=4)
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over embeddings ∪ planted
+    mutants (dim 0 scaled 1.02 → cosine ≈ 0.9999, id + 100000): the
+    LSH-blocked Spark path must recover exactly the quadratic truth
+    the oracle computes (random 64-dim pairs never reach 0.99)."""
+    from pdf_to_text_extraction_service_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> cast(v as double))")
+        .alias("embedding"),
+    )
+    mutants = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (v, i) -> cast(v as double) * "
+            "(case when i = 0 then cast(1.02 as double) else "
+            "cast(1.0 as double) end))"
+        ).alias("embedding"),
+    )
+    return embedding_neardup_pairs(base.unionByName(mutants),
+                                   threshold=0.99)
+
+
 def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (scheme/host case, default ports,
     fragments, utm params, query sort) over messy urls constructed
@@ -491,6 +518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_simhash": _q_simhash_pairs,
     "ann_cosine_topk": _q_ann_cosine_topk,
+    "dedup_embedding_cosine": _q_embedding_neardup,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "canonical_urls": _q_canonical_urls,
@@ -881,6 +909,27 @@ def oracle_sql() -> dict[str, str]:
                      WHERE vec_id = 0)) DESC, vec_id) <= 10
         """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        # Embedding near-dup oracle: the full quadratic truth — the
+        # Spark side's (4 tables x 8 bits) hyperplane blocking misses
+        # a cosine>=0.99 pair with P < 2e-5 and exact verification
+        # removes every false bucket-mate.
+        "dedup_embedding_cosine": """
+            WITH e2 AS (
+                SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(range(1, 65),
+                           i -> embedding[i]::DOUBLE *
+                                (CASE WHEN i = 1 THEN 1.02
+                                      ELSE 1.0 END))
+                FROM embeddings
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e2 a JOIN e2 b ON a.id < b.id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        """,
         # OCR-clean mirror: the constructed pages are closed-form —
         # combine drops the '.' page and trims page 1, cleaning strips
         # the markdown image ref, leaving text + page separator; the

@@ -96,3 +96,63 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     bucketed = df.withColumn("_bkt", hyperplane_bucket(vec_col, planes))
     cand = bucketed.filter(F.col("_bkt") == qbits)
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.99,
+                            tables: int = 4, bits: int = 8,
+                            seed: int = 11,
+                            max_bucket: int = 256) -> DataFrame:
+    """Embedding-cosine NEAR-DUP pairs (the dedup counterpart of
+    lsh_topk's search): multi-table random-hyperplane blocking, then
+    exact cosine verification inside buckets only — never all-pairs.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b and cosine >=
+    threshold. Recall math: a pair at angle θ splits on one plane
+    with p = θ/π, shares one table's bucket with (1-p)^bits, and is
+    missed entirely with (1-(1-p)^bits)^tables — for true near-dups
+    (cosine >= 0.99 → θ <= 8.1°, p <= 0.045) that is < 2e-5 at
+    (4 tables × 8 bits). False bucket-mates are removed by the exact
+    cosine check, so the output equals the quadratic truth w.h.p.;
+    max_bucket caps the per-bucket self-join exactly like the MinHash
+    banding cap (boilerplate/zero-vector floods at web scale).
+    """
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cosine double")
+    dim = dim_row["d"]
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_v")).persist()
+    banded = None
+    for t in range(tables):
+        planes = make_planes(dim, bits, seed + t)
+        part = base.select(
+            "_id", "_v", F.lit(t).alias("_tbl"),
+            hyperplane_bucket("_v", planes).alias("_bkt"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    capped = banded.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_tbl", "_bkt").orderBy("_id")
+        ),
+    ).filter(F.col("_rn") <= max_bucket)
+    left = capped.select("_tbl", "_bkt", F.col("_id").alias("id_a"),
+                         F.col("_v").alias("_va"))
+    right = capped.select("_tbl", "_bkt", F.col("_id").alias("id_b"),
+                          F.col("_v").alias("_vb"))
+    cand = (
+        left.join(right, ["_tbl", "_bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot("_va", "_vb") / (_norm("_va") * _norm("_vb")),
+    )
+    return (
+        scored.filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

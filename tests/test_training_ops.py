@@ -178,3 +178,26 @@ def test_quality_scores_batch(spark):
     got = {r["doc_id"]: r for r in quality_scores(df).collect()}
     assert not got[1]["needs_ocr"]
     assert got[2]["needs_ocr"]
+
+
+def test_embedding_neardup_pairs_planted(spark):
+    """LSH-blocked cosine near-dup must find planted near-identical
+    vectors and nothing else (random 8-dim pairs stay far from 0.99)."""
+    import random
+
+    from pdf_to_text_extraction_service_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, v))
+        rows.append((i + 1000, [x * (1.02 if j == 0 else 1.0)
+                                for j, x in enumerate(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_neardup_pairs(df, threshold=0.99).collect()}
+    assert set(pairs) == {(i, i + 1000) for i in range(40)}
+    assert all(c >= 0.99 for c in pairs.values())
