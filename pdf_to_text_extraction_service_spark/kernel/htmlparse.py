@@ -49,6 +49,17 @@ _P_CLOSERS = frozenset((
 
 _RAWTEXT = frozenset(("script", "style"))
 
+# Table insertion modes (WHATWG "in table"/"in row" subset): content
+# that is not table-structural gets FOSTER-PARENTED — inserted into
+# the table's parent immediately before the table — matching
+# x/net/html's tree for sloppy real-crawl markup like
+# <table>oops<tr>....
+_TABLE_CTX = frozenset(("table", "thead", "tbody", "tfoot", "tr"))
+_TABLE_ALLOWED = frozenset((
+    "caption", "colgroup", "col", "thead", "tbody", "tfoot", "tr",
+    "td", "th", "script", "style", "template", "form",
+))
+
 _TAG_RE = re.compile(
     r"<(?:"
     r"(?P<comment>!--)"
@@ -78,11 +89,45 @@ def parse(data: bytes | str) -> Node:
     stack: list[Node] = [root]
     open_tags: list[str] = []  # parallel tag-name stack (root excluded)
 
+    def _foster_insert(node: Node) -> None:
+        """Insert before the nearest open <table> in its parent."""
+        for idx in range(len(stack) - 1, 0, -1):
+            st = stack[idx]
+            if st.type == ELEMENT and st.data == "table":
+                parent = stack[idx - 1]
+                try:
+                    pos = parent.children.index(st)
+                except ValueError:
+                    pos = len(parent.children)
+                parent.children.insert(pos, node)
+                return
+        stack[-1].children.append(node)
+
+    def _in_table_ctx() -> bool:
+        return bool(open_tags) and open_tags[-1] in _TABLE_CTX
+
+    def _close_up_to(names: frozenset | set, barriers: frozenset | set) \
+            -> None:
+        """Implied end tags: pop up to and including the nearest open
+        element in ``names``, unless a ``barriers`` element sits
+        closer to the top (scope boundary)."""
+        for idx in range(len(open_tags) - 1, -1, -1):
+            t = open_tags[idx]
+            if t in barriers:
+                return
+            if t in names:
+                del open_tags[idx:]
+                del stack[idx + 1:]
+                return
+
     def append_text(raw: str, decode: bool = True) -> None:
-        if raw:
-            stack[-1].children.append(
-                Node(TEXT, _unescape(raw) if decode and "&" in raw else raw)
-            )
+        if not raw:
+            return
+        node = Node(TEXT, _unescape(raw) if decode and "&" in raw else raw)
+        if _in_table_ctx() and raw.strip():
+            _foster_insert(node)  # non-space chars in table context
+        else:
+            stack[-1].children.append(node)
 
     i = 0
     n = len(s)
@@ -128,16 +173,31 @@ def parse(data: bytes | str) -> Node:
         attrs = m.group("attrs") or ""
         self_closing = attrs.rstrip().endswith("/")
 
-        # p / li auto-close
-        if tag in _P_CLOSERS and open_tags and open_tags[-1] == "p":
-            open_tags.pop()
-            stack.pop()
-        if tag == "li" and open_tags and open_tags[-1] == "li":
-            open_tags.pop()
-            stack.pop()
+        # Implied end tags (WHATWG subset): p before block starts,
+        # li/dd/dt siblings, table cells/rows/sections.
+        if tag in _P_CLOSERS and "p" in open_tags:
+            _close_up_to({"p"}, _TABLE_CTX | {"td", "th", "caption"})
+        if tag == "li":
+            _close_up_to({"li"}, {"ul", "ol"})
+        elif tag in ("dd", "dt"):
+            _close_up_to({"dd", "dt"}, {"dl"})
+        elif tag in ("td", "th"):
+            _close_up_to({"td", "th"},
+                         {"tr", "table", "thead", "tbody", "tfoot"})
+        elif tag == "tr":
+            _close_up_to({"tr"}, {"table", "thead", "tbody", "tfoot"})
+        elif tag in ("thead", "tbody", "tfoot"):
+            _close_up_to({"thead", "tbody", "tfoot"}, {"table"})
+        elif tag == "table" and "table" in open_tags:
+            # a table start inside an open table closes it (the spec
+            # reprocesses the token in the enclosing mode)
+            _close_up_to({"table"}, frozenset())
 
         el = Node(ELEMENT, tag)
-        stack[-1].children.append(el)
+        if _in_table_ctx() and tag not in _TABLE_ALLOWED:
+            _foster_insert(el)  # foster-parent stray table content
+        else:
+            stack[-1].children.append(el)
 
         if tag in _VOID or self_closing:
             continue

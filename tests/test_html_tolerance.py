@@ -80,3 +80,95 @@ def test_never_raises_on_arbitrary_bytes(data):
     text, meta = strip_html(data)
     assert isinstance(text, str)
     assert isinstance(meta, dict)
+
+
+class TestTableFosterParenting:
+    """WHATWG table insertion modes (x/net/html behavior on sloppy
+    real-crawl markup): non-table content inside <table>/<tr> is
+    foster-parented before the table; cells/rows/sections get implied
+    end tags with proper scope barriers."""
+
+    def test_stray_text_hoisted_before_table(self):
+        from pdf_to_text_extraction_service_spark.kernel.htmlparse import (
+            ELEMENT, parse,
+        )
+        root = parse(b"<body><table>oops<tr><td>cell</td></tr></table>")
+        body = root.children[0]
+        kinds = [(c.type, getattr(c, "data", "")) for c in body.children]
+        assert kinds[0] == (0, "oops")          # text first
+        assert kinds[1] == (ELEMENT, "table")   # table after
+
+    def test_stray_element_hoisted_before_table(self):
+        from pdf_to_text_extraction_service_spark.kernel.htmlparse import (
+            parse,
+        )
+        root = parse(b"<body><table><div>stray</div><tr><td>c</td></tr>"
+                     b"</table>")
+        body = root.children[0]
+        assert [c.data for c in body.children] == ["div", "table"]
+
+    def test_whitespace_in_table_not_fostered(self):
+        from pdf_to_text_extraction_service_spark.kernel.htmlparse import (
+            parse,
+        )
+        root = parse(b"<body><table> \n <tr><td>c</td></tr></table>")
+        body = root.children[0]
+        assert body.children[0].data == "table"
+
+    def test_cell_and_row_implied_end_tags(self):
+        from pdf_to_text_extraction_service_spark.kernel.htmlparse import (
+            parse,
+        )
+        root = parse(b"<table><tr><td>a<td>b<tr><td>c</table>")
+        table = root.children[0]
+        rows = [c for c in table.children if c.data == "tr"]
+        assert len(rows) == 2
+        assert [td.data for td in rows[0].children] == ["td", "td"]
+
+    def test_cell_close_respects_nested_div(self):
+        from pdf_to_text_extraction_service_spark.kernel.htmlparse import (
+            node_text, parse,
+        )
+        # the second <td> must close the first even though a <div> is
+        # the innermost open element
+        root = parse(b"<table><tr><td>a<div>x</div><td>b</tr></table>")
+        table = root.children[0]
+        row = table.children[0]
+        assert [td.data for td in row.children] == ["td", "td"]
+        assert node_text(row) == "axb"
+
+    def test_nested_table_start_closes_outer(self):
+        from pdf_to_text_extraction_service_spark.kernel.htmlparse import (
+            parse,
+        )
+        root = parse(b"<body><table><tr><td>a</td></tr><table>"
+                     b"<tr><td>b</td></tr></table></body>")
+        body = root.children[0]
+        assert [c.data for c in body.children] == ["table", "table"]
+
+    def test_dd_dt_siblings(self):
+        from pdf_to_text_extraction_service_spark.kernel.htmlparse import (
+            parse,
+        )
+        root = parse(b"<dl><dt>term<dd>def one<dd>def two</dl>")
+        dl = root.children[0]
+        assert [c.data for c in dl.children] == ["dt", "dd", "dd"]
+
+    def test_misnested_formatting_text_order(self):
+        # adoption-agency cases: text ORDER is what extraction needs,
+        # and pop-until-match preserves it
+        from pdf_to_text_extraction_service_spark.kernel.htmlparse import (
+            node_text, parse,
+        )
+        assert node_text(parse(b"<b>one<i>two</b>three</i>")) \
+            == "onetwothree"
+        assert node_text(parse(b"<a>1<b>2</a>3</b>")) == "123"
+
+    def test_strip_html_table_page(self):
+        from pdf_to_text_extraction_service_spark.kernel.html_strip import (
+            strip_html,
+        )
+        text, _ = strip_html(
+            b"<html><body><p>before</p><table>x<tr><td><p>in cell</p>"
+            b"</td></tr></table><p>after</p></body></html>")
+        assert text == "before\n\nin cell\n\nafter"
