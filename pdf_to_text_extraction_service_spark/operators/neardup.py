@@ -196,13 +196,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         .filter(F.size("_sh") > 0)
     )
-    # Shingle arrays are computed ONCE and never travel through the
-    # banding explode/shuffle — the banded relation is 3 small scalars
-    # per (doc, band). Candidates join back to `sh` for verification.
-    sh = sh.persist()
+    # Shingles AND signatures are computed ONCE into the persisted
+    # relation (the self-join below reads it twice; without the
+    # persist each side would re-run the signature UDF) and never
+    # travel through the banding explode/shuffle — the banded
+    # relation is 3 small scalars per (doc, band). Candidates join
+    # back to `sh` for verification.
     sig_udf = minhash_signature_udf(num_perm)
-    sig = sh.withColumn("_xs", shingle_hashes("_sh")) \
-        .withColumn("_sig", sig_udf("_xs"))
+    sh = sh.withColumn("_sig", sig_udf(shingle_hashes("_sh"))).persist()
+    sig = sh
     banded = sig.select(
         "_id",
         F.explode(
