@@ -304,6 +304,46 @@ def simhash64(text_col: str):
     )
 
 
+def sim_token_hashes(text_col: str):
+    """The per-token 3-hash arrays (the simhash64 aggregate input) as
+    a standalone column expression — hashing stays JVM-side so the
+    DuckDB oracle can mirror it character-for-character."""
+    return F.expr(
+        f"transform(split({text_col}, ' '), t -> "
+        "array(" + ", ".join(_sim_tokhash(*m) for m in SIM_MIX) + "))"
+    )
+
+
+def simhash64_udf():
+    """Vectorized bit-fold: one Arrow batch in, signatures out. Takes
+    the sim_token_hashes column; per row computes the (tokens x 64)
+    sign matrix with numpy broadcasting instead of 64 interpreted
+    counter updates per token. Bit-identical to simhash64 (same
+    hashes, same count>=0 rule, empty token array → all bits set)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bits = np.arange(64)
+    idx = bits // 31
+    sh = bits % 31
+    weights = (np.uint64(1) << bits.astype(np.uint64))
+
+    @pandas_udf("bigint")
+    def _sig(ths: pd.Series) -> pd.Series:
+        out = np.empty(len(ths), dtype=np.int64)
+        for r, row in enumerate(ths):
+            if row is None or len(row) == 0:
+                out[r] = -1  # all-zero counters → every bit set
+                continue
+            h = np.asarray(list(row), dtype=np.int64)      # (T, 3)
+            b = (h[:, idx] >> sh) & 1                      # (T, 64)
+            counts = (2 * b - 1).sum(axis=0)
+            sig = (weights[counts >= 0]).sum(dtype=np.uint64)
+            out[r] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return _sig
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
                   max_hamming: int = 3) -> DataFrame:
@@ -311,7 +351,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     max_hamming. Blocking: 4 16-bit bands (any pair within Hamming 3
     of a 64-bit signature shares at least one exact band)."""
     sig = df.select(F.col(id_col).alias("_id"),
-                    simhash64(text_col).alias("_sig"))
+                    simhash64_udf()(sim_token_hashes(text_col))
+                    .alias("_sig"))
     banded = sig.select(
         "_id", "_sig",
         F.explode(F.expr(

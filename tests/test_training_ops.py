@@ -201,3 +201,38 @@ def test_embedding_neardup_pairs_planted(spark):
              for r in embedding_neardup_pairs(df, threshold=0.99).collect()}
     assert set(pairs) == {(i, i + 1000) for i in range(40)}
     assert all(c >= 0.99 for c in pairs.values())
+
+
+def test_simhash_udf_matches_jvm_signatures(spark):
+    """The vectorized numpy bit-fold must be bit-identical to the
+    pure-JVM simhash64 expression (same token hashes, same
+    count>=0 rule)."""
+    from pdf_to_text_extraction_service_spark.operators.neardup import (
+        sim_token_hashes,
+        simhash64,
+        simhash64_udf,
+    )
+    from pdf_to_text_extraction_service_spark.sources.corpus import (
+        load_documents,
+    )
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    both = (
+        docs.select(
+            simhash64("text").alias("jvm"),
+            simhash64_udf()(sim_token_hashes("text")).alias("np"),
+        )
+        .select(F.sum((F.col("jvm") == F.col("np")).cast("int")).alias("eq"),
+                F.count("*").alias("n"))
+        .first()
+    )
+    assert both["eq"] == both["n"] and both["n"] > 0
+    # empty-token-array row (defensive branch; note split('', ' ')
+    # yields [''], so empty TEXT still hashes one empty token — this
+    # exercises a genuinely empty array): all counters zero → every
+    # bit set → -1, matching the JVM aggregate over an empty input
+    empty = spark.range(1).select(
+        simhash64_udf()(
+            F.expr("cast(array() as array<array<bigint>>)")
+        ).alias("s")).first()
+    assert empty["s"] == -1
