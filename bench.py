@@ -109,7 +109,8 @@ def _run_suite(spark, sf_dir: str, ctx: dict):
 
     for name in ("q1_lineitem_agg", "join_topk_customers",
                  "dedup_window_events", "anti_join_manifest",
-                 "dedup_minhash_lsh", "ann_cosine_topk",
+                 "dedup_minhash_lsh", "dedup_simhash",
+                 "dedup_embedding_cosine", "ann_cosine_topk",
                  "doc_fingerprint", "lang_id_heuristic"):
         q = entry_mod.queries()[name]
         t0 = time.perf_counter()

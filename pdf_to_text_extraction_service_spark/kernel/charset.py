@@ -85,6 +85,24 @@ def detect(payload: bytes, scan_meta: bool = True) -> str:
 def decode(payload: bytes, scan_meta: bool = True) -> tuple[str, str]:
     """Decode ``payload`` with the detected charset; never raises.
     Returns (text, codec). Mis-declared pages still decode (replace)
-    rather than fail — a crawl row must always produce a row."""
-    codec = detect(payload, scan_meta=scan_meta)
-    return payload.decode(codec, errors="replace"), codec
+    rather than fail — a crawl row must always produce a row.
+
+    Single-pass on the hot path: the strict-UTF-8 attempt IS the
+    decode (no separate validity scan); only BOM/meta hits or
+    invalid UTF-8 take a second pass."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload.decode("utf-8-sig", errors="replace"), "utf-8-sig"
+    if payload.startswith(b"\xff\xfe") or payload.startswith(b"\xfe\xff"):
+        return payload.decode("utf-16", errors="replace"), "utf-16"
+    if scan_meta:
+        m = _META_CHARSET.search(payload[:1024])
+        if m:
+            codec = _from_label(m.group(1).decode("ascii", "replace"))
+            if codec:
+                # declared utf-8 stays utf-8 even with invalid bytes
+                return payload.decode(codec, errors="replace"), codec
+    try:
+        return payload.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return (payload.decode("windows-1252", errors="replace"),
+                "windows-1252")

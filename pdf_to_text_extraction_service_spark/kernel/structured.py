@@ -210,30 +210,32 @@ def extract_yaml(b: bytes, file_name: str, mime: str) -> Result:
 
 
 def _yaml_roundtrip(raw: str) -> str | None:
-    """Canonicalize the YAML subset our corpus emits the way yaml.v3's
-    Unmarshal→Marshal does: flat mapping of scalar values plus lists of
-    scalars; 4-space indented ``-`` items; keys emitted in sorted order
-    (the generator already emits sorted keys). Returns None for input
-    outside the subset (callers keep the raw text, which matches the
-    reference's behavior only for genuinely unparseable YAML — the
-    generator stays inside the subset)."""
+    """Canonicalize the YAML subset the way yaml.v3's
+    Unmarshal→Marshal does: mappings of scalar values (one nesting
+    level), lists of scalars (4-space indented ``-`` items), keys
+    emitted in sorted order, 4-space nested-map indent. Typed scalars
+    round-trip: true/false/null and canonical ints are identity,
+    non-canonical floats collapse to Go's shortest decimal ('1.50' →
+    '1.5'). Returns None for input outside the subset (callers keep
+    the raw text, which matches the reference's behavior only for
+    genuinely unparseable YAML)."""
     items: list[tuple[str, object]] = []
     cur_list: list[str] | None = None
+    cur_map: list[tuple[str, str]] | None = None
     cur_key: str | None = None
     for line in raw.split("\n"):
         if runes.trim_space(line) == "" or line.lstrip().startswith("#"):
             continue
         if line.startswith("- ") or line.startswith("    - ") \
                 or line.startswith("  - "):
-            if cur_key is None:
+            if cur_key is None or cur_map is not None:
                 return None
             if cur_list is None:
                 cur_list = []
                 items.append((cur_key, cur_list))
             cur_list.append(line.split("- ", 1)[1].strip())
             continue
-        if line.startswith(" ") or line.startswith("\t"):
-            return None
+        indented = line.startswith(" ") or line.startswith("\t")
         if ":" not in line:
             return None
         key, _, val = line.partition(":")
@@ -241,32 +243,76 @@ def _yaml_roundtrip(raw: str) -> str | None:
         val = val.strip()
         if not _plain_scalar_ok(key):
             return None
+        if indented:
+            # one nesting level: 'parent:' followed by 'sub: val'
+            if cur_key is None or cur_list is not None or val == "":
+                return None
+            if cur_map is None:
+                cur_map = []
+                items.append((cur_key, cur_map))
+            cur_map.append((key, val))
+            continue
         cur_key = key
         cur_list = None
+        cur_map = None
         if val == "":
-            continue  # value is the following list block
+            continue  # value is the following list / nested block
         items.append((key, val))
+
+    def emit_scalar(s: str) -> str | None:
+        if _TYPED_IDENTITY_RE.match(s):
+            return s  # true/false/null and canonical ints round-trip
+        fm = _FLOAT_RE.match(s)
+        if fm:
+            v = float(s)
+            r = repr(v)  # shortest round-trip, same as Go 'g' here
+            return r if "e" not in r and "E" not in r else None
+        return s if _plain_scalar_ok(s) else None
+
     out: list[str] = []
     # yaml.v3 emits map keys in sorted order (alpha keys; its
     # numeric-aware sorter coincides with plain sort on this subset).
     for key, val in sorted(items, key=lambda kv: kv[0]):
-        if isinstance(val, list):
+        if isinstance(val, list) and val and isinstance(val[0], tuple):
+            out.append(f"{key}:")
+            for sk, sv in sorted(val):
+                s = emit_scalar(sv)
+                if s is None:
+                    return None
+                out.append(f"    {sk}: {s}")
+        elif isinstance(val, list):
             out.append(f"{key}:")
             for item in val:
-                if not _plain_scalar_ok(item):
+                s = emit_scalar(item)
+                if s is None:
                     return None
-                out.append(f"    - {item}")
+                out.append(f"    - {s}")
         else:
-            if not _plain_scalar_ok(str(val)):
+            s = emit_scalar(str(val))
+            if s is None:
                 return None
-            out.append(f"{key}: {val}")
+            out.append(f"{key}: {s}")
     return "\n".join(out) + "\n"
 
 
 _PLAIN_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9 _./@-]*$")
+# Scalars yaml.v3 re-emits byte-identically: booleans, null, and
+# canonical base-10 ints (no leading +/0 — '0042' is 1.1-octal
+# territory and '+1' re-marshals as '1', both outside the subset).
+_TYPED_IDENTITY_RE = re.compile(r"^(true|false|null|-?(0|[1-9][0-9]*))$")
+# Simple decimals re-marshaled via shortest-round-trip formatting.
+_FLOAT_RE = re.compile(r"^-?(0|[1-9][0-9]*)\.[0-9]+$")
+# All-numeric-looking strings NOT matched by the two canonical forms
+# ('0042', '1_000', '+1'): yaml.v3 may retype them — outside the
+# subset.
+_NUMERICISH_RE = re.compile(r"^[+-]?[0-9][0-9_.]*$")
 
 
 def _plain_scalar_ok(s: str) -> bool:
+    if _TYPED_IDENTITY_RE.match(s) or _FLOAT_RE.match(s):
+        return True
+    if _NUMERICISH_RE.match(s):
+        return False
     if _PLAIN_RE.match(s) is None:
         return False
     # Values yaml.v3 would quote or retype round-trip differently.

@@ -504,3 +504,45 @@ class TestRouterDispatch:
             "https://x.test/a.txt", b"three short words")
         assert res.word_count == 3
         assert res.char_count == 17
+
+
+class TestYAMLSubsetV3:
+    """Extended yaml.v3 canonicalization subset (yaml_extract.go:40-46
+    semantics): nested one-level maps (4-space indent, sorted keys),
+    typed-scalar identity (true/false/null/canonical ints), float
+    shortest-round-trip, octal-ish values outside the subset."""
+
+    def test_nested_map_sorted_and_indented(self):
+        from pdf_to_text_extraction_service_spark.kernel.structured import (
+            _yaml_roundtrip,
+        )
+        got = _yaml_roundtrip("svc:\n  port: 8080\n  host: web\nname: api\n")
+        assert got == "name: api\nsvc:\n    host: web\n    port: 8080\n"
+
+    def test_typed_scalars_identity(self):
+        from pdf_to_text_extraction_service_spark.kernel.structured import (
+            _yaml_roundtrip,
+        )
+        got = _yaml_roundtrip("b: true\nn: null\nk: 42\nm: -7\n")
+        assert got == "b: true\nk: 42\nm: -7\nn: null\n"
+
+    def test_float_shortest_roundtrip(self):
+        from pdf_to_text_extraction_service_spark.kernel.structured import (
+            _yaml_roundtrip,
+        )
+        assert _yaml_roundtrip("z: 1.50\n") == "z: 1.5\n"
+        assert _yaml_roundtrip("z: 0.25\n") == "z: 0.25\n"
+
+    def test_octalish_outside_subset(self):
+        from pdf_to_text_extraction_service_spark.kernel.structured import (
+            _yaml_roundtrip,
+        )
+        # yaml.v3 may retype 0042 (1.1 octal compat) — passthrough
+        assert _yaml_roundtrip("v: 0042\n") is None
+        assert _yaml_roundtrip("v: +1\n") is None
+
+    def test_yes_no_still_outside_subset(self):
+        from pdf_to_text_extraction_service_spark.kernel.structured import (
+            _yaml_roundtrip,
+        )
+        assert _yaml_roundtrip("v: yes\n") is None
