@@ -285,6 +285,32 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    threshold=0.99)
 
 
+def _q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal: every even doc gets a
+    newsletter line and every third doc a cookie line appended; both
+    repeat across >= min_docs documents, so the operator must strip
+    exactly those lines and keep each doc's unique text intact."""
+    from pdf_to_text_extraction_service_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    paged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\nsubscribe to our newsletter today"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\ncookie consent required"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(paged, min_docs=10)
+    return out.select("doc_id", "clean_text", "n_removed")
+
+
 def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (scheme/host case, default ports,
     fragments, utm params, query sort) over messy urls constructed
@@ -522,6 +548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "canonical_urls": _q_canonical_urls,
+    "boilerplate_filter": _q_boilerplate_filter,
     "lang_id_heuristic": _q_lang_id,
     "token_count_bpe": _q_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
@@ -1006,6 +1033,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 100
         """,
         "canonical_urls": _CANONICAL_URLS_SQL,
+        # Boilerplate oracle: each doc's own text is a unique single
+        # line (below any frequency threshold), so the cleaned text is
+        # exactly the original and n_removed counts the appended
+        # corpus-frequent lines.
+        "boilerplate_filter": """
+            SELECT doc_id,
+                   text AS clean_text,
+                   CAST((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                        AS INTEGER) AS n_removed
+            FROM documents
+        """,
         "lang_id_heuristic": f"""
             SELECT doc_id,
                    CASE WHEN greatest({_LANG_SCORES_SQL}) = 0 THEN 'und'

@@ -236,3 +236,42 @@ def test_simhash_udf_matches_jvm_signatures(spark):
             F.expr("cast(array() as array<array<bigint>>)")
         ).alias("s")).first()
     assert empty["s"] == -1
+
+
+def test_remove_boilerplate_lines(spark):
+    from pdf_to_text_extraction_service_spark.operators.boilerplate import (
+        frequent_lines,
+        remove_boilerplate_lines,
+    )
+
+    rows = [(i, f"unique line {i}\nsubscribe now\nmore unique {i}")
+            for i in range(12)]
+    rows.append((99, "only unique content here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    freq = {r["line"]: r["n_docs"]
+            for r in frequent_lines(df, min_docs=10).collect()}
+    assert freq == {"subscribe now": 12}
+
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(df, min_docs=10).collect()}
+    assert out[3]["clean_text"] == "unique line 3\nmore unique 3"
+    assert out[3]["n_removed"] == 1
+    assert out[99]["clean_text"] == "only unique content here"
+    assert out[99]["n_removed"] == 0
+
+
+def test_remove_boilerplate_doc_fully_boilerplate(spark):
+    """A document that is nothing but frequent lines must survive as
+    an empty clean_text row, not disappear."""
+    from pdf_to_text_extraction_service_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [(i, "spam line") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(df, min_docs=10).collect()}
+    assert len(out) == 10
+    assert all(r["clean_text"] == "" and r["n_removed"] == 1
+               for r in out.values())
