@@ -433,11 +433,20 @@ def _q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages = [good] * (1 + i % 3)
         if i % 4 == 0:
             pages.append(garbage)
-        # odd ids use the PDF 1.5 xref-stream + object-stream layout;
-        # the oracle is layout-independent, so this gates the modern
-        # reader (kernel/pdfk._read_xref/_expand_objstm) end-to-end.
-        rows.append((f"https://corpus.example/pdf/{i}.pdf",
-                     pdfgen.simple_pdf(pages, modern=bool(i % 2))))
+        # layout rotates: classic xref table / PDF 1.5 xref-stream +
+        # object-stream / ToUnicode-CMap font encoding — the oracle is
+        # layout-independent, so this gates every reader path
+        # (kernel/pdfk._read_xref/_expand_objstm/_parse_tounicode)
+        # end-to-end.
+        url = f"https://corpus.example/pdf/{i}.pdf"
+        spans = [pdfgen.single_column_page(ls) for ls in pages]
+        if i % 4 == 3:
+            payload = pdfgen.build_pdf_cmap(spans)
+        elif i % 2 == 1:
+            payload = pdfgen.build_pdf_modern(spans)
+        else:
+            payload = pdfgen.build_pdf(spans)
+        rows.append((url, payload))
     df = spark.createDataFrame(rows, "url string, html binary")
     return pdf_page_stats(extract(df))
 

@@ -410,6 +410,7 @@ class PDFDoc:
         if not data.startswith(b"%PDF-"):
             raise PDFError("not a PDF")
         self.objs = _load_objects(data)
+        self._font_cache: dict[int, tuple[int, dict[int, str]] | None] = {}
         pages_obj = _find_pages_obj(self.objs)
         if pages_obj is None:
             raise PDFError("no /Pages object")
@@ -441,13 +442,60 @@ class PDFDoc:
         stream = _stream_bytes(content_body, self.objs)
         if stream is None:
             return ""
-        spans = _parse_content_spans(stream)
+        spans = _parse_content_spans(stream, self._page_fonts(page_body))
         text = assemble_reading_order(spans)
         # poppler.go:107 hard-caps per-page pdftotext output; an
         # oversized page is a per-page failure (→ needs-ocr).
         if len(text.encode("utf-8", errors="replace")) > MAX_PAGE_TEXT_BYTES:
             raise PDFError("page text exceeds 10MB limit")
         return text
+
+
+    def _page_fonts(self, page_body: bytes) \
+            -> dict[str, tuple[int, dict[int, str]]]:
+        """Resolve the page's /Resources /Font entries to their
+        ToUnicode CMaps (cached per font object; fonts without a
+        ToUnicode map text as identity, like the generator's
+        Helvetica)."""
+        res = page_body
+        rm = _RES_REF_RE.search(page_body)
+        if rm:
+            res = self.objs.get(int(rm.group(1)), b"")
+        fm = _FONT_DICT_RE.search(res)
+        if fm is None:
+            return {}
+        fonts: dict[str, tuple[int, dict[int, str]]] = {}
+        for ref in _FONT_REF_RE.finditer(fm.group(1)):
+            name = ref.group(1).decode("latin-1")
+            cmap = self._font_cmap(int(ref.group(2)))
+            if cmap is not None:
+                fonts[name] = cmap
+        return fonts
+
+    def _font_cmap(self, num: int) -> tuple[int, dict[int, str]] | None:
+        if num in self._font_cache:
+            return self._font_cache[num]
+        val = None
+        body = self.objs.get(num)
+        if body is not None:
+            tm = _TOUNI_RE.search(body)
+            if tm is not None:
+                cmb = self.objs.get(int(tm.group(1)))
+                if cmb is not None:
+                    try:
+                        data = _stream_bytes(cmb, self.objs)
+                        if data:
+                            val = _parse_tounicode(data)
+                    except (PDFError, ValueError):
+                        val = None
+        self._font_cache[num] = val
+        return val
+
+
+_RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+0\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
 
 
 def extract_page_text(data: bytes, page_num: int) -> str:
@@ -504,6 +552,89 @@ def _stream_bytes(content_body: bytes,
     return raw
 
 
+# --- ToUnicode CMaps (font-encoded text) --------------------------------
+#
+# Real-world PDFs show text as font CODES (often via hex strings) and
+# carry the code→Unicode mapping in each font's /ToUnicode CMap stream
+# (poppler resolves these natively). Supported here: 1- and 2-byte
+# codespaces, bfchar entries, and bfrange runs (incremental or
+# array-destination), UTF-16BE destinations.
+
+_HEXBLOB_RE = re.compile(rb"<([0-9a-fA-F\s]*)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL)
+
+
+def _hex_to_int(h: bytes) -> int:
+    return int(re.sub(rb"\s", b"", h), 16)
+
+
+def _hex_to_text(h: bytes) -> str:
+    raw = re.sub(rb"\s", b"", h)
+    if len(raw) % 2:
+        raw += b"0"
+    b = bytes.fromhex(raw.decode("ascii", "replace"))
+    if len(b) % 2:
+        b += b"\x00"
+    return b.decode("utf-16-be", errors="replace")
+
+
+def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a ToUnicode CMap stream → (code_width_bytes, mapping)."""
+    width = 1
+    cm = _CODESPACE_RE.search(data)
+    if cm:
+        blobs = _HEXBLOB_RE.findall(cm.group(1))
+        if blobs:
+            width = max(1, len(re.sub(rb"\s", b"", blobs[0])) // 2)
+    mapping: dict[int, str] = {}
+    for body in _BFCHAR_RE.findall(data):
+        blobs = _HEXBLOB_RE.findall(body)
+        for i in range(0, len(blobs) - 1, 2):
+            mapping[_hex_to_int(blobs[i])] = _hex_to_text(blobs[i + 1])
+    for body in _BFRANGE_RE.findall(data):
+        # two forms: <lo> <hi> <dst>  |  <lo> <hi> [<d0> <d1> ...]
+        for m in re.finditer(
+                rb"<([0-9a-fA-F\s]+)>\s*<([0-9a-fA-F\s]+)>\s*"
+                rb"(<[0-9a-fA-F\s]+>|\[(?:[^\]]*)\])", body):
+            lo, hi = _hex_to_int(m.group(1)), _hex_to_int(m.group(2))
+            dst = m.group(3)
+            if dst.startswith(b"["):
+                arr = _HEXBLOB_RE.findall(dst)
+                for k, blob in enumerate(arr):
+                    if lo + k <= hi:
+                        mapping[lo + k] = _hex_to_text(blob)
+            else:
+                base = _hex_to_text(dst[1:-1])
+                if base:
+                    start = ord(base[-1])
+                    prefix = base[:-1]
+                    for k in range(hi - lo + 1):
+                        mapping[lo + k] = prefix + chr(start + k)
+    return width, mapping
+
+
+class _Name(str):
+    """A /Name token (e.g. the font operand of Tf)."""
+
+
+def _map_codes(s: str, font: tuple[int, dict[int, str]] | None) -> str:
+    """Map a string of raw code bytes (latin-1-decoded) through the
+    current font's ToUnicode CMap; identity without a CMap."""
+    if font is None:
+        return s
+    width, mp = font
+    if width <= 1:
+        return "".join(mp.get(ord(c), c) for c in s)
+    out = []
+    for i in range(0, len(s) - 1, 2):
+        code = (ord(s[i]) << 8) | ord(s[i + 1])
+        out.append(mp.get(code, chr(code)))
+    return "".join(out)
+
+
 # --- content-stream tokenizer -----------------------------------------
 
 _PDF_ESCAPES = {
@@ -512,14 +643,19 @@ _PDF_ESCAPES = {
 }
 
 
-def _parse_content_spans(stream: bytes) -> list[tuple[float, float, str]]:
+def _parse_content_spans(
+    stream: bytes,
+    fonts: dict[str, tuple[int, dict[int, str]]] | None = None,
+) -> list[tuple[float, float, str]]:
     """Parse Tj/TJ text-showing ops tracking the text matrix set by
-    Tm/Td/TD. Returns spans as (x, y, text)."""
+    Tm/Td/TD and the current font set by Tf (whose ToUnicode CMap, if
+    any, maps code bytes to text). Returns spans as (x, y, text)."""
     spans: list[tuple[float, float, str]] = []
     # Tokenize: strings, numbers, arrays, names, operators.
     tokens = _tokenize(stream)
     x = y = 0.0
     line_x = line_y = 0.0
+    cur_font: tuple[int, dict[int, str]] | None = None
     stack: list[object] = []
     for tok in tokens:
         if isinstance(tok, (float, str, list)):
@@ -528,6 +664,11 @@ def _parse_content_spans(stream: bytes) -> list[tuple[float, float, str]]:
         op = tok.decode("latin-1")
         if op == "BT":
             x = y = line_x = line_y = 0.0
+            stack.clear()
+        elif op == "Tf" and len(stack) >= 2 and fonts is not None:
+            name = stack[-2]
+            if isinstance(name, _Name):
+                cur_font = fonts.get(str(name))
             stack.clear()
         elif op == "Tm" and len(stack) >= 6:
             e, f = stack[-2], stack[-1]
@@ -544,13 +685,16 @@ def _parse_content_spans(stream: bytes) -> list[tuple[float, float, str]]:
             stack.clear()
         elif op == "Tj" and stack:
             s = stack[-1]
-            if isinstance(s, str):
-                spans.append((x, y, s))
+            if isinstance(s, str) and not isinstance(s, _Name):
+                spans.append((x, y, _map_codes(s, cur_font)))
             stack.clear()
         elif op == "TJ" and stack:
             arr = stack[-1]
             if isinstance(arr, list):
-                s = "".join(e for e in arr if isinstance(e, str))
+                s = "".join(
+                    _map_codes(e, cur_font) for e in arr
+                    if isinstance(e, str)
+                )
                 spans.append((x, y, s))
             stack.clear()
         else:
@@ -568,6 +712,11 @@ def _tokenize(stream: bytes):
         elif c == b"(":
             s, i = _parse_string(stream, i)
             tokens.append(s)
+        elif c == b"<" and stream[i:i + 2] != b"<<":
+            s, i = _parse_hex_string(stream, i)
+            tokens.append(s)
+        elif stream[i:i + 2] == b"<<":
+            i = _skip_inline_dict(stream, i)
         elif c == b"[":
             j = i + 1
             arr: list[object] = []
@@ -577,6 +726,9 @@ def _tokenize(stream: bytes):
                     j += 1
                 elif cj == b"(":
                     s, j = _parse_string(stream, j)
+                    arr.append(s)
+                elif cj == b"<":
+                    s, j = _parse_hex_string(stream, j)
                     arr.append(s)
                 else:
                     m = re.match(rb"[-+0-9.][0-9.+-]*", stream[j:])
@@ -592,7 +744,11 @@ def _tokenize(stream: bytes):
             i = j + 1
         elif c == b"/":
             m = re.match(rb"/[^\s\[\]()<>/]*", stream[i:])
-            i += m.end() if m else 1
+            if m:
+                tokens.append(_Name(m.group(0)[1:].decode("latin-1")))
+                i += m.end()
+            else:
+                i += 1
         else:
             m = re.match(rb"[-+0-9.][0-9.+-]*", stream[i:])
             if m:
@@ -609,6 +765,40 @@ def _tokenize(stream: bytes):
             else:
                 i += 1
     return tokens
+
+
+def _parse_hex_string(stream: bytes, i: int) -> tuple[str, int]:
+    """Parse a PDF hex string starting at '<'; returns the code BYTES
+    latin-1-decoded (so ord() round-trips each byte) and next index."""
+    j = stream.find(b">", i + 1)
+    if j < 0:
+        return "", len(stream)
+    raw = re.sub(rb"[^0-9a-fA-F]", b"", stream[i + 1:j])
+    if len(raw) % 2:
+        raw += b"0"
+    try:
+        return (bytes.fromhex(raw.decode("ascii")).decode("latin-1"),
+                j + 1)
+    except ValueError:
+        return "", j + 1
+
+
+def _skip_inline_dict(stream: bytes, i: int) -> int:
+    """Skip an inline '<< … >>' dictionary (BDC property lists etc.)."""
+    depth = 0
+    n = len(stream)
+    while i < n:
+        if stream[i:i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif stream[i:i + 2] == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return i
+        else:
+            i += 1
+    return n
 
 
 def _parse_string(stream: bytes, i: int) -> tuple[str, int]:

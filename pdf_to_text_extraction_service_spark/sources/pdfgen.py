@@ -218,3 +218,79 @@ def simple_pdf(page_lines: list[list[str]], modern: bool = False) -> bytes:
     emits the PDF 1.5 xref-stream + object-stream layout."""
     pages = [single_column_page(lines) for lines in page_lines]
     return build_pdf_modern(pages) if modern else build_pdf(pages)
+
+
+def build_pdf_cmap(pages: list[list[Span]]) -> bytes:
+    """Classic-layout PDF whose text is FONT-ENCODED: content streams
+    show hex strings of per-document glyph codes and the font carries
+    a /ToUnicode CMap (codespace <00> <ff>, bfchar entries in
+    100-entry blocks per the CMap spec) mapping codes back to
+    Unicode — the shape real-world subsetted fonts produce. The
+    reader must resolve Tf → font → ToUnicode to recover the text."""
+    chars = sorted({c for spans in pages for _, _, t in spans for c in t})
+    if len(chars) > 255:
+        raise ValueError("cmap fixture supports <= 255 distinct chars")
+    code_of = {c: i + 1 for i, c in enumerate(chars)}
+
+    def content(spans: list[Span]) -> bytes:
+        ops = ["BT", "/F1 12 Tf"]
+        for x, y, t in spans:
+            hexs = "".join(f"{code_of[c]:02x}" for c in t)
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+            ops.append(f"<{hexs}> Tj")
+        ops.append("ET")
+        return "\n".join(ops).encode("latin-1")
+
+    bf = [f"<{code_of[c]:02x}> <{ord(c):04x}>" for c in chars]
+    blocks = []
+    for i in range(0, len(bf), 100):
+        chunk = bf[i:i + 100]
+        blocks.append(f"{len(chunk)} beginbfchar\n"
+                      + "\n".join(chunk) + "\nendbfchar")
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+        + "\n".join(blocks)
+        + "\nendcmap\nCMapName currentdict /CMap defineresource pop\n"
+          "end\nend\n"
+    ).encode("latin-1")
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    touni_num = font_num + 1
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for i, spans in enumerate(pages):
+        body = content(spans)
+        page_num = 3 + 2 * i
+        objs.append(
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+             f"/Contents {page_num + 1} 0 R >>").encode()
+        )
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(body), body))
+    objs.append(
+        (f"<< /Type /Font /Subtype /Type0 /BaseFont /Custom-Identity "
+         f"/ToUnicode {touni_num} 0 R >>").encode()
+    )
+    objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(cmap), cmap))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_pos))
+    return bytes(out)

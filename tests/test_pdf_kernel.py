@@ -200,3 +200,58 @@ class TestModernLayouts:
             enc += bytes([ft]) + filt
             prev = row
         assert pdfk._png_unpredict(bytes(enc), cols) == b"".join(rows)
+
+
+class TestCMapFonts:
+    """Font-encoded text via /ToUnicode CMaps (pdfk._parse_tounicode,
+    hex-string tokenization, Tf font tracking) — the last PDF parity
+    gap from docs/NEXT.md #3: subsetted real-world fonts show glyph
+    CODES, not characters."""
+
+    def test_cmap_text_identical_to_literal(self):
+        pages = [GOOD_LINES, ["page two content here"]]
+        spans = [pdfgen.single_column_page(l) for l in pages]
+        classic = pdfgen.build_pdf(spans)
+        cmapped = pdfgen.build_pdf_cmap(spans)
+        for p in (1, 2):
+            assert pdfk.extract_page_text(cmapped, p) == \
+                pdfk.extract_page_text(classic, p)
+
+    def test_full_extract_parity(self):
+        spans = [pdfgen.single_column_page(GOOD_LINES)]
+        a = pdfk.extract_pdf(pdfgen.build_pdf(spans), "application/pdf")
+        b = pdfk.extract_pdf(pdfgen.build_pdf_cmap(spans),
+                             "application/pdf")
+        assert b.success and b.text == a.text
+        assert b.pages[0].method == a.pages[0].method == "text-layer"
+
+    def test_parse_tounicode_bfchar_and_bfrange(self):
+        cmap = (b"begincodespacerange\n<0000> <ffff>\n"
+                b"endcodespacerange\n"
+                b"2 beginbfchar\n<0041> <0058>\n<0042> <00590059>\n"
+                b"endbfchar\n"
+                b"1 beginbfrange\n<0050> <0052> <0061>\nendbfrange\n"
+                b"1 beginbfrange\n<0060> <0061> [<007a> <0077>]\n"
+                b"endbfrange\n")
+        width, mp = pdfk._parse_tounicode(cmap)
+        assert width == 2
+        assert mp[0x41] == "X"
+        assert mp[0x42] == "YY"          # multi-char destination
+        assert (mp[0x50], mp[0x51], mp[0x52]) == ("a", "b", "c")
+        assert (mp[0x60], mp[0x61]) == ("z", "w")  # array destination
+
+    def test_two_byte_code_mapping(self):
+        font = (2, {0x0102: "A", 0x0304: "B"})
+        s = "\x01\x02\x03\x04"  # latin-1-decoded code bytes
+        assert pdfk._map_codes(s, font) == "AB"
+
+    def test_hex_string_without_cmap_is_latin1(self):
+        # hex strings in a font with no ToUnicode map byte-identity
+        toks = pdfk._tokenize(b"BT <48656c6c6f> Tj ET")
+        assert "Hello" in toks
+
+    def test_inline_dict_skipped(self):
+        # BDC property lists must not derail the tokenizer
+        spans = pdfk._parse_content_spans(
+            b"BT /P <</MCID 0>> BDC 1 0 0 1 72 720 Tm (x) Tj EMC ET")
+        assert spans == [(72.0, 720.0, "x")]
