@@ -543,13 +543,147 @@ def _stream_bytes(content_body: bytes,
         if sm is None:
             return None
         raw = sm.group(1)
-    if b"/FlateDecode" in content_body[:marker]:
+    for name in _filter_chain(content_body[:marker]):
+        raw = _apply_filter(name, raw)
+    return raw
+
+
+# --- stream filters ------------------------------------------------------
+
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+def _filter_chain(head: bytes) -> list[str]:
+    m = _FILTER_RE.search(head)
+    if m is None:
+        return []
+    if m.group(2) is not None:
+        return [m.group(2).decode("latin-1")]
+    return [n.group(1).decode("latin-1")
+            for n in _FILTER_NAME_RE.finditer(m.group(1))]
+
+
+def _apply_filter(name: str, raw: bytes) -> bytes:
+    """Decode one /Filter stage. Unsupported filters (DCT/JPX/CCITT,
+    i.e. embedded images, and crypt filters) raise — which the hybrid
+    pipeline turns into a needs-ocr page, not garbage text."""
+    if name == "FlateDecode" or name == "Fl":
         import zlib
         try:
-            raw = zlib.decompress(raw)
+            return zlib.decompress(raw)
         except zlib.error as exc:
             raise PDFError(f"flate decode failed: {exc}") from exc
-    return raw
+    if name == "ASCIIHexDecode" or name == "AHx":
+        data = re.sub(rb"\s", b"", raw)
+        if data.endswith(b">"):
+            data = data[:-1]
+        if len(data) % 2:
+            data += b"0"
+        try:
+            return bytes.fromhex(data.decode("ascii"))
+        except (ValueError, UnicodeDecodeError) as exc:
+            raise PDFError(f"asciihex decode failed: {exc}") from exc
+    if name == "ASCII85Decode" or name == "A85":
+        return _a85_decode(raw)
+    if name == "RunLengthDecode" or name == "RL":
+        return _rl_decode(raw)
+    if name == "LZWDecode" or name == "LZW":
+        return _lzw_decode(raw)
+    raise PDFError(f"unsupported stream filter /{name}")
+
+
+def _a85_decode(raw: bytes) -> bytes:
+    data = re.sub(rb"\s", b"", raw)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    out = bytearray()
+    group: list[int] = []
+    for ch in data:
+        if ch == 0x7A and not group:  # 'z' → four zero bytes
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (33 <= ch <= 117):
+            raise PDFError(f"ascii85: invalid byte {ch}")
+        group.append(ch - 33)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            if n > 0xFFFFFFFF:
+                raise PDFError("ascii85: group overflow")
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        k = len(group)
+        if k == 1:
+            raise PDFError("ascii85: lone trailing digit")
+        group += [84] * (5 - k)  # pad with 'u'
+        n = 0
+        for g in group:
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[:k - 1]
+    return bytes(out)
+
+
+def _rl_decode(raw: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        ln = raw[i]
+        if ln == 128:  # EOD
+            break
+        if ln < 128:
+            out += raw[i + 1:i + 2 + ln]
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise PDFError("runlength: truncated run")
+            out += raw[i + 1:i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(raw: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode: MSB-first variable-width codes (9→12 bits),
+    256=clear, 257=EOD, EarlyChange=1 by default."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    bitbuf = nbits = 0
+    for byte in raw:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PDFError("lzw: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PDFError("lzw: code out of range")
+            out += entry
+            prev = entry
+            if len(table) + early - 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
 
 
 # --- ToUnicode CMaps (font-encoded text) --------------------------------

@@ -255,3 +255,107 @@ class TestCMapFonts:
         spans = pdfk._parse_content_spans(
             b"BT /P <</MCID 0>> BDC 1 0 0 1 72 720 Tm (x) Tj EMC ET")
         assert spans == [(72.0, 720.0, "x")]
+
+
+class TestStreamFilters:
+    """/Filter decode stages beyond FlateDecode: ASCIIHex, ASCII85,
+    RunLength, LZW, chained-filter arrays; unsupported image filters
+    fail to needs-ocr rather than emitting garbage."""
+
+    def _pdf_with_filtered_content(self, encoded: bytes,
+                                   filters: str) -> bytes:
+        classic = pdfgen.build_pdf(
+            [pdfgen.single_column_page(GOOD_LINES)])
+        # splice the encoded body + filter spec into the content obj
+        raw = pdfgen.page_content(
+            pdfgen.single_column_page(GOOD_LINES))
+        i = classic.find(b"<< /Length ")
+        j = classic.find(b"endstream", i) + len(b"endstream")
+        new_obj = (b"<< /Length %d /Filter %s >>\nstream\n%s\nendstream"
+                   % (len(encoded), filters.encode(), encoded))
+        out = classic[:i] + new_obj + classic[j:]
+        # classic xref offsets are now lies → exercised via scan
+        # fallback (startxref points mid-file, _load_objects recovers)
+        return out
+
+    def test_ascii85_content(self):
+        import base64
+        raw = pdfgen.page_content(pdfgen.single_column_page(GOOD_LINES))
+        enc = base64.a85encode(raw) + b"~>"
+        pdf = self._pdf_with_filtered_content(enc, "/ASCII85Decode")
+        want = pdfk.extract_page_text(
+            pdfgen.build_pdf([pdfgen.single_column_page(GOOD_LINES)]), 1)
+        assert pdfk.extract_page_text(pdf, 1) == want
+
+    def test_asciihex_flate_chain(self):
+        import zlib
+        raw = pdfgen.page_content(pdfgen.single_column_page(GOOD_LINES))
+        enc = zlib.compress(raw).hex().encode() + b">"
+        pdf = self._pdf_with_filtered_content(
+            enc, "[/ASCIIHexDecode /FlateDecode]")
+        want = pdfk.extract_page_text(
+            pdfgen.build_pdf([pdfgen.single_column_page(GOOD_LINES)]), 1)
+        assert pdfk.extract_page_text(pdf, 1) == want
+
+    def test_runlength_roundtrip(self):
+        data = b"aaaaaaaabcdefgg" + bytes(range(40)) * 2
+        enc = bytearray()
+        i = 0
+        while i < len(data):
+            run = 1
+            while i + run < len(data) and run < 128 \
+                    and data[i + run] == data[i]:
+                run += 1
+            if run >= 2:
+                enc += bytes([257 - run, data[i]])
+                i += run
+            else:
+                j = i + 1
+                while j < len(data) and j - i < 128 \
+                        and (j + 1 >= len(data) or data[j] != data[j + 1]):
+                    j += 1
+                enc += bytes([j - i - 1]) + data[i:j]
+                i = j
+        enc.append(128)
+        assert pdfk._rl_decode(bytes(enc)) == data
+
+    def test_lzw_roundtrip(self):
+        # encoder mirror of the PDF LZW spec (early change = 1)
+        def enc(data: bytes) -> bytes:
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            bits = []
+            def put(code, w):
+                bits.extend(int(b) for b in format(code, f"0{w}b"))
+            put(256, width)  # clear
+            w = b""
+            for ch in data:
+                wc = w + bytes([ch])
+                if wc in table:
+                    w = wc
+                else:
+                    put(table[w], width)
+                    table[wc] = next_code
+                    next_code += 1
+                    if next_code + 1 - 1 >= (1 << width) and width < 12:
+                        width += 1
+                    w = bytes([ch])
+            if w:
+                put(table[w], width)
+            put(257, width)  # EOD
+            while len(bits) % 8:
+                bits.append(0)
+            return bytes(int("".join(map(str, bits[i:i + 8])), 2)
+                         for i in range(0, len(bits), 8))
+
+        data = (b"the quick brown fox jumps over the lazy dog " * 8
+                + bytes(range(64)))
+        assert pdfk._lzw_decode(enc(data)) == data
+
+    def test_unsupported_filter_is_needs_ocr(self):
+        pdf = self._pdf_with_filtered_content(b"\xff\xd8\xff junk",
+                                              "/DCTDecode")
+        r = pdfk.extract_pdf(pdf, "application/pdf")
+        assert r.success
+        assert r.pages[0].method == "needs-ocr"
