@@ -389,6 +389,42 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "mime_type", "word_count", "char_count")
 
 
+def _q_streaming_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-temporal streaming dedup (amendment log): 3 captures per url
+    arrive across micro-batches (maxFilesPerTrigger=1, file order
+    arbitrary); applyInPandasWithState emits an amendment only for
+    strictly-newer captures. The FOLDED view (max amend_seq per url)
+    is order-independent and must equal batch latest-capture-wins —
+    which is what the SQL oracle computes."""
+    import tempfile
+
+    from pdf_to_text_extraction_service_spark.streaming.stateful import (
+        fold_amendments,
+        latest_capture_amendments,
+    )
+    from pdf_to_text_extraction_service_spark.streaming.stream import (
+        PAGES_SCHEMA,
+    )
+
+    base = tempfile.mkdtemp(prefix="bitemp-q-")
+    pages = pages_from_documents(load_documents(spark, sf_dir),
+                                 dup_factor=3)
+    pages.write.mode("overwrite").parquet(f"{base}/pages")
+    stream = spark.readStream.schema(PAGES_SCHEMA) \
+        .option("maxFilesPerTrigger", 1).parquet(f"{base}/pages")
+    q = (
+        latest_capture_amendments(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/amends")
+        .option("checkpointLocation", f"{base}/cp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return fold_amendments(spark.read.parquet(f"{base}/amends"))
+
+
 def _q_preview_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preview mode over .txt pages with a 120-byte cap — the
     reference /api/preview truncate-and-recount semantics
@@ -563,6 +599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": _q_doc_fingerprint,
     "quality_scores_docs": _q_quality_scores,
     "streaming_extract_docs": _q_streaming_extract,
+    "streaming_bitemporal_dedup": _q_streaming_bitemporal,
     "multimodal_image_features": _q_multimodal_features,
     "ocr_clean_docs": _q_ocr_clean_docs,
     "audio_transcripts": _q_audio_transcripts,
@@ -1071,6 +1108,17 @@ def oracle_sql() -> dict[str, str]:
                    'text/html; charset=utf-8' AS mime_type,
                    {_WC} AS word_count,
                    {_CC} AS char_count
+            FROM documents
+        """,
+        # Bi-temporal fold oracle: the capture with k=2 carries the
+        # max timestamp (pages_from_documents), so the folded
+        # amendment log must equal latest-capture-wins per url.
+        "streaming_bitemporal_dedup": f"""
+            SELECT {_URL} AS url,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + (doc_id % 86400 + 2 * 3600) * INTERVAL 1 SECOND
+                     AS warc_ts,
+                   text
             FROM documents
         """,
         "preview_truncation": """

@@ -104,6 +104,75 @@ def host_crawl_stats(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+AMEND_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("text", StringType()),
+    StructField("amend_seq", IntegerType()),
+])
+
+_AMEND_STATE = StructType([
+    StructField("best_us", LongType()),
+    StructField("n_amend", IntegerType()),
+])
+
+
+def _amend_updates(
+    key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    best_us, n = (state.get if state.exists else (None, 0))
+    cand = None  # (us, text, ts) — deterministic within-batch winner
+    for batch in batches:
+        for ts, text in zip(batch["warc_ts"], batch["text"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            k = (us, text if text is not None else "")
+            if cand is None or k > (cand[0], cand[1]):
+                cand = (us, text, ts)
+    if cand is not None and (best_us is None or cand[0] > best_us):
+        state.update((cand[0], n + 1))
+        yield pd.DataFrame({
+            "url": [key[0]],
+            "warc_ts": [cand[2]],
+            "text": [cand[1]],
+            "amend_seq": [n + 1],
+        })
+
+
+def latest_capture_amendments(pages_stream: DataFrame) -> DataFrame:
+    """Bi-temporal dedup as an AMENDMENT stream (docs/NEXT.md #9):
+    per url, GroupState tracks the best capture timestamp ever seen;
+    a micro-batch emits an amendment row only when it carries a
+    STRICTLY newer capture (late-but-newer data amends, late-but-older
+    data is ignored; ties keep the incumbent). Consumers fold by max
+    amend_seq per url — the folded view always equals batch
+    latest-capture-wins dedup over everything ingested so far, which
+    is what makes the operator oracle-checkable. State survives
+    checkpoint restarts like host_crawl_stats."""
+    return pages_stream.select("url", "warc_ts", "text") \
+        .groupBy("url").applyInPandasWithState(
+            _amend_updates,
+            outputStructType=AMEND_SCHEMA,
+            stateStructType=_AMEND_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+
+def fold_amendments(amends: DataFrame) -> DataFrame:
+    """Current-truth view of an amendment log: the highest amend_seq
+    row per url."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("amend_seq").desc())
+    return (
+        amends.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", "warc_ts", "text")
+    )
+
+
 def compact_streamed_output(streamed: DataFrame) -> DataFrame:
     """Batch reconciliation of the streaming sink: latest-capture-wins
     across everything the stream has appended (including late

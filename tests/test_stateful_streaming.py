@@ -85,3 +85,67 @@ def test_compact_streamed_output(spark):
     )
     compacted = compact_streamed_output(df)
     assert compacted.count() == df.select("url").distinct().count()
+
+
+def test_bitemporal_amendments_restart_and_stale(spark, tmp_path):
+    """latest_capture_amendments: newer captures amend, stale late
+    arrivals are ignored, state survives a checkpoint restart, and
+    the folded view equals batch latest-wins dedup."""
+    from pdf_to_text_extraction_service_spark.streaming.stateful import (
+        fold_amendments,
+        latest_capture_amendments,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+
+    def run():
+        stream = spark.readStream.schema(PAGES_SCHEMA) \
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        q = (
+            latest_capture_amendments(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _write_batch(spark, in_dir, [
+        ("https://a.test/x.html", 600, b"", "v1", "en"),
+        ("https://b.test/y.html", 100, b"", "b", "en"),
+    ])
+    run()
+
+    # restart with: a stale late arrival for A, a new url C, and a
+    # genuinely newer A capture
+    _write_batch(spark, in_dir, [
+        ("https://a.test/x.html", 300, b"", "stale", "en"),
+        ("https://c.test/z.html", 50, b"", "c", "en"),
+    ])
+    _write_batch(spark, in_dir, [
+        ("https://a.test/x.html", 900, b"", "v2", "en"),
+    ])
+    run()
+
+    amends = spark.read.parquet(out_dir)
+    by_url = {}
+    for r in amends.collect():
+        by_url.setdefault(r["url"], []).append(r)
+    # stale 300s arrival must not have produced an amendment
+    a_texts = {r["text"] for r in by_url["https://a.test/x.html"]}
+    assert "stale" not in a_texts and "v2" in a_texts
+    assert max(r["amend_seq"] for r in by_url["https://a.test/x.html"]) == 2
+    assert len(by_url["https://b.test/y.html"]) == 1
+    assert len(by_url["https://c.test/z.html"]) == 1
+
+    folded = {r["url"]: r["text"]
+              for r in fold_amendments(amends).collect()}
+    assert folded == {
+        "https://a.test/x.html": "v2",
+        "https://b.test/y.html": "b",
+        "https://c.test/z.html": "c",
+    }
