@@ -103,9 +103,6 @@ def parse(data: bytes | str) -> Node:
                 return
         stack[-1].children.append(node)
 
-    def _in_table_ctx() -> bool:
-        return bool(open_tags) and open_tags[-1] in _TABLE_CTX
-
     def _close_up_to(names: frozenset | set, barriers: frozenset | set) \
             -> None:
         """Implied end tags: pop up to and including the nearest open
@@ -124,7 +121,8 @@ def parse(data: bytes | str) -> Node:
         if not raw:
             return
         node = Node(TEXT, _unescape(raw) if decode and "&" in raw else raw)
-        if _in_table_ctx() and raw.strip():
+        # inlined table-context check — this runs per text node
+        if open_tags and open_tags[-1] in _TABLE_CTX and raw.strip():
             _foster_insert(node)  # non-space chars in table context
         else:
             stack[-1].children.append(node)
@@ -194,7 +192,8 @@ def parse(data: bytes | str) -> Node:
             _close_up_to({"table"}, frozenset())
 
         el = Node(ELEMENT, tag)
-        if _in_table_ctx() and tag not in _TABLE_ALLOWED:
+        if open_tags and open_tags[-1] in _TABLE_CTX \
+                and tag not in _TABLE_ALLOWED:
             _foster_insert(el)  # foster-parent stray table content
         else:
             stack[-1].children.append(el)
