@@ -95,19 +95,34 @@ def _string(s: str) -> str:
 
 
 def _float(f: float) -> str:
-    """Go strconv.AppendFloat(f, 'g', -1, 64) behavior: shortest
-    round-trip digits, scientific notation only when exp < -4 or
-    exp >= 21."""
+    """Go encoding/json float formatting (encode.go appendFloat):
+    shortest round-trip digits via 'f' when 1e-6 <= |x| < 1e21 (or
+    zero), 'e' otherwise — and the 'e' form drops the leading zero of
+    a two-digit NEGATIVE exponent ("1e-09" → "1e-9"), exactly like
+    Go's post-format fixup. Both engines' shortest-digit algorithms
+    produce identical digit strings (the shortest representation is
+    unique), so Python repr supplies the digits."""
     if math.isinf(f) or math.isnan(f):
         raise ValueError("unsupported float value")
-    if f == int(f) and abs(f) < 1e21:
+    if f == 0.0:
+        return "-0" if math.copysign(1.0, f) < 0 else "0"
+    abs_f = abs(f)
+    if abs_f < 1e-6 or abs_f >= 1e21:
+        s = repr(f)  # always exponent form in this range
+        if "e" not in s:  # defensive: force 'e'
+            s = f"{f:e}"
+        mant, _, exp_s = s.partition("e")
+        exp = int(exp_s)
+        sign = "+" if exp >= 0 else "-"
+        es = f"{abs(exp):02d}"
+        if sign == "-" and len(es) == 2 and es[0] == "0":
+            es = es[1]  # Go's e-0X → e-X fixup
+        return f"{mant}e{sign}{es}"
+    # 'f' range: expand any exponent repr to fixed notation
+    if f == int(f):
         return str(int(f))
-    r = repr(f)
-    if "e" not in r and "E" not in r:
-        return r
-    mant, _, exp_s = r.partition("e")
-    exp = int(exp_s)
-    if -4 <= exp < 21:
-        return f"{f:.{max(0, 17)}g}".rstrip()
-    sign = "+" if exp >= 0 else "-"
-    return f"{mant}e{sign}{abs(exp):02d}"
+    s = repr(f)
+    if "e" in s or "E" in s:
+        import decimal
+        s = format(decimal.Decimal(s), "f")
+    return s

@@ -546,3 +546,38 @@ class TestYAMLSubsetV3:
             _yaml_roundtrip,
         )
         assert _yaml_roundtrip("v: yes\n") is None
+
+
+class TestGoJSONFloats:
+    """encoding/json float formatting parity (encode.go appendFloat):
+    'f' for 1e-6 <= |x| < 1e21 and zero, 'e' otherwise with the
+    two-digit-negative-exponent zero stripped — hand-traced Go
+    outputs (docs/NEXT.md #5)."""
+
+    def test_float_formats(self):
+        from pdf_to_text_extraction_service_spark.kernel.gojson import (
+            _float,
+        )
+        for f, want in [
+            (0.0, "0"), (-0.0, "-0"), (1.5, "1.5"), (0.1, "0.1"),
+            (1e-5, "0.00001"), (1e-6, "0.000001"),
+            (9e-7, "9e-7"), (1.25e-7, "1.25e-7"), (-2.5e-8, "-2.5e-8"),
+            (1e-100, "1e-100"),
+            (1e21, "1e+21"), (1.5e21, "1.5e+21"),
+            (1e20, "100000000000000000000"),
+            (1e16, "10000000000000000"),
+            (123456789.123, "123456789.123"), (-42.0, "-42"),
+        ]:
+            assert _float(f) == want, (f, _float(f), want)
+
+    def test_non_finite_rejected(self):
+        import math
+
+        import pytest
+
+        from pdf_to_text_extraction_service_spark.kernel.gojson import (
+            _float,
+        )
+        for f in (math.inf, -math.inf, math.nan):
+            with pytest.raises(ValueError):
+                _float(f)
