@@ -285,6 +285,45 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    threshold=0.99)
 
 
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with planted email/IP/phone —
+    the oracle asserts the exact closed-form scrubbed string (the
+    corpus text itself never matches: '@' and '+' are outside its
+    charset and its dots precede spaces)."""
+    from pdf_to_text_extraction_service_spark.operators.scrub import (
+        scrub_pii,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1 (555) 0100"),
+        ).alias("text"),
+    )
+    return scrub_pii(seeded).select("doc_id", "scrubbed")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling by language —
+    rerunning selects the same rows (resumable, unlike rand()), and
+    the DuckDB oracle evaluates the identical hash + rate rule."""
+    from pdf_to_text_extraction_service_spark.operators.scrub import (
+        stratified_sample,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    out = stratified_sample(
+        docs, "cast(doc_id as string)", "lang",
+        {"en": 0.3, "zh": 0.8}, default_rate=0.5, salt=7,
+    )
+    return out.select("doc_id", "lang")
+
+
 def _q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate line removal: every even doc gets a
     newsletter line and every third doc a cookie line appended; both
@@ -594,6 +633,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": _q_ann_ivf_topk,
     "canonical_urls": _q_canonical_urls,
     "boilerplate_filter": _q_boilerplate_filter,
+    "scrub_pii_docs": _q_scrub_pii,
+    "stratified_sample_lang": _q_stratified_sample,
     "lang_id_heuristic": _q_lang_id,
     "token_count_bpe": _q_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
@@ -815,6 +856,17 @@ def _ann_lsh_sql(dim: int = 64, bits: int = 4, seed: int = 7) -> str:
                 (SELECT embedding::DOUBLE[] FROM embeddings
                  WHERE vec_id = 0)) DESC, vec_id) <= 10
     """
+
+
+# DuckDB mirror of the stratified-sampling hash rule.
+from pdf_to_text_extraction_service_spark.operators.scrub import (
+    stratified_sample_sql as _stratified_sample_sql,
+)
+
+_STRATIFIED_WHERE = _stratified_sample_sql(
+    "CAST(doc_id AS VARCHAR)", "lang",
+    {"en": 0.3, "zh": 0.8}, default_rate=0.5, salt=7,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1083,6 +1135,18 @@ def oracle_sql() -> dict[str, str]:
         # line (below any frequency threshold), so the cleaned text is
         # exactly the original and n_removed counts the appended
         # corpus-frequent lines.
+        # PII scrub oracle: closed-form — planted email/IP/phone
+        # replaced, the base text untouched.
+        "scrub_pii_docs": """
+            SELECT doc_id,
+                   text || ' contact <EMAIL> or <IP> or <PHONE>'
+                       AS scrubbed
+            FROM documents
+        """,
+        "stratified_sample_lang": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_STRATIFIED_WHERE}
+        """,
         "boilerplate_filter": """
             SELECT doc_id,
                    text AS clean_text,

@@ -275,3 +275,51 @@ def test_remove_boilerplate_doc_fully_boilerplate(spark):
     assert len(out) == 10
     assert all(r["clean_text"] == "" and r["n_removed"] == 1
                for r in out.values())
+
+
+def test_scrub_pii_patterns(spark):
+    from pdf_to_text_extraction_service_spark.operators.scrub import (
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@sub.example.org now"),
+         (2, "server at 192.168.001.1 up"),
+         (3, "call +44 20 7946 0958 today"),
+         (4, "clean text, no pii at all"),
+         (5, "version 1.2.3 is not an ip")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["scrubbed"] for r in scrub_pii(df).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP> up"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "clean text, no pii at all"
+    assert got[5] == "version 1.2.3 is not an ip"
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from pdf_to_text_extraction_service_spark.operators.scrub import (
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "cast(doc_id as string)", "lang",
+                            {"en": 0.25}, default_rate=0.75, salt=3)
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    again = {(r["doc_id"], r["lang"])
+             for r in stratified_sample(
+                 df, "cast(doc_id as string)", "lang",
+                 {"en": 0.25}, default_rate=0.75, salt=3).collect()}
+    assert got == again  # deterministic: identical rows on rerun
+    en = sum(1 for _, lg in got if lg == "en") / 1000
+    de = sum(1 for _, lg in got if lg == "de") / 1000
+    assert 0.20 < en < 0.30, en
+    assert 0.70 < de < 0.80, de
+    # a different salt draws a different (but equally sized) sample
+    other = {(r["doc_id"], r["lang"])
+             for r in stratified_sample(
+                 df, "cast(doc_id as string)", "lang",
+                 {"en": 0.25}, default_rate=0.75, salt=4).collect()}
+    assert other != got
