@@ -324,6 +324,28 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals over documents with planted
+    duplicate lines (1 + doc_id%3 copies of 'repeat me'); the oracle
+    recomputes all three fractions RELATIONALLY in DuckDB (unnest +
+    group-by for the top bigram) against the engine's array-local
+    JVM folds."""
+    from pdf_to_text_extraction_service_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr("repeat(concat(chr(10), 'repeat me'), "
+                   "cast(1 + doc_id % 3 as int))"),
+        ).alias("text"),
+    )
+    return repetition_stats(aug)
+
+
 def _q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate line removal: every even doc gets a
     newsletter line and every third doc a cookie line appended; both
@@ -634,6 +656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_urls": _q_canonical_urls,
     "boilerplate_filter": _q_boilerplate_filter,
     "scrub_pii_docs": _q_scrub_pii,
+    "repetition_stats_docs": _q_repetition_stats,
     "stratified_sample_lang": _q_stratified_sample,
     "lang_id_heuristic": _q_lang_id,
     "token_count_bpe": _q_token_count,
@@ -1135,6 +1158,47 @@ def oracle_sql() -> dict[str, str]:
         # line (below any frequency threshold), so the cleaned text is
         # exactly the original and n_removed counts the appended
         # corpus-frequent lines.
+        # Repetition-signal oracle: the same three Gopher fractions
+        # computed relationally (line/gram construction mirrored;
+        # DuckDB list slicing t[a:b] is stop-inclusive).
+        "repetition_stats_docs": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || repeat(chr(10) || 'repeat me',
+                                      1 + doc_id % 3) AS t
+                FROM documents
+            ), feats AS (
+                SELECT doc_id,
+                       string_split(t, chr(10)) AS lines,
+                       string_split(t, ' ') AS w
+                FROM aug
+            ), grams AS (
+                SELECT doc_id, lines,
+                       list_transform(
+                           range(0, greatest(len(w) - 2, 0) + 1),
+                           i -> array_to_string(w[i + 1:i + 2], ' '))
+                           AS g2,
+                       list_transform(
+                           range(0, greatest(len(w) - 3, 0) + 1),
+                           i -> array_to_string(w[i + 1:i + 3], ' '))
+                           AS g3
+                FROM feats
+            ), top2 AS (
+                SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot
+                FROM (
+                    SELECT doc_id, g, COUNT(*) AS c
+                    FROM (SELECT doc_id, unnest(g2) AS g FROM grams)
+                    GROUP BY doc_id, g
+                ) GROUP BY doc_id
+            )
+            SELECT g.doc_id,
+                   ROUND((len(lines) - len(list_distinct(lines)))::DOUBLE
+                         / len(lines), 6) AS dup_line_frac,
+                   ROUND(t2.mx::DOUBLE / t2.tot, 6) AS top_bigram_frac,
+                   ROUND((len(g3) - len(list_distinct(g3)))::DOUBLE
+                         / len(g3), 6) AS dup_trigram_frac
+            FROM grams g JOIN top2 t2 USING (doc_id)
+        """,
         # PII scrub oracle: closed-form — planted email/IP/phone
         # replaced, the base text untouched.
         "scrub_pii_docs": """

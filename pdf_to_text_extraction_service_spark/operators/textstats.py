@@ -167,3 +167,56 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, text_col).mapInPandas(
         _score, schema=QUALITY_SCHEMA
     )
+
+
+# ------------------------------------------------- repetition signals
+
+def _max_run_expr(arr: str) -> str:
+    """Longest run in a SORTED string array = highest frequency of any
+    element — one JVM fold, no shuffle (the array-local alternative to
+    explode+groupBy at 100 TB)."""
+    return (
+        f"aggregate(array_sort({arr}), "
+        "named_struct('prev', '', 'run', 0, 'best', 0), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', if(x = acc.prev, acc.run + 1, 1), "
+        "'best', greatest(acc.best, if(x = acc.prev, acc.run + 1, 1))), "
+        "acc -> acc.best)"
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public methodology): duplicate-line fraction, fraction of word
+    bigrams taken by the single most frequent bigram, duplicate word
+    trigram fraction. Pure JVM expressions per document — at corpus
+    scale the signals feed a filter threshold exactly like
+    quality_scores."""
+    toks = f"split({text_col}, ' ')"
+    g2 = (f"transform(sequence(0, greatest(size({toks}) - 2, 0)), "
+          f"i -> array_join(slice(_rs_t, i + 1, 2), ' '))")
+    g3 = (f"transform(sequence(0, greatest(size({toks}) - 3, 0)), "
+          f"i -> array_join(slice(_rs_t, i + 1, 3), ' '))")
+    return (
+        df.withColumn("_rs_t", F.split(F.col(text_col), " "))
+        .withColumn("_rs_l", F.split(F.col(text_col), "\n"))
+        .withColumn("_rs_g2", F.expr(g2))
+        .withColumn("_rs_g3", F.expr(g3))
+        .select(
+            id_col,
+            F.round(
+                (F.size("_rs_l") - F.size(F.array_distinct("_rs_l")))
+                .cast("double") / F.size("_rs_l"), 6
+            ).alias("dup_line_frac"),
+            F.round(
+                F.expr(_max_run_expr("_rs_g2")).cast("double")
+                / F.size("_rs_g2"), 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                (F.size("_rs_g3") - F.size(F.array_distinct("_rs_g3")))
+                .cast("double") / F.size("_rs_g3"), 6
+            ).alias("dup_trigram_frac"),
+        )
+    )

@@ -323,3 +323,23 @@ def test_stratified_sample_rates_and_determinism(spark):
                  df, "cast(doc_id as string)", "lang",
                  {"en": 0.25}, default_rate=0.75, salt=4).collect()}
     assert other != got
+
+
+def test_repetition_stats_signals(spark):
+    from pdf_to_text_extraction_service_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc d"),           # 1 dup line of 3
+         (2, "x y x y x y x y"),          # 'y x' appears 3x of 7 bigrams
+         (3, "all words unique here ok")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["dup_line_frac"] == round(1 / 3, 6)
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["dup_trigram_frac"] == 0.0
+    # doc 2 bigrams: [x y, y x, x y, y x, x y, y x, x y] → top 'x y' 4/7
+    assert got[2]["top_bigram_frac"] == round(4 / 7, 6)
+    assert got[2]["dup_trigram_frac"] > 0.5
