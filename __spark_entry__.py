@@ -130,8 +130,10 @@ def _q1_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_join_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast dim join + deterministic top-k via window rank."""
-    from pyspark.sql import Window
+    """Broadcast dim join + deterministic top-k. orderBy().limit(k)
+    plans as TakeOrderedAndProject (per-partition local top-k, k rows
+    to the merge) without relying on the WindowGroupLimit pushdown a
+    partition-less row_number window needs."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     rev = (
@@ -141,10 +143,9 @@ def _q_join_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = rev.join(F.broadcast(cust),
                       rev.o_custkey == cust.c_custkey, "inner")
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 10)
+        joined.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
         .select("c_custkey", "c_name", "revenue", "n_orders")
     )
 
@@ -1014,8 +1015,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wc AS INTEGER) AS word_count
             FROM scored
         """,
-        # ann_ivf_topk: iterative k-means training is not
-        # single-statement SQL — rows-only check (no oracle).
+        # ann_ivf_topk: rows-only (no oracle) — and deliberately so:
+        # the 3 Lloyd iterations COULD be unrolled into chained SQL
+        # CTEs, but the centroid means are floating-point sums over
+        # Spark's nondeterministic partition order, so a bit-exact
+        # DuckDB mirror is impossible in principle (boundary vectors
+        # could flip clusters between runs). The index build is
+        # instead pinned by tests (determinism across runs within one
+        # engine, recall vs brute force, partition pruning).
         # SimHash mirror: identical 31-bit rolling token hashes
         # (bases 31/37/41 mod 2^31-1), identical sign-bit fold,
         # identical 4x16-bit banding — DuckDB >> is arithmetic like

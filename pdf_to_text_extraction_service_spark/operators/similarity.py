@@ -53,12 +53,16 @@ def with_cosine(df: DataFrame, query_vec: list[float],
 def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine top-k, deterministic tiebreak on id."""
+    """Exact cosine top-k, deterministic tiebreak on id.
+
+    orderBy().limit(k) expresses TakeOrderedAndProject directly —
+    each partition keeps its local top-k and only k rows ever reach
+    the driver-side merge — rather than a partition-less row_number
+    window that relies on the WindowGroupLimit pushdown."""
     scored = with_cosine(df, query_vec, vec_col)
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
+        scored.orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
         .select(id_col, F.round("cosine", 6).alias("cosine"))
     )
 
