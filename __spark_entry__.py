@@ -325,6 +325,24 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def _q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over documents with planted combining
+    sequences (e + U+0301, o + U+0303); DuckDB's nfc_normalize is the
+    oracle — both engines implement UAX #15, so the composed forms
+    must agree byte-for-byte."""
+    from pdf_to_text_extraction_service_spark.operators.scrub import (
+        normalize_nfc,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" cafe\u0301 nin\u0303o")).alias("text"),
+    )
+    return normalize_nfc(seeded).select("doc_id", "nfc_text")
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals over documents with planted
     duplicate lines (1 + doc_id%3 copies of 'repeat me'); the oracle
@@ -658,6 +676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_filter": _q_boilerplate_filter,
     "scrub_pii_docs": _q_scrub_pii,
     "repetition_stats_docs": _q_repetition_stats,
+    "normalize_nfc_docs": _q_normalize_nfc,
     "stratified_sample_lang": _q_stratified_sample,
     "lang_id_heuristic": _q_lang_id,
     "token_count_bpe": _q_token_count,
@@ -1165,6 +1184,14 @@ def oracle_sql() -> dict[str, str]:
         # line (below any frequency threshold), so the cleaned text is
         # exactly the original and n_removed counts the appended
         # corpus-frequent lines.
+        # NFC oracle: closed-form composed output (the planted
+        # combining pairs compose to é / ñ; ASCII text is unchanged).
+        "normalize_nfc_docs": """
+            SELECT doc_id,
+                   nfc_normalize(text || ' cafe' || chr(769) ||
+                                 ' nin' || chr(771) || 'o') AS nfc_text
+            FROM documents
+        """,
         # Repetition-signal oracle: the same three Gopher fractions
         # computed relationally (line/gram construction mirrored;
         # DuckDB list slicing t[a:b] is stop-inclusive).

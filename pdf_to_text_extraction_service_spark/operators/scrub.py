@@ -14,6 +14,7 @@ Both are pure JVM expressions:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -94,3 +95,23 @@ def stratified_sample_sql(key_expr: str, strata_expr: str,
     )
     rate = f"(CASE {branches} ELSE {int(default_rate * denom)} END)"
     return f"(({h}) % {denom}) < {rate}"
+
+
+def normalize_nfc(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  out_col: str = "nfc_text") -> DataFrame:
+    """Unicode NFC normalization — the standard pre-dedup cleaning
+    stage (combining sequences → composed forms, so 'cafe'+U+0301 and
+    'café' hash identically downstream). Spark has no built-in
+    normalizer, so this is an Arrow-batched pandas UDF over
+    unicodedata.normalize; DuckDB's nfc_normalize mirrors it (both
+    implement UAX #15)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda t: unicodedata.normalize("NFC", t)
+                     if t is not None else None)
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))

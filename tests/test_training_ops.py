@@ -343,3 +343,18 @@ def test_repetition_stats_signals(spark):
     # doc 2 bigrams: [x y, y x, x y, y x, x y, y x, x y] → top 'x y' 4/7
     assert got[2]["top_bigram_frac"] == round(4 / 7, 6)
     assert got[2]["dup_trigram_frac"] > 0.5
+
+
+def test_normalize_nfc(spark):
+    from pdf_to_text_extraction_service_spark.operators.scrub import (
+        normalize_nfc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "plain"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["nfc_text"] for r in normalize_nfc(df).collect()}
+    assert got[1] == "café"    # combining acute composed
+    assert got[2] == "plain"
+    assert got[3] is None
