@@ -60,6 +60,27 @@ _TABLE_ALLOWED = frozenset((
     "td", "th", "script", "style", "template", "form",
 ))
 
+# Implied-end-tag (names, scope-barrier) constants for _close_up_to.
+_ONLY_P = frozenset(("p",))
+_P_SCOPE = _TABLE_CTX | frozenset(("td", "th", "caption"))
+_ONLY_LI = frozenset(("li",))
+_LIST_SCOPE = frozenset(("ul", "ol"))
+_DD_DT = frozenset(("dd", "dt"))
+_DL_SCOPE = frozenset(("dl",))
+_CELLS = frozenset(("td", "th"))
+_ROW_SCOPE = frozenset(("tr", "table", "thead", "tbody", "tfoot"))
+_ONLY_TR = frozenset(("tr",))
+_SECTION_SCOPE = frozenset(("table", "thead", "tbody", "tfoot"))
+_SECTIONS = frozenset(("thead", "tbody", "tfoot"))
+_TABLE_SCOPE = frozenset(("table",))
+_ONLY_TABLE = frozenset(("table",))
+_EMPTY = frozenset()
+
+_RAW_CLOSE = {
+    t: re.compile(r"</" + t + r"\s*>", re.IGNORECASE)
+    for t in ("script", "style", "title")
+}
+
 _TAG_RE = re.compile(
     r"<(?:"
     r"(?P<comment>!--)"
@@ -172,24 +193,24 @@ def parse(data: bytes | str) -> Node:
         self_closing = attrs.rstrip().endswith("/")
 
         # Implied end tags (WHATWG subset): p before block starts,
-        # li/dd/dt siblings, table cells/rows/sections.
+        # li/dd/dt siblings, table cells/rows/sections. Scope sets
+        # are module constants (no per-tag set construction).
         if tag in _P_CLOSERS and "p" in open_tags:
-            _close_up_to({"p"}, _TABLE_CTX | {"td", "th", "caption"})
+            _close_up_to(_ONLY_P, _P_SCOPE)
         if tag == "li":
-            _close_up_to({"li"}, {"ul", "ol"})
+            _close_up_to(_ONLY_LI, _LIST_SCOPE)
         elif tag in ("dd", "dt"):
-            _close_up_to({"dd", "dt"}, {"dl"})
+            _close_up_to(_DD_DT, _DL_SCOPE)
         elif tag in ("td", "th"):
-            _close_up_to({"td", "th"},
-                         {"tr", "table", "thead", "tbody", "tfoot"})
+            _close_up_to(_CELLS, _ROW_SCOPE)
         elif tag == "tr":
-            _close_up_to({"tr"}, {"table", "thead", "tbody", "tfoot"})
+            _close_up_to(_ONLY_TR, _SECTION_SCOPE)
         elif tag in ("thead", "tbody", "tfoot"):
-            _close_up_to({"thead", "tbody", "tfoot"}, {"table"})
+            _close_up_to(_SECTIONS, _TABLE_SCOPE)
         elif tag == "table" and "table" in open_tags:
             # a table start inside an open table closes it (the spec
             # reprocesses the token in the enclosing mode)
-            _close_up_to({"table"}, frozenset())
+            _close_up_to(_ONLY_TABLE, _EMPTY)
 
         el = Node(ELEMENT, tag)
         if open_tags and open_tags[-1] in _TABLE_CTX \
@@ -202,8 +223,7 @@ def parse(data: bytes | str) -> Node:
             continue
 
         if tag in _RAWTEXT or tag == "title":
-            close = re.compile(r"</" + tag + r"\s*>", re.IGNORECASE)
-            cm = close.search(s, i)
+            cm = _RAW_CLOSE[tag].search(s, i)
             end = cm.start() if cm else n
             raw = s[i:end]
             if raw:
