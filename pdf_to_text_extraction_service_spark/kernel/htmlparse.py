@@ -179,7 +179,8 @@ def parse(data: bytes | str) -> Node:
             continue
         if kind == "end":
             tag = m.group("end")[1:].strip().lower()
-            tag = tag.split()[0] if tag.split() else tag
+            parts = tag.split(None, 1)
+            tag = parts[0] if parts else tag
             if tag in open_tags:
                 while open_tags:
                     t = open_tags.pop()
