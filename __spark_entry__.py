@@ -93,6 +93,72 @@ def _q_extract_lang_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship_lang_agg(extracted)
 
 
+def _kernel_probe(spark: SparkSession, sf_dir: str, ext: str,
+                  payload_col) -> DataFrame:
+    """Run a SQL-constructible payload through the FULL extraction
+    pipeline (detect → route → kernel → counts) for one format
+    kernel; callers pair it with a closed-form oracle."""
+    docs = load_documents(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://corpus.example/"), F.col("source"),
+                 F.lit("/doc"), F.col("doc_id").cast("string"),
+                 F.lit(ext)).alias("url"),
+        F.expr("timestamp '2026-01-01 00:00:00'").alias("warc_ts"),
+        F.encode(payload_col, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"),
+    )
+    out = extract_pipeline(pages, salt=False, dedup=False,
+                           keep_pages_col=False)
+    return out.select("url", "success", "text", "method", "file_type",
+                      "word_count", "char_count")
+
+
+def _q_extract_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF kernel (rtf.go:23-47 regex pipeline) through the pipeline:
+    control word + \\par + braces over the document text."""
+    payload = F.concat(F.lit("{\\rtf1 "), F.col("text"),
+                       F.lit("\\par word two}"))
+    return _kernel_probe(spark, sf_dir, ".rtf", payload)
+
+
+def _q_extract_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV kernel (csv.go:27-110): delimiter probe + pipe-table
+    rendering on a 2-row file."""
+    payload = F.concat(F.lit("k1,k2\nr"), F.col("doc_id").cast("string"),
+                       F.lit(",v2\n"))
+    return _kernel_probe(spark, sf_dir, ".csv", payload)
+
+
+def _q_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON kernel (json_extract.go): MarshalIndent re-serialization
+    (sorted keys, two-space indent)."""
+    payload = F.concat(F.lit('{"lang": "'), F.col("lang"),
+                       F.lit('", "id": '), F.col("doc_id").cast("string"),
+                       F.lit("}"))
+    return _kernel_probe(spark, sf_dir, ".json", payload)
+
+
+def _q_extract_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML kernel (xml_extract.go): chardata extraction."""
+    payload = F.concat(F.lit("<doc><a>"), F.col("text"),
+                       F.lit("</a></doc>"))
+    return _kernel_probe(spark, sf_dir, ".xml", payload)
+
+
+def _q_extract_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YAML kernel (yaml_extract.go): canonical re-serialization with
+    sorted keys."""
+    payload = F.concat(F.lit("b: 2\na: doc"),
+                       F.col("doc_id").cast("string"), F.lit("\n"))
+    return _kernel_probe(spark, sf_dir, ".yaml", payload)
+
+
+def _q_extract_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-code kernel (code.go): language tag + fenced wrap."""
+    payload = F.concat(F.lit("x = "), F.col("doc_id").cast("string"))
+    return _kernel_probe(spark, sf_dir, ".py", payload)
+
+
 def _q_dedup_latest_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(load_documents(spark, sf_dir),
                                  dup_factor=3)
@@ -659,6 +725,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_html_docs": _q_extract_html_docs,
     "extract_markdown_docs": _q_extract_markdown_docs,
     "extract_lang_agg": _q_extract_lang_agg,
+    "extract_rtf_docs": _q_extract_rtf,
+    "extract_csv_docs": _q_extract_csv,
+    "extract_json_docs": _q_extract_json,
+    "extract_xml_docs": _q_extract_xml,
+    "extract_yaml_docs": _q_extract_yaml,
+    "extract_code_docs": _q_extract_code,
     "dedup_latest_url": _q_dedup_latest_url,
     "dedup_window_events": _q_dedup_window_events,
     "q1_lineitem_agg": _q1_lineitem_agg,
@@ -912,12 +984,69 @@ _STRATIFIED_WHERE = _stratified_sample_sql(
 )
 
 
+# Closed-form oracles for the kernel-probe extract queries: the
+# payloads are SQL-constructed, so each kernel's output is a
+# deterministic string expression; BuildCounts = non-empty splits on
+# the exact 4-char whitespace set.
+
+
+def _kernel_probe_sql(ext: str, txt_expr: str, method: str,
+                      ftype: str) -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, source, {txt_expr} AS txt FROM documents
+        )
+        SELECT 'https://corpus.example/' || source || '/doc' ||
+                   CAST(doc_id AS VARCHAR) || '{ext}' AS url,
+               TRUE AS success,
+               txt AS text,
+               '{method}' AS method,
+               '{ftype}' AS file_type,
+               CAST(len(list_filter(
+                   string_split_regex(txt, '[ \n\t\r]'),
+                   x -> x <> '')) AS INTEGER) AS word_count,
+               CAST(length(txt) AS INTEGER) AS char_count
+        FROM t
+    """
+
+
+_KERNEL_PROBE_ORACLES = {
+    "extract_rtf_docs": _kernel_probe_sql(
+        ".rtf", "text || chr(10) || ' word two'",
+        "native", "document/rtf"),
+    "extract_csv_docs": _kernel_probe_sql(
+        ".csv",
+        "'| k1 | k2 |' || chr(10) || '| --- | --- |' || chr(10) || "
+        "'| r' || CAST(doc_id AS VARCHAR) || ' | v2 |'",
+        "native", "structured/csv"),
+    "extract_json_docs": _kernel_probe_sql(
+        ".json",
+        "'{' || chr(10) || '  \"id\": ' || CAST(doc_id AS VARCHAR) || "
+        "',' || chr(10) || '  \"lang\": \"' || lang || '\"' || "
+        "chr(10) || '}'",
+        "native", "structured/json"),
+    "extract_xml_docs": _kernel_probe_sql(
+        ".xml", "text", "native", "structured/xml"),
+    "extract_yaml_docs": _kernel_probe_sql(
+        ".yaml",
+        "'a: doc' || CAST(doc_id AS VARCHAR) || chr(10) || 'b: 2'",
+        "native", "structured/yaml"),
+    "extract_code_docs": _kernel_probe_sql(
+        ".py",
+        "'<!-- lang: python, lines: 1 -->' || chr(10) || chr(10) || "
+        "'```python' || chr(10) || 'x = ' || CAST(doc_id AS VARCHAR) || "
+        "chr(10) || '```'",
+        "code", "code/source"),
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        **_KERNEL_PROBE_ORACLES,
         "extract_html_docs": f"""
             SELECT {_URL} AS url,
                    TRUE AS success,
