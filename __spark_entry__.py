@@ -159,6 +159,28 @@ def _q_extract_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kernel_probe(spark, sf_dir, ".py", payload)
 
 
+def _q_extract_notebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notebook kernel (notebook.go:23-65): code cells fenced python,
+    markdown cells raw, joined by the --- separator."""
+    payload = F.concat(
+        F.lit('{"cells": [{"cell_type": "code", "source": ["x = '),
+        F.col("doc_id").cast("string"),
+        F.lit('"]}, {"cell_type": "markdown", "source": ["# doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('"]}]}'),
+    )
+    return _kernel_probe(spark, sf_dir, ".ipynb", payload)
+
+
+def _q_extract_latex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX kernel (latex.go:27-51): sectioning commands → markdown
+    headings, other commands stripped."""
+    payload = F.concat(F.lit("\\section{Doc "),
+                       F.col("doc_id").cast("string"),
+                       F.lit("}\n"), F.col("text"))
+    return _kernel_probe(spark, sf_dir, ".tex", payload)
+
+
 def _q_dedup_latest_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(load_documents(spark, sf_dir),
                                  dup_factor=3)
@@ -731,6 +753,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_xml_docs": _q_extract_xml,
     "extract_yaml_docs": _q_extract_yaml,
     "extract_code_docs": _q_extract_code,
+    "extract_notebook_docs": _q_extract_notebook,
+    "extract_latex_docs": _q_extract_latex,
     "dedup_latest_url": _q_dedup_latest_url,
     "dedup_window_events": _q_dedup_window_events,
     "q1_lineitem_agg": _q1_lineitem_agg,
@@ -1037,6 +1061,16 @@ _KERNEL_PROBE_ORACLES = {
         "'```python' || chr(10) || 'x = ' || CAST(doc_id AS VARCHAR) || "
         "chr(10) || '```'",
         "code", "code/source"),
+    "extract_notebook_docs": _kernel_probe_sql(
+        ".ipynb",
+        "'```python' || chr(10) || 'x = ' || CAST(doc_id AS VARCHAR) || "
+        "chr(10) || '```' || chr(10) || chr(10) || '---' || chr(10) || "
+        "chr(10) || '# doc ' || CAST(doc_id AS VARCHAR)",
+        "native", "code/notebook"),
+    "extract_latex_docs": _kernel_probe_sql(
+        ".tex",
+        "'# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text",
+        "native", "code/latex"),
 }
 
 
