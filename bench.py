@@ -85,7 +85,14 @@ def _run_suite(spark, sf_dir: str, ctx: dict):
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    from pdf_to_text_extraction_service_spark.plans.session import (
+        tune_arrow_batch,
+    )
+
     html_pages = spark.read.parquet(ctx["html_pages_path"])
+    # Payload-aware Arrow batching, exactly as jobs/extract.py does
+    # per input table (tuning itself is off the clock).
+    tune_arrow_batch(spark, html_pages)
     t0 = time.perf_counter()
     extracted = extract_pipeline(html_pages, salt=False,
                                  keep_pages_col=False)
@@ -94,11 +101,13 @@ def _run_suite(spark, sf_dir: str, ctx: dict):
     timings["extract_dedup_flagship_html"] = t1 - t0
 
     mixed = spark.read.parquet(ctx["mixed_path"])
+    tune_arrow_batch(spark, mixed)
     t0 = time.perf_counter()
     n_out = extract_pipeline(mixed, salt=True,
                              keep_pages_col=False).count()
     t1 = time.perf_counter()
     timings["extract_mixed_all_kernels"] = t1 - t0
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
     extras["mixed_rows_out"] = n_out
 
     total_docs = ctx["html_docs"] + ctx["mixed_docs"]

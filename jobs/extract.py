@@ -35,7 +35,10 @@ if _REPO_ROOT not in sys.path:
 from pdf_to_text_extraction_service_spark.operators.manifest import (
     run_resumable_extract,
 )
-from pdf_to_text_extraction_service_spark.plans.session import build_session
+from pdf_to_text_extraction_service_spark.plans.session import (
+    build_session,
+    tune_arrow_batch,
+)
 
 
 def main() -> None:
@@ -45,10 +48,14 @@ def main() -> None:
     ap.add_argument("--manifest", required=True)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--arrow-target-mb", type=int, default=32)
     args = ap.parse_args()
 
     spark = build_session(app_name="webextract-job")
     pages = spark.read.parquet(args.input)
+    rows = tune_arrow_batch(spark, pages, target_mb=args.arrow_target_mb)
+    print(f"[extract] arrow batch tuned to {rows} rows "
+          f"(~{args.arrow_target_mb} MB/batch)")
     run_resumable_extract(
         spark, pages,
         output_path=args.output,

@@ -267,3 +267,30 @@ def test_iceberg_roundtrip_when_jar_present(spark, corpus_df, tmp_path):
     io = PageTableIO(spark)
     io.append(corpus_df, "cc.db.pages_roundtrip")
     assert io.read("cc.db.pages_roundtrip").count() == corpus_df.count()
+
+
+def test_tune_arrow_batch_sizing(spark, tmp_path):
+    """Payload-aware Arrow batching: thin pages get big batches, fat
+    payloads clamp low; empty/missing sampling falls back safely."""
+    from pyspark.sql import functions as F
+
+    from pdf_to_text_extraction_service_spark.plans.session import (
+        ARROW_MAX_RECORDS_PER_BATCH,
+        tune_arrow_batch,
+    )
+
+    thin = spark.range(500).select(
+        F.encode(F.lit("x" * 1024), "UTF-8").alias("html"))
+    rows = tune_arrow_batch(spark, thin, target_mb=8)
+    assert rows == 8192 or 4000 <= rows <= 8192  # 8MB/1KB clamped hi
+
+    fat = spark.range(8).select(
+        F.encode(F.repeat(F.lit("y"), 4 * 1024 * 1024), "UTF-8")
+        .alias("html"))
+    rows = tune_arrow_batch(spark, fat, target_mb=8)
+    assert rows == 64  # 8MB target / 4MB rows = 2 -> clamped to lo
+
+    empty = spark.range(0).select(F.lit(b"").alias("html"))
+    rows = tune_arrow_batch(spark, empty)
+    assert rows == ARROW_MAX_RECORDS_PER_BATCH
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
