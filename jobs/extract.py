@@ -48,7 +48,7 @@ def main() -> None:
     ap.add_argument("--manifest", required=True)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--no-dedup", action="store_true")
-    ap.add_argument("--arrow-target-mb", type=int, default=32)
+    ap.add_argument("--arrow-target-mb", type=int, default=4)
     args = ap.parse_args()
 
     spark = build_session(app_name="webextract-job")

@@ -71,7 +71,8 @@ def _gen(spark, path: str, n_docs: int, words_per_doc: int,
     df.repartition(files).write.mode("overwrite").parquet(path)
 
 
-def _run(cpus: int, path: str) -> tuple[float, int]:
+def _run_once(cpus: int, path: str) -> tuple[float, int]:
+    """One warmed, timed extraction pass at local[cpus]."""
     from pdf_to_text_extraction_service_spark.plans.pipeline import (
         extract_pipeline,
     )
@@ -93,20 +94,30 @@ def _run(cpus: int, path: str) -> tuple[float, int]:
             pages.sample(0.05, seed=1), salt=False, dedup=False,
             keep_pages_col=False,
         ).count()
-        # best of 2 steady-state runs (JIT state persists across
-        # sessions in one process, so single-shot timing is
-        # order-biased)
-        dt = float("inf")
-        n = 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = extract_pipeline(
-                pages, salt=False, dedup=False, keep_pages_col=False
-            ).count()
-            dt = min(dt, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        n = extract_pipeline(
+            pages, salt=False, dedup=False, keep_pages_col=False
+        ).count()
+        dt = time.perf_counter() - t0
     finally:
         spark.stop()
     return dt, n
+
+
+def _run_pairs(lo: int, hi: int, path: str, pairs: int = 3):
+    """Efficiency is a RATIO, and this sandbox's absolute throughput
+    drifts ±15% across minutes (co-tenant load). Measuring lo and hi
+    back-to-back inside each iteration keeps the two legs of every
+    ratio under matched conditions; the MEDIAN pair efficiency is the
+    reported number (best-of-N across separately-timed levels lets
+    one lucky lo leg sink the ratio)."""
+    results = []
+    for _ in range(pairs):
+        t_lo, n_lo = _run_once(lo, path)
+        t_hi, n_hi = _run_once(hi, path)
+        assert n_lo == n_hi
+        results.append((t_lo, t_hi, (t_lo / t_hi) / (hi / lo)))
+    return results
 
 
 def main() -> None:
@@ -135,13 +146,15 @@ def main() -> None:
         _gen(spark, path, args.docs, args.words, files=256)
         spark.stop()
 
-    t_lo, n_lo = _run(args.lo, path)
-    t_hi, n_hi = _run(args.hi, path)
-    assert n_lo == n_hi == args.docs
+    import statistics
 
+    pairs = _run_pairs(args.lo, args.hi, path, pairs=3)
+    effs = sorted(e for _, _, e in pairs)
+    eff = statistics.median(effs)
+    # representative times: the pair whose efficiency is the median
+    t_lo, t_hi, _ = min(pairs, key=lambda p: abs(p[2] - eff))
     dps_lo = args.docs / t_lo
     dps_hi = args.docs / t_hi
-    eff = (dps_hi / dps_lo) / (args.hi / args.lo)
     result = {
         "metric": "extraction throughput scaling efficiency "
                   f"local[{args.lo}] -> local[{args.hi}]",
@@ -151,9 +164,11 @@ def main() -> None:
         "docs_per_sec_lo": round(dps_lo, 1),
         "docs_per_sec_hi": round(dps_hi, 1),
         "efficiency": round(eff, 3),
+        "pair_efficiencies": [round(e, 3) for e in effs],
     }
     print(json.dumps(result))
 
+    pair_effs = ", ".join(f"{e:.3f}" for e in effs)
     md = f"""# BENCH / BASELINE — scaling evidence
 
 **North rule requirement:** throughput scaling efficiency >= 0.8 from
@@ -170,6 +185,10 @@ same job runs at two parallelism levels on the same input
   → count), salt/dedup off — extraction dominates 100 TB wall-clock;
   the dedup/rollup shuffles touch only extracted text columns.
 - Python-worker pool warmed before timing at each level.
+- 3 interleaved (lo, hi) pairs; reported efficiency is the MEDIAN
+  pair ratio — both legs of each ratio run back-to-back under matched
+  box load (sandbox throughput drifts ±15% across minutes).
+  Pair efficiencies this run: {pair_effs}.
 
 ## Results
 
