@@ -353,13 +353,16 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     sig = df.select(F.col(id_col).alias("_id"),
                     simhash64_udf()(sim_token_hashes(text_col))
                     .alias("_sig"))
+    # persist: the banded self-join below reads this relation twice —
+    # without it each side re-hashes every token (same fix as the
+    # MinHash signature persist)
     banded = sig.select(
         "_id", "_sig",
         F.explode(F.expr(
             "transform(sequence(0, 3), b -> "
             "struct(b as band, (shiftright(_sig, b * 16) & 65535) as key))"
         )).alias("_b"),
-    ).select("_id", "_sig", "_b.band", "_b.key")
+    ).select("_id", "_sig", "_b.band", "_b.key").persist()
     left = banded.select("band", "key", F.col("_id").alias("id_a"),
                          F.col("_sig").alias("sig_a"))
     right = banded.select("band", "key", F.col("_id").alias("id_b"),

@@ -137,12 +137,14 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
             hyperplane_bucket("_v", planes).alias("_bkt"),
         )
         banded = part if banded is None else banded.unionByName(part)
+    # persist: the self-join reads this twice — without it each side
+    # recomputes all tables x bits hyperplane dot products per vector
     capped = banded.withColumn(
         "_rn",
         F.row_number().over(
             Window.partitionBy("_tbl", "_bkt").orderBy("_id")
         ),
-    ).filter(F.col("_rn") <= max_bucket)
+    ).filter(F.col("_rn") <= max_bucket).persist()
     left = capped.select("_tbl", "_bkt", F.col("_id").alias("id_a"),
                          F.col("_v").alias("_va"))
     right = capped.select("_tbl", "_bkt", F.col("_id").alias("id_b"),
