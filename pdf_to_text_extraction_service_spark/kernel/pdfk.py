@@ -353,7 +353,10 @@ def _load_objects(data: bytes) -> dict[int, bytes]:
                     continue
         if not objs:
             raise PDFError("xref resolved no objects")
-    except PDFError:
+    except (PDFError, ValueError, OverflowError):
+        # corrupted xref bytes surface as int()/struct conversion
+        # errors as readily as structural PDFErrors — either way the
+        # regex scan is the recovery path
         objs = _objects_scan(data)
     for body in list(objs.values()):
         if b"/ObjStm" in body[:256]:
@@ -1030,7 +1033,7 @@ def extract_pdf(b: bytes, mime: str,
     try:
         doc = PDFDoc(b)
         total = doc.page_count
-    except PDFError as exc:
+    except (PDFError, ValueError, OverflowError) as exc:
         msg = f"page count failed: {exc}"
         return Result(success=False, method="hybrid",
                       file_type="document/pdf", mime_type=mime, error=msg)
@@ -1046,7 +1049,7 @@ def extract_pdf(b: bytes, mime: str,
         pr = PageResult(page_number=page_num, method="text-layer")
         try:
             text = doc.page_text(page_num)
-        except PDFError:
+        except (PDFError, ValueError, OverflowError):
             pr.method = "needs-ocr"
             pages.append(pr)
             needs_ocr_pages.append(page_num)

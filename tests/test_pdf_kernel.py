@@ -359,3 +359,41 @@ class TestStreamFilters:
         r = pdfk.extract_pdf(pdf, "application/pdf")
         assert r.success
         assert r.pages[0].method == "needs-ocr"
+
+
+class TestPDFMutationFuzz:
+    """Task-safety on corrupted PDFs: byte-flip valid documents of
+    every layout and require a structured Result — never an
+    exception (the never-raise contract extends through the new
+    xref/objstm/CMap/filter paths)."""
+
+    def test_byte_flips_never_raise(self):
+        import random
+        rng = random.Random(11)
+        spans = [pdfgen.single_column_page(GOOD_LINES),
+                 pdfgen.single_column_page(["second page words here"])]
+        bases = [
+            pdfgen.build_pdf(spans),
+            pdfgen.build_pdf(spans, compress=True),
+            pdfgen.build_pdf_modern(spans),
+            pdfgen.build_pdf_modern(spans, indirect_length=True),
+            pdfgen.build_pdf_cmap(spans),
+        ]
+        for base in bases:
+            for _ in range(40):
+                b = bytearray(base)
+                for _ in range(rng.randrange(1, 4)):
+                    b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                r = pdfk.extract_pdf(bytes(b), "application/pdf")
+                assert r.success in (True, False)
+                assert isinstance(r.text, str)
+
+    def test_truncations_never_raise(self):
+        spans = [pdfgen.single_column_page(GOOD_LINES)]
+        for base in (pdfgen.build_pdf(spans),
+                     pdfgen.build_pdf_modern(spans),
+                     pdfgen.build_pdf_cmap(spans)):
+            for frac in (0.15, 0.4, 0.7, 0.95):
+                cut = base[:int(len(base) * frac)]
+                r = pdfk.extract_pdf(cut, "application/pdf")
+                assert r.success in (True, False)
