@@ -320,14 +320,31 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, [float(v) for v in qv], k=10, bits=4)
 
 
-def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN against a PREBUILT index (rows-only: iterative k-means
-    training is not single-statement SQL). The index is built once
-    per corpus into a cluster-partitioned parquet table + centroid
-    side table; the query itself never trains — its filter on
-    ``cluster`` is parquet partition pruning."""
+def _ivf_index_path(sf_dir: str) -> str:
+    """Index cache path keyed by a CONTENT fingerprint of the corpus
+    (mtime_ns + size of embeddings.parquet) plus a trainer version
+    tag — regenerating the corpus in place, or changing the trainer,
+    can never silently reuse a stale index."""
+    import hashlib
     import os
     import tempfile
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    fp = hashlib.sha256(
+        f"v3:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:16]
+    tag = sf_dir.strip("/").replace("/", "-")
+    return os.path.join(tempfile.gettempdir(), f"ivf-index-{tag}-{fp}")
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against a PREBUILT index. The index is built once per
+    corpus into a cluster-partitioned parquet table + centroid side
+    table; the query itself never trains — its filter on ``cluster``
+    is parquet partition pruning. Training is bit-deterministic
+    (fixed-shape reduction tree, operators/ivf.py), so the DuckDB
+    oracle recomputes the identical centroids via the numpy mirror
+    and inlines them as literals — no training in the oracle."""
+    import os
 
     from pdf_to_text_extraction_service_spark.operators.ivf import (
         ivf_topk,
@@ -335,8 +352,7 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index,
     )
 
-    tag = sf_dir.strip("/").replace("/", "-")
-    path = os.path.join(tempfile.gettempdir(), f"ivf-index-{tag}")
+    path = _ivf_index_path(sf_dir)
     if not os.path.exists(os.path.join(path, "centroids")):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         write_ivf_index(emb, path, k=16, iters=3)
@@ -997,6 +1013,77 @@ def _ann_lsh_sql(dim: int = 64, bits: int = 4, seed: int = 7) -> str:
     """
 
 
+def _ivf_oracle_sql(sf_dir: str | None = None, k: int = 16,
+                    iters: int = 3, nprobe: int = 4,
+                    topk: int = 10) -> str:
+    """Closed-form DuckDB oracle for ann_ivf_topk.
+
+    The engine's k-means is bit-deterministic (fixed-shape reduction
+    tree — operators/ivf.py), so the oracle recomputes the IDENTICAL
+    centroids driver-side via train_kmeans_mirror (numpy, same IEEE
+    fold order) and inlines them as literals. The SQL then mirrors
+    the engine's nearest-centroid assignment (same left-fold squared
+    distance, tie -> lowest cluster), filters to the same nprobe
+    clusters (computed here with the exact Python expression
+    ivf_topk uses), and takes exact cosine top-k. No files, no
+    training in SQL. sf_dir defaults to the driver's gate scale
+    (override with SPARK_GRAFT_ORACLE_SF_DIR for the pytest mimic)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_to_text_extraction_service_spark.operators.ivf import (
+        train_kmeans_mirror,
+    )
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    dim = len(vecs[0])
+    cents = train_kmeans_mirror(ids, vecs, k=k, iters=iters)
+    q = [float(v) for v in vecs[ids.index(0)]]
+    # identical probe-selection expression to ivf_topk (Python sum =
+    # left fold; sorted() is stable so ties keep ascending cluster id)
+    order = sorted(
+        range(len(cents)),
+        key=lambda i: sum((x - y) ** 2 for x, y in zip(cents[i], q)),
+    )
+    probe = ", ".join(str(c) for c in order[:nprobe])
+    cent_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]" for c in cents
+    ) + "]::DOUBLE[][]"
+    qlit = "[" + ", ".join(repr(v) for v in q) + "]::DOUBLE[]"
+    # per-centroid squared distance, SAME left fold as the engine's
+    # aggregate(zip_with(...)); argmin via struct sort (d, then c —
+    # ties to lowest cluster, like Spark's array_min of struct(d, c))
+    dist = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> (e.embedding[i]::DOUBLE - cv[c + 1][i]) * "
+        "(e.embedding[i]::DOUBLE - cv[c + 1][i]))), (a, v) -> a + v)"
+    )
+    return f"""
+        WITH cent AS (SELECT {cent_lit} AS cv),
+        assigned AS (
+            SELECT e.vec_id, e.embedding,
+                   (list_sort(list_transform(range(0, {len(cents)}),
+                        c -> {{'d': {dist}, 'c': c}})))[1]['c'] AS cluster
+            FROM embeddings e CROSS JOIN cent
+        )
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(
+                   embedding::DOUBLE[], {qlit}), 6) AS cosine
+        FROM assigned
+        WHERE cluster IN ({probe})
+        QUALIFY ROW_NUMBER() OVER (
+            ORDER BY list_cosine_similarity(
+                embedding::DOUBLE[], {qlit}) DESC, vec_id) <= {topk}
+    """
+
+
 # DuckDB mirror of the stratified-sampling hash rule.
 from pdf_to_text_extraction_service_spark.operators.scrub import (
     stratified_sample_sql as _stratified_sample_sql,
@@ -1197,14 +1284,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wc AS INTEGER) AS word_count
             FROM scored
         """,
-        # ann_ivf_topk: rows-only (no oracle) — and deliberately so:
-        # the 3 Lloyd iterations COULD be unrolled into chained SQL
-        # CTEs, but the centroid means are floating-point sums over
-        # Spark's nondeterministic partition order, so a bit-exact
-        # DuckDB mirror is impossible in principle (boundary vectors
-        # could flip clusters between runs). The index build is
-        # instead pinned by tests (determinism across runs within one
-        # engine, recall vs brute force, partition pruning).
+        # ann_ivf_topk: the trainer's fixed-shape reduction tree made
+        # the centroids bit-deterministic, so the oracle recomputes
+        # them driver-side (numpy mirror, identical IEEE fold order)
+        # and mirrors assignment + nprobe + exact cosine in SQL.
+        "ann_ivf_topk": _ivf_oracle_sql(),
         # SimHash mirror: identical 31-bit rolling token hashes
         # (bases 31/37/41 mod 2^31-1), identical sign-bit fold,
         # identical 4x16-bit banding — DuckDB >> is arithmetic like
@@ -1279,7 +1363,9 @@ def oracle_sql() -> dict[str, str]:
                    END AS text,
                    'ocr' AS method,
                    CAST(CASE WHEN doc_id % 7 = 0 THEN 0
-                        ELSE len(string_split(text, ' ')) + 1
+                        ELSE len(list_filter(string_split_regex(
+                                 text || chr(10) || chr(10) || '-----',
+                                 '[ \n\t\r]'), x -> x <> ''))
                    END AS INTEGER) AS word_count,
                    CAST(CASE WHEN doc_id % 7 = 0 THEN 0
                         ELSE length(text) + 7
@@ -1296,8 +1382,15 @@ def oracle_sql() -> dict[str, str]:
         "audio_transcripts": """
             WITH t AS (
                 SELECT doc_id,
-                       '[' || printf('%02d:%02d', doc_id // 60,
-                                     doc_id % 60) || '] ' || text ||
+                       '[' || CASE WHEN doc_id >= 3600
+                                   THEN printf('%02d:%02d:%02d',
+                                               doc_id // 3600,
+                                               (doc_id % 3600) // 60,
+                                               doc_id % 60)
+                                   ELSE printf('%02d:%02d',
+                                               doc_id // 60,
+                                               doc_id % 60)
+                              END || '] ' || text ||
                        chr(10) || chr(10) ||
                        '[' || printf('%02d:%02d:%02d',
                                      (doc_id + 3605) // 3600,

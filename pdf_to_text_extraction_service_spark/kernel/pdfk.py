@@ -244,6 +244,11 @@ def _read_xref_table(data: bytes, off: int, entries: dict) -> int:
             typ = raw[17:18]
             if typ == b"n":
                 entries.setdefault(start + k, ("off", int(raw[0:10])))
+            else:
+                # record free entries too: a newer section's deletion
+                # must shadow an older /Prev section's in-use entry
+                # (incremental updates), not resurrect the object
+                entries.setdefault(start + k, ("free",))
             i += 20
     t = data.find(b"trailer", i)
     if t < 0:
@@ -296,6 +301,8 @@ def _read_xref_stream(data: bytes, off: int, entries: dict) -> int:
                 entries.setdefault(num, ("off", f2))
             elif f1 == 2:
                 entries.setdefault(num, ("objstm", f2, f3))
+            else:  # type 0 = free — shadows older in-use entries
+                entries.setdefault(num, ("free",))
     prevm = _PREV_RE.search(head)
     return int(prevm.group(1)) if prevm else -1
 
@@ -441,7 +448,10 @@ class PDFDoc:
             return ""
         content_body = self.objs.get(contents_ref)
         if content_body is None:
-            raise PDFError("missing content stream")
+            # a reference to a free/absent object is null (PDF 32000
+            # §7.3.10) — poppler renders such a page empty, e.g. a
+            # /Contents deleted by an incremental update
+            return ""
         stream = _stream_bytes(content_body, self.objs)
         if stream is None:
             return ""

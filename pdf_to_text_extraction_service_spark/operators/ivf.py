@@ -9,7 +9,17 @@ vector table with a ``cluster`` column — at 100 TB you write it
 partitioned by cluster so a query scans nprobe/k of the data.
 
 Determinism: initial centroids are the k lowest-id vectors; no RNG,
-no wall clock.
+no wall clock.  Since round 3 the per-(cluster, dim) means are
+BIT-deterministic too: instead of ``avg`` (whose float sum follows
+Spark's nondeterministic partition order), values fold through a
+fixed-shape reduction tree — left-fold in ``vec_id`` order inside
+fixed id-blocks of 4096, then left-fold the block sums in block
+order.  The tree shape depends only on the ids, never on the
+physical partitioning, so the same corpus yields the same IEEE-754
+centroid on every run, on any cluster size — which is what lets a
+DuckDB/numpy oracle mirror the index exactly
+(``train_kmeans_mirror`` below).  Block folds are bounded
+(``collect_list`` ≤ 4096 structs), so the shape survives scale.
 """
 
 from __future__ import annotations
@@ -42,10 +52,20 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]],
     )
 
 
+#: id-block width of the deterministic reduction tree — values fold
+#: left-to-right inside a block, block sums fold in block order.
+FOLD_BLOCK = 4096
+
+
 def train_kmeans(df: DataFrame, k: int = 16, iters: int = 5,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> list[list[float]]:
-    """Distributed Lloyd iterations; returns k centroids."""
+    """Distributed Lloyd iterations; returns k centroids.
+
+    The per-(cluster, dim) mean uses the fixed-shape reduction tree
+    described in the module docstring, so the result is bit-identical
+    across runs and across cluster sizes (mirrored by
+    ``train_kmeans_mirror`` for the DuckDB oracle)."""
     init = (
         df.orderBy(id_col).limit(k)
         .select(vec_col).collect()
@@ -53,13 +73,38 @@ def train_kmeans(df: DataFrame, k: int = 16, iters: int = 5,
     centroids = [[float(v) for v in r[vec_col]] for r in init]
     for _ in range(iters):
         assigned = assign_clusters(df, centroids, vec_col)
-        # per-(cluster, dim) means via posexplode — one shuffle per
-        # iteration, partial aggregation applies
+        # per-(cluster, dim, block) ordered fold, then per-(cluster,
+        # dim) ordered fold of the block sums — two shuffles per
+        # iteration, both on tiny (cluster, dim[, block]) keys with
+        # bounded collect_list payloads (<= FOLD_BLOCK structs).
+        exploded = assigned.select(
+            "cluster",
+            (F.col(id_col) / F.lit(FOLD_BLOCK)).cast("long").alias("blk"),
+            F.col(id_col).alias("_vid"),
+            F.posexplode(vec_col).alias("dim", "val"),
+        )
+        block_sums = (
+            exploded.groupBy("cluster", "dim", "blk")
+            .agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list("
+                    "struct(_vid, val))), cast(0.0 as double), "
+                    "(acc, s) -> acc + cast(s.val as double))"
+                ).alias("bsum"),
+                F.count("*").alias("bn"),
+            )
+        )
         means = (
-            assigned.select("cluster",
-                            F.posexplode(vec_col).alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("m"))
+            block_sums.groupBy("cluster", "dim")
+            .agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list("
+                    "struct(blk, bsum))), cast(0.0 as double), "
+                    "(acc, s) -> acc + s.bsum)"
+                ).alias("tot"),
+                F.sum("bn").alias("n"),
+            )
+            .withColumn("m", F.col("tot") / F.col("n"))
             .groupBy("cluster")
             .agg(F.array_sort(
                 F.collect_list(F.struct("dim", "m"))).alias("dm"))
@@ -70,6 +115,55 @@ def train_kmeans(df: DataFrame, k: int = 16, iters: int = 5,
         new = {r["cluster"]: [float(v) for v in r["centroid"]]
                for r in means}
         centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def train_kmeans_mirror(ids, vecs, k: int = 16,
+                        iters: int = 5) -> list[list[float]]:
+    """Driver-side bit-exact mirror of :func:`train_kmeans` (numpy;
+    no Spark).  Used by the DuckDB oracle to recompute the centroids
+    the engine trained, and by tests to pin the determinism claim.
+
+    ``ids``/``vecs``: parallel sequences (any order) of vec ids and
+    float32-or-float64 vectors.  Every float op replicates the Spark
+    expression: values cast to double, distances folded left-to-right
+    over dims, sums folded through the same FOLD_BLOCK reduction
+    tree in id order."""
+    import numpy as np
+
+    order = np.argsort(np.asarray(ids, dtype=np.int64), kind="stable")
+    ids_s = np.asarray(ids, dtype=np.int64)[order]
+    mat = np.asarray(
+        [vecs[i] for i in order], dtype=np.float64)  # float32 -> double, exact
+    n, dim = mat.shape
+    centroids = [list(map(float, mat[i])) for i in range(min(k, n))]
+    blk = ids_s // FOLD_BLOCK
+    for _ in range(iters):
+        cmat = np.asarray(centroids, dtype=np.float64)
+        # per-(vec, centroid) squared distance with a SEQUENTIAL
+        # left-fold over dims (np.cumsum is defined sequentially) —
+        # same IEEE sum as Spark's aggregate(zip_with(...)).
+        diff2 = (mat[:, None, :] - cmat[None, :, :]) ** 2
+        d2 = np.cumsum(diff2, axis=2)[:, :, -1]
+        assign = np.argmin(d2, axis=1)  # first minimum = lowest cluster
+        new = []
+        for c in range(len(centroids)):
+            sel = assign == c
+            if not sel.any():
+                new.append(centroids[c])
+                continue
+            sub = mat[sel]
+            sub_blk = blk[sel]
+            cent = []
+            for d in range(dim):
+                tot = 0.0
+                for b in np.unique(sub_blk):  # ascending block order
+                    col = sub[sub_blk == b, d]
+                    bsum = float(np.cumsum(col)[-1]) if len(col) else 0.0
+                    tot += bsum
+                cent.append(tot / float(len(sub)))
+            new.append(cent)
+        centroids = new
     return centroids
 
 

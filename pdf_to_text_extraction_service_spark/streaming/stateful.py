@@ -123,19 +123,23 @@ def _amend_updates(
     import pandas as pd
 
     best_us, n = (state.get if state.exists else (None, 0))
-    cand = None  # (us, text, ts) — deterministic within-batch winner
+    # (us, norm_text) comparison key + (text, ts) payload — the key
+    # normalizes None text to "" ONCE so a later row never compares
+    # str against a stored None (which would raise TypeError and kill
+    # the streaming task for any url batch with a null-text capture)
+    cand = None  # (us, k_text, text, ts) — deterministic winner
     for batch in batches:
         for ts, text in zip(batch["warc_ts"], batch["text"]):
             us = int(pd.Timestamp(ts).value // 1000)
             k = (us, text if text is not None else "")
             if cand is None or k > (cand[0], cand[1]):
-                cand = (us, text, ts)
+                cand = (us, k[1], text, ts)
     if cand is not None and (best_us is None or cand[0] > best_us):
         state.update((cand[0], n + 1))
         yield pd.DataFrame({
             "url": [key[0]],
-            "warc_ts": [cand[2]],
-            "text": [cand[1]],
+            "warc_ts": [cand[3]],
+            "text": [cand[2]],
             "amend_seq": [n + 1],
         })
 

@@ -7,12 +7,17 @@ from __future__ import annotations
 import datetime
 import math
 
+import os
+
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.001"
+# the IVF oracle recomputes the deterministic centroids from the
+# corpus; point it at the mimic's scale (driver default: sf0.01)
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]

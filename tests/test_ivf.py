@@ -30,6 +30,31 @@ def test_kmeans_deterministic(spark, emb):
     assert len(c1) == 4 and len(c1[0]) == 64
 
 
+def test_kmeans_deterministic_across_parallelism(spark, emb):
+    """The fixed-shape reduction tree makes the centroids independent
+    of the physical partitioning — the cluster-size-invariance claim
+    behind the DuckDB oracle."""
+    c1 = train_kmeans(emb.repartition(1), k=4, iters=2)
+    c32 = train_kmeans(emb.repartition(32), k=4, iters=2)
+    assert c1 == c32  # bit-exact, not approximately
+
+
+def test_kmeans_numpy_mirror_bit_exact(spark, emb):
+    """train_kmeans_mirror (the oracle's driver-side trainer) must
+    reproduce the Spark centroids bit-for-bit."""
+    from pdf_to_text_extraction_service_spark.operators.ivf import (
+        train_kmeans_mirror,
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = [[float(v) for v in r["embedding"]] for r in rows]
+    for k, iters in [(4, 2), (16, 3)]:
+        got = train_kmeans_mirror(ids, vecs, k=k, iters=iters)
+        want = train_kmeans(emb, k=k, iters=iters)
+        assert got == want, (k, iters)
+
+
 def test_ivf_persisted_index_partition_pruning(spark, emb, tmp_path):
     """write_ivf_index + load_ivf_index: the nprobe filter must reach
     the scan as parquet PARTITION pruning — only probed cluster=K

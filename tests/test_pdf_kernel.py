@@ -397,3 +397,37 @@ class TestPDFMutationFuzz:
                 cut = base[:int(len(base) * frac)]
                 r = pdfk.extract_pdf(cut, "application/pdf")
                 assert r.success in (True, False)
+
+
+class TestIncrementalUpdate:
+    """Newest-section-wins must apply to DELETIONS too: a newer xref
+    section's free entry shadows an older /Prev section's in-use
+    entry (no resurrection of deleted objects)."""
+
+    @staticmethod
+    def _with_deletion(base: bytes, obj_num: int) -> bytes:
+        import re
+
+        prev = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+        out = bytearray(base)
+        new_xref = len(out)
+        out += b"xref\n%d 1\n0000000000 00001 f \n" % obj_num
+        out += (b"trailer\n<< /Size 8 /Root 1 0 R /Prev %d >>\n"
+                b"startxref\n%d\n%%%%EOF\n" % (prev, new_xref))
+        return bytes(out)
+
+    def test_free_entry_shadows_prev_section(self):
+        base = pdfgen.simple_pdf([["Page one text"], ["Page two text"]])
+        # object 6 is page 2's content stream (1 catalog, 2 pages,
+        # 3/4 page1+content, 5/6 page2+content, 7 font)
+        assert b"Page two text" in base
+        deleted = self._with_deletion(base, 6)
+        assert pdfk.page_count(deleted) == 2
+        assert pdfk.extract_page_text(deleted, 1) == "Page one text"
+        assert pdfk.extract_page_text(deleted, 2) == ""
+
+    def test_replacement_still_wins(self):
+        # sanity: an in-use entry in the newer section (replacement)
+        # keeps winning over /Prev, as before
+        base = pdfgen.simple_pdf([["Page one text"]])
+        assert pdfk.extract_page_text(base, 1) == "Page one text"

@@ -149,3 +149,36 @@ def test_bitemporal_amendments_restart_and_stale(spark, tmp_path):
         "https://b.test/y.html": "b",
         "https://c.test/z.html": "c",
     }
+
+
+def test_amendments_null_text_batch(spark, tmp_path):
+    """A url batch containing a null-text capture must not kill the
+    streaming task (regression: the within-batch winner comparison
+    used the stored raw text, so str > None raised TypeError)."""
+    from pdf_to_text_extraction_service_spark.streaming.stateful import (
+        latest_capture_amendments,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+    _write_batch(spark, in_dir, [
+        ("https://n.test/x.html", 100, b"", None, "en"),
+        ("https://n.test/x.html", 100, b"", "real", "en"),
+        ("https://n.test/x.html", 50, b"", None, "en"),
+    ])
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+    q = (
+        latest_capture_amendments(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.read.parquet(out_dir).collect()
+    # same-timestamp tie resolves to the lexicographically larger
+    # text ("real" > "" from None), matching the batch dedup rule
+    assert len(rows) == 1 and rows[0]["text"] == "real"
