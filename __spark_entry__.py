@@ -181,6 +181,66 @@ def _q_extract_latex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kernel_probe(spark, sf_dir, ".tex", payload)
 
 
+def _legacy_probe(spark: SparkSession, sf_dir: str, ext: str,
+                  build_payload) -> DataFrame:
+    """Binary legacy-Office payloads (CFB containers) built driver-side
+    per doc — fixture construction like pdf_page_stats — then run
+    through the REAL extract pipeline (sniff → registry → CFB kernel).
+    build_payload(doc_id, text) -> bytes."""
+    from pdf_to_text_extraction_service_spark.functions.extract_udf import (
+        extract,
+    )
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", "source", "text").collect()
+    rows = [
+        (f"https://corpus.example/{r['source']}/doc{r['doc_id']}{ext}",
+         build_payload(r["doc_id"], r["text"]))
+        for r in docs
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    return extract(df).select("url", "success", "text", "method",
+                              "file_type", "word_count", "char_count")
+
+
+def _q_extract_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.doc binary Word (reference: LibreOffice subprocess,
+    office/legacy.go:38-59; engine: native FIB → piece table,
+    kernel/legacy.py): each doc carries the corpus text plus an
+    id-keyed second paragraph, so the piece-table cp math is gated
+    per row."""
+    from pdf_to_text_extraction_service_spark.sources.legacygen import (
+        build_doc,
+    )
+
+    return _legacy_probe(
+        spark, sf_dir, ".doc",
+        lambda i, t: build_doc([t, f"tail {i}"]))
+
+
+def _q_extract_xls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.xls BIFF8: SST/LabelSst string cells + Number cells assembled
+    to the XLSX kernel's markdown-table shape."""
+    from pdf_to_text_extraction_service_spark.sources.legacygen import (
+        build_xls,
+    )
+
+    return _legacy_probe(
+        spark, sf_dir, ".xls",
+        lambda i, t: build_xls("Data", [["k", "v"], [f"r{i}", i]]))
+
+
+def _q_extract_ppt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.ppt binary PowerPoint: TextCharsAtom frames per slide."""
+    from pdf_to_text_extraction_service_spark.sources.legacygen import (
+        build_ppt,
+    )
+
+    return _legacy_probe(
+        spark, sf_dir, ".ppt",
+        lambda i, t: build_ppt([[t, f"slide {i}"]]))
+
+
 def _q_dedup_latest_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(load_documents(spark, sf_dir),
                                  dup_factor=3)
@@ -771,6 +831,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_code_docs": _q_extract_code,
     "extract_notebook_docs": _q_extract_notebook,
     "extract_latex_docs": _q_extract_latex,
+    "extract_doc_docs": _q_extract_doc,
+    "extract_xls_docs": _q_extract_xls,
+    "extract_ppt_docs": _q_extract_ppt,
     "dedup_latest_url": _q_dedup_latest_url,
     "dedup_window_events": _q_dedup_window_events,
     "q1_lineitem_agg": _q1_lineitem_agg,
@@ -1158,6 +1221,26 @@ _KERNEL_PROBE_ORACLES = {
         ".tex",
         "'# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text",
         "native", "code/latex"),
+    # Legacy binary Office: the CFB containers are generator-built
+    # (sources/legacygen.py) so the extracted text is closed-form —
+    # .doc paragraphs join with newline, .xls renders the XLSX-shape
+    # markdown table, .ppt frames join with blank lines.
+    "extract_doc_docs": _kernel_probe_sql(
+        ".doc",
+        "text || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)",
+        "native", "document/legacy-office"),
+    "extract_xls_docs": _kernel_probe_sql(
+        ".xls",
+        "'## Sheet: Data' || chr(10) || chr(10) || "
+        "'| k | v |' || chr(10) || '| --- | --- |' || chr(10) || "
+        "'| r' || CAST(doc_id AS VARCHAR) || ' | ' || "
+        "CAST(doc_id AS VARCHAR) || ' |'",
+        "native", "document/legacy-office"),
+    "extract_ppt_docs": _kernel_probe_sql(
+        ".ppt",
+        "text || chr(10) || chr(10) || 'slide ' || "
+        "CAST(doc_id AS VARCHAR)",
+        "native", "document/legacy-office"),
 }
 
 

@@ -7,11 +7,14 @@ mapInPandas UDF (functions/extract_udf.py). Kernels must never raise
 on malformed documents — exceptions become ``success=false`` rows,
 mirroring the reference's withRecovery guard (cmd/server/main.go:539-549).
 
-External-API / subprocess kernels (image OCR+vision, audio, video,
-legacy office via LibreOffice) are side-effecting and non-reproducible
-offline: they return explicit failure codes, exactly as the reference
-reports ``success:false, error`` when a backend is unavailable
-(router.go:47-55); SURVEY.md §2.3 "Spark dispatch note".
+External-API kernels (image OCR+vision, audio, video) are
+side-effecting and non-reproducible offline: they return explicit
+failure codes, exactly as the reference reports ``success:false,
+error`` when a backend is unavailable (router.go:47-55); SURVEY.md
+§2.3 "Spark dispatch note". Legacy Office (.doc/.xls/.ppt) — which
+the reference converts via a LibreOffice subprocess
+(office/legacy.go:38-59) — is extracted NATIVELY here by the
+from-scratch CFB/MS-DOC/BIFF8/MS-PPT kernel (kernel/legacy.py).
 """
 
 from __future__ import annotations
@@ -34,9 +37,6 @@ _FAILURE_KERNELS = {
     "video": (UNSUPPORTED_MEDIA,
               "video transcription requires ffmpeg + an external API "
               "(offline engine failure code: unsupported_media)"),
-    "legacy_office": (UNSUPPORTED_MEDIA,
-                      "legacy office conversion requires LibreOffice "
-                      "(offline engine failure code: unsupported_media)"),
 }
 
 
@@ -138,6 +138,9 @@ def _dispatch(e: Extractor, b: bytes, file_name: str, mime: str) -> Result:
         return office.extract_opendocument(b, mime)
     if k == "epub":
         return office.extract_epub(b, mime)
+    if k == "legacy_office":
+        from . import legacy
+        return legacy.extract_legacy_office(b, mime)
     if k in _FAILURE_KERNELS:
         code, msg = _FAILURE_KERNELS[k]
         return Result(success=False, file_type=e.name, mime_type=mime,

@@ -51,6 +51,18 @@ def sniff_mime(payload: bytes) -> str:
         return "image/gif"
     if head.startswith(b"PK\x03\x04"):
         return "application/zip"
+    if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        # OLE2 compound file: the reference's mimetype tree resolves
+        # the concrete type from directory stream names — mirror that
+        # with a scan for the UTF-16LE entry names.
+        if "WordDocument".encode("utf-16-le") in payload:
+            return "application/msword"
+        if "Workbook".encode("utf-16-le") in payload \
+                or "Book".encode("utf-16-le") in payload:
+            return "application/vnd.ms-excel"
+        if "PowerPoint Document".encode("utf-16-le") in payload:
+            return "application/vnd.ms-powerpoint"
+        return "application/x-ole-storage"
     if head.startswith(b"\x1f\x8b"):
         return "application/x-gzip"
     if head.startswith(b"{\\rtf"):

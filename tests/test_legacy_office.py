@@ -1,0 +1,199 @@
+"""Legacy binary Office kernel: CFB container reader + .doc piece
+table + .xls BIFF8 + .ppt text atoms (reference converts these via
+LibreOffice — office/legacy.go:38-59; the engine parses natively)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pdf_to_text_extraction_service_spark.kernel import legacy, router
+from pdf_to_text_extraction_service_spark.kernel.cfb import CFB, CFBError
+from pdf_to_text_extraction_service_spark.sources import legacygen
+
+
+class TestCFB:
+    def test_mini_and_big_streams_round_trip(self):
+        small = b"tiny stream body"
+        big = b"B" * 5000
+        blob = legacygen.build_cfb([("Small", small), ("Big", big)])
+        c = CFB(blob)
+        assert c.stream("Small") == small
+        assert c.stream("Big") == big
+
+    def test_many_mini_streams(self):
+        streams = [(f"S{i}", bytes([65 + i]) * (i * 37 + 1))
+                   for i in range(20)]
+        c = CFB(legacygen.build_cfb(streams))
+        for name, body in streams:
+            assert c.stream(name) == body
+
+    def test_not_ole(self):
+        with pytest.raises(CFBError):
+            CFB(b"not an ole file" * 100)
+
+    def test_truncated_container(self):
+        blob = legacygen.build_cfb([("S", b"x" * 5000)])
+        with pytest.raises(CFBError):
+            CFB(blob[:700])
+
+    def test_missing_stream(self):
+        c = CFB(legacygen.build_cfb([("S", b"x")]))
+        with pytest.raises(CFBError):
+            c.stream("Nope")
+
+
+class TestDoc:
+    def test_utf16_pieces(self):
+        blob = legacygen.build_doc(["First para.", "Second para."])
+        r = legacy.extract_legacy_office(blob, "application/msword")
+        assert r.success
+        assert r.text == "First para.\nSecond para."
+        assert r.file_type == "document/legacy-office"
+        assert r.method == "native"
+        assert (r.word_count, r.char_count) == (4, 24)
+
+    def test_cp1252_compressed_piece(self):
+        blob = legacygen.build_doc(["café déjà vu"], compressed=True)
+        r = legacy.extract_legacy_office(blob, "application/msword")
+        assert r.success and r.text == "café déjà vu"
+
+    def test_control_chars_mapped(self):
+        # cell mark -> tab, vertical tab -> newline, field chars drop
+        blob = legacygen.build_doc(["a\x07b\x0bc\x13d\x15e"])
+        r = legacy.extract_legacy_office(blob, "application/msword")
+        assert r.text == "a\tb\nc" + "de"
+
+    def test_corrupt_fib_fails_cleanly(self):
+        blob = bytearray(legacygen.build_doc(["x"]))
+        c = CFB(bytes(blob))
+        assert "WordDocument" in c.streams
+        # zero the FIB ident inside the container body
+        ident = struct.pack("<H", 0xA5EC)
+        i = bytes(blob).find(ident)
+        blob[i:i + 2] = b"\x00\x00"
+        r = legacy.extract_legacy_office(bytes(blob),
+                                         "application/msword")
+        assert not r.success and "FIB" in r.error
+
+
+class TestXls:
+    def test_cells_markdown(self):
+        blob = legacygen.build_xls(
+            "Data", [["name", "score"], ["alice", 91.5], ["bob", 7]])
+        r = legacy.extract_legacy_office(blob,
+                                         "application/vnd.ms-excel")
+        assert r.success
+        assert r.text == (
+            "## Sheet: Data\n\n"
+            "| name | score |\n"
+            "| --- | --- |\n"
+            "| alice | 91.5 |\n"
+            "| bob | 7 |"
+        )
+
+    def test_rk_and_mulrk_records(self):
+        # hand-build a sheet with RK (int, x100 frac, float) + MulRk
+        def rk_int(v):
+            return ((v & 0x3FFFFFFF) << 2) | 0x02
+
+        def rk_float(v):
+            (bits,) = struct.unpack("<Q", struct.pack("<d", v))
+            return (bits >> 32) & ~0x03
+
+        sheet = bytearray(legacygen._bof(0x0010))
+        sheet += legacygen._rec(0x027E, struct.pack(
+            "<HHHI", 0, 0, 0, rk_int(42)))
+        sheet += legacygen._rec(0x027E, struct.pack(
+            "<HHHI", 0, 1, 0, rk_int(250) | 0x01))  # 2.5 via /100
+        mul = struct.pack("<HH", 1, 0)
+        mul += struct.pack("<HI", 0, rk_float(1.25))
+        mul += struct.pack("<HI", 0, rk_int(9))
+        mul += struct.pack("<H", 1)
+        sheet += legacygen._rec(0x00BD, mul)
+        sheet += legacygen._rec(0x000A, b"")
+        name = "S".encode("utf-16-le")
+        glb = bytearray(legacygen._bof(0x0005))
+        glb += legacygen._rec(
+            0x0085, struct.pack("<IHBB", 0, 0, 1, 0x01) + name)
+        glb += legacygen._rec(0x000A, b"")
+        blob = legacygen.build_cfb([("Workbook", bytes(glb + sheet))])
+        r = legacy.extract_legacy_office(blob,
+                                         "application/vnd.ms-excel")
+        assert r.success
+        assert "| 42 | 2.5 |" in r.text
+        assert "| 1.25 | 9 |" in r.text
+
+    def test_sst_continue_record(self):
+        # SST split across a Continue record mid-string, fresh grbit
+        s1, s2 = "alpha", "betagamma"
+        sst_body = struct.pack("<II", 2, 2)
+        sst_body += struct.pack("<HB", len(s1), 0x01) \
+            + s1.encode("utf-16-le")
+        sst_body += struct.pack("<HB", len(s2), 0x01) \
+            + s2[:4].encode("utf-16-le")
+        cont = bytes([0x01]) + s2[4:].encode("utf-16-le")
+        sheet = bytearray(legacygen._bof(0x0010))
+        sheet += legacygen._rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))
+        sheet += legacygen._rec(0x00FD, struct.pack("<HHHI", 0, 1, 0, 1))
+        sheet += legacygen._rec(0x000A, b"")
+        name = "S".encode("utf-16-le")
+        glb = bytearray(legacygen._bof(0x0005))
+        glb += legacygen._rec(
+            0x0085, struct.pack("<IHBB", 0, 0, 1, 0x01) + name)
+        glb += legacygen._rec(0x00FC, sst_body)
+        glb += legacygen._rec(0x003C, cont)
+        glb += legacygen._rec(0x000A, b"")
+        blob = legacygen.build_cfb([("Workbook", bytes(glb + sheet))])
+        r = legacy.extract_legacy_office(blob,
+                                         "application/vnd.ms-excel")
+        assert r.success
+        assert "alpha" in r.text and "betagamma" in r.text
+
+
+class TestPpt:
+    def test_slides(self):
+        blob = legacygen.build_ppt(
+            [["Title", "Sub"], ["Body text here"]])
+        r = legacy.extract_legacy_office(
+            blob, "application/vnd.ms-powerpoint")
+        assert r.success
+        assert r.text == "Title\n\nSub\n\nBody text here"
+
+    def test_bytes_atom(self):
+        body = "latin-1 tëxt".encode("cp1252")
+        inner = struct.pack("<HHI", 0, 0x0FA8, len(body)) + body
+        doc = struct.pack("<HHI", 0x000F, 0x03EE, len(inner)) + inner
+        blob = legacygen.build_cfb([("PowerPoint Document", doc)])
+        r = legacy.extract_legacy_office(
+            blob, "application/vnd.ms-powerpoint")
+        assert r.success and r.text == "latin-1 tëxt"
+
+
+class TestRouterIntegration:
+    def test_extension_routing(self):
+        blob = legacygen.build_doc(["Routed by extension."])
+        res, kernel = router.extract_document(
+            "https://x.test/files/report.doc", blob)
+        assert kernel == "legacy_office"
+        assert res.success and res.text == "Routed by extension."
+        assert res.file_type == "document/legacy-office"
+
+    def test_sniff_routing_without_extension(self):
+        for build, frag in [
+            (lambda: legacygen.build_doc(["sniffed doc"]), "sniffed doc"),
+            (lambda: legacygen.build_xls("S", [["cell"]]), "cell"),
+            (lambda: legacygen.build_ppt([["slide"]]), "slide"),
+        ]:
+            res, kernel = router.extract_document(
+                "https://x.test/download", build())
+            assert kernel == "legacy_office", res.error
+            assert res.success and frag in res.text
+
+    def test_garbage_ole_is_failure_row(self):
+        blob = bytearray(legacygen.build_doc(["x"]))
+        blob[512:600] = b"\xff" * 88  # corrupt FAT
+        res, kernel = router.extract_document(
+            "https://x.test/f.doc", bytes(blob))
+        assert not res.success and res.error

@@ -198,9 +198,18 @@ class TestRouterIntegration:
             assert fmt == want_fmt, name
             assert res.success, (name, res.error)
 
-    def test_legacy_office_failure_code(self):
+    def test_legacy_office_native_kernel(self):
+        # since round 3 legacy Office extracts NATIVELY via the CFB
+        # kernel; a broken container is a per-row failure, not an
+        # unsupported_media code
         res, fmt = router.extract_document("https://x.test/f.doc",
                                            b"\xd0\xcf\x11\xe0old-doc")
         assert fmt == "legacy_office"
-        assert not res.success
-        assert res.method == "unsupported_media"
+        assert not res.success and res.error
+        from pdf_to_text_extraction_service_spark.sources import (
+            legacygen,
+        )
+        res2, fmt2 = router.extract_document(
+            "https://x.test/f.doc", legacygen.build_doc(["works"]))
+        assert fmt2 == "legacy_office" and res2.success
+        assert res2.text == "works"
