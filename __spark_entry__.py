@@ -714,9 +714,11 @@ def _q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i % 4 == 0:
             pages.append(garbage)
         # layout rotates: classic xref table / PDF 1.5 xref-stream +
-        # object-stream / ToUnicode-CMap font encoding — the oracle is
-        # layout-independent, so this gates every reader path
-        # (kernel/pdfk._read_xref/_expand_objstm/_parse_tounicode)
+        # object-stream / ToUnicode-CMap font encoding / standard-
+        # security-handler encryption (RC4-40, RC4-128, AES-128 with
+        # empty user password) — the oracle is layout-independent, so
+        # this gates every reader path (kernel/pdfk._read_xref/
+        # _expand_objstm/_parse_tounicode/_decrypt_objects)
         # end-to-end.
         url = f"https://corpus.example/pdf/{i}.pdf"
         spans = [pdfgen.single_column_page(ls) for ls in pages]
@@ -726,6 +728,12 @@ def _q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             payload = pdfgen.build_pdf_modern(spans)
         else:
             payload = pdfgen.build_pdf(spans)
+            if i % 8 == 2:
+                payload = pdfgen.encrypt_pdf(payload, 1, 2, 40)
+            elif i % 8 == 4:
+                payload = pdfgen.encrypt_pdf(payload, 2, 3, 128)
+            elif i % 8 == 6:
+                payload = pdfgen.encrypt_pdf(payload, 4, 4, 128)
         rows.append((url, payload))
     df = spark.createDataFrame(rows, "url string, html binary")
     return pdf_page_stats(extract(df))

@@ -1,0 +1,275 @@
+"""PDF standard security handler (PDF 32000 §7.6.3) — the
+empty-user-password decryption path poppler applies silently
+(reference: poppler.go:51-164 shells out to pdftotext, which opens
+most "protected" web PDFs because they encrypt with an owner password
+only). Supports /V 1/2 (RC4 40..128-bit) and /V 4 with /AESV2
+(AES-128-CBC). Real passwords and /V 5 (AES-256) raise PDFError —
+the hybrid pipeline routes those documents to needs-ocr, keeping the
+reference's behavior envelope.
+
+RC4 is implemented inline (stream cipher, ~15 lines); AES-CBC uses
+the preinstalled ``cryptography`` package behind an import-try.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+class PDFCryptError(Exception):
+    pass
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    if len(data) < 32 or len(data) % 16:
+        raise PDFCryptError("bad AES stream length")
+    try:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes,
+        )
+    except ImportError as exc:  # pragma: no cover - baked into image
+        raise PDFCryptError("no AES backend available") from exc
+    iv, body = data[:16], data[16:]
+    dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+    plain = dec.update(body) + dec.finalize()
+    pad = plain[-1]
+    if not 1 <= pad <= 16:
+        raise PDFCryptError("bad AES padding")
+    return plain[:-pad]
+
+
+# ------------------------------------------------------- dict parsing
+
+_NUM_RE = re.compile(rb"/%b\s+(-?\d+)")
+
+
+def _dict_int(head: bytes, key: bytes, default: int | None = None) -> int:
+    m = re.search(rb"/" + key + rb"\s+(-?\d+)", head)
+    if m is None:
+        if default is None:
+            raise PDFCryptError(f"/Encrypt missing /{key.decode()}")
+        return default
+    return int(m.group(1))
+
+
+def pdf_string_after(buf: bytes, key: bytes) -> bytes | None:
+    """Parse the PDF string value following /key: literal (…) with
+    escapes, or hex <…>."""
+    m = re.search(rb"/" + key + rb"\s*", buf)
+    if m is None:
+        return None
+    i = m.end()
+    if i >= len(buf):
+        return None
+    if buf[i:i + 1] == b"<":
+        j = buf.find(b">", i)
+        hexs = re.sub(rb"\s", b"", buf[i + 1:j])
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("latin-1"))
+    if buf[i:i + 1] != b"(":
+        return None
+    out = bytearray()
+    i += 1
+    depth = 1
+    while i < len(buf):
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            e = buf[i:i + 1]
+            esc = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                   b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
+            if e in esc:
+                out += esc[e]
+                i += 1
+            elif e.isdigit():
+                k = 0
+                oct_ = 0
+                while k < 3 and buf[i:i + 1].isdigit():
+                    oct_ = oct_ * 8 + (buf[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(oct_ & 0xFF)
+            else:
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out)
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return None
+
+
+# ------------------------------------------------------ the handler
+
+
+class StandardDecryptor:
+    """Key schedule + per-object decryption for the standard handler,
+    empty user password. Raises PDFCryptError when the document needs
+    a real password or uses an unsupported /V."""
+
+    def __init__(self, encrypt_body: bytes, id0: bytes):
+        if b"/Standard" not in encrypt_body:
+            raise PDFCryptError("unsupported security handler")
+        v = _dict_int(encrypt_body, b"V", 0)
+        r = _dict_int(encrypt_body, b"R")
+        if v not in (1, 2, 4) or r not in (2, 3, 4):
+            raise PDFCryptError(f"unsupported encryption V={v} R={r}")
+        self.v, self.r = v, r
+        length_bits = _dict_int(encrypt_body, b"Length", 40)
+        self.key_len = 5 if r == 2 else length_bits // 8
+        o = pdf_string_after(encrypt_body, b"O")
+        u = pdf_string_after(encrypt_body, b"U")
+        if o is None or u is None or len(o) < 32 or len(u) < 32:
+            raise PDFCryptError("/Encrypt missing /O or /U")
+        p = _dict_int(encrypt_body, b"P")
+        self.aes = False
+        if v == 4:
+            # crypt filter: /StmF names the filter; we support the
+            # common /StdCF with /CFM /AESV2 or /V2
+            if b"/AESV2" in encrypt_body:
+                self.aes = True
+                self.key_len = 16
+            elif b"/V2" not in encrypt_body:
+                raise PDFCryptError("unsupported crypt filter")
+        self.encrypt_metadata = b"/EncryptMetadata false" not in \
+            encrypt_body
+        self.key = self._file_key(o[:32], p, id0)
+        if not self._check_user_password(u[:32], id0):
+            raise PDFCryptError("password protected (non-empty user "
+                                "password)")
+
+    def _file_key(self, o: bytes, p: int, id0: bytes) -> bytes:
+        h = hashlib.md5()
+        h.update(_PAD)              # empty user password → pad only
+        h.update(o)
+        h.update(struct.pack("<i", p))
+        h.update(id0)
+        if self.r >= 4 and not self.encrypt_metadata:
+            h.update(b"\xff\xff\xff\xff")
+        key = h.digest()
+        if self.r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:self.key_len]).digest()
+        return key[:self.key_len]
+
+    def _check_user_password(self, u: bytes, id0: bytes) -> bool:
+        if self.r == 2:
+            return rc4(self.key, _PAD) == u
+        h = hashlib.md5(_PAD + id0).digest()
+        enc = rc4(self.key, h)
+        for i in range(1, 20):
+            enc = rc4(bytes(b ^ i for b in self.key), enc)
+        return enc == u[:16]
+
+    def object_key(self, num: int, gen: int = 0) -> bytes:
+        h = hashlib.md5()
+        h.update(self.key)
+        h.update(struct.pack("<I", num)[:3])
+        h.update(struct.pack("<H", gen))
+        if self.aes:
+            h.update(b"sAlT")
+        return h.digest()[:min(self.key_len + 5, 16)]
+
+    def decrypt(self, num: int, data: bytes, gen: int = 0) -> bytes:
+        k = self.object_key(num, gen)
+        if self.aes:
+            return _aes_cbc_decrypt(k, data)
+        return rc4(k, data)
+
+    def encrypt(self, num: int, data: bytes, gen: int = 0) -> bytes:
+        """Fixture-generator hook (RC4 is symmetric; AES adds IV+pad)."""
+        k = self.object_key(num, gen)
+        if not self.aes:
+            return rc4(k, data)
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes,
+        )
+        iv = hashlib.md5(b"iv" + struct.pack("<I", num)).digest()
+        pad = 16 - len(data) % 16
+        enc = Cipher(algorithms.AES(k), modes.CBC(iv)).encryptor()
+        return iv + enc.update(data + bytes([pad]) * pad) + enc.finalize()
+
+
+def make_standard_encrypt_dict(v: int, r: int, length_bits: int,
+                               id0: bytes) -> tuple[bytes, "StandardDecryptor"]:
+    """Generator-side: build an /Encrypt dict (owner password 'own',
+    EMPTY user password, permissive /P) plus its working decryptor.
+
+    Follows Algorithms 3 and 4/5: O from the owner password, U from
+    the file key."""
+    p = -4
+    owner = (b"own" + _PAD)[:32]
+    # Algorithm 3: O entry
+    h = hashlib.md5(owner).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:5 if r == 2 else length_bits // 8]
+    o = rc4(okey, _PAD)  # user password empty → pad
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in okey), o)
+    # file key (Algorithm 2, empty user password)
+    h2 = hashlib.md5()
+    h2.update(_PAD)
+    h2.update(o)
+    h2.update(struct.pack("<i", p))
+    h2.update(id0)
+    key = h2.digest()
+    klen = 5 if r == 2 else length_bits // 8
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:klen]).digest()
+    key = key[:klen]
+    # U entry (Algorithm 4 / 5)
+    if r == 2:
+        u = rc4(key, _PAD)
+    else:
+        uh = hashlib.md5(_PAD + id0).digest()
+        u = rc4(key, uh)
+        for i in range(1, 20):
+            u = rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16
+    cf = b""
+    if v == 4:
+        cf = (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+              b"/StmF /StdCF /StrF /StdCF")
+    body = (b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+            b"/O <%s> /U <%s>%s >>"
+            % (v, r, length_bits, p, o.hex().encode(),
+               u.hex().encode(), cf))
+    return body, StandardDecryptor(body, id0)

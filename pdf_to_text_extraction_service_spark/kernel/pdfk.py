@@ -333,10 +333,76 @@ def _expand_objstm(body: bytes, objs: dict[int, bytes]) -> None:
         objs.setdefault(num, data[first + o:end])
 
 
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_HEX_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+
+
+def _encryption_meta(data: bytes) -> tuple[int | None, bytes]:
+    """(encrypt_obj_num, first /ID element) from the raw trailer
+    bytes — independent of xref health (works for table trailers,
+    XRef-stream dicts, and the scan-fallback path alike); the LAST
+    occurrence wins (newest incremental update)."""
+    nums = _ENCRYPT_REF_RE.findall(data)
+    ids = _ID_HEX_RE.findall(data)
+    num = int(nums[-1]) if nums else None
+    id0 = b""
+    if ids:
+        hexs = re.sub(rb"\s", b"", ids[-1])
+        if len(hexs) % 2 == 0:
+            id0 = bytes.fromhex(hexs.decode("latin-1"))
+    return num, id0
+
+
+def _decrypt_objects(objs: dict[int, bytes], dec, skip: set[int]) -> None:
+    """Replace every stream payload with its decrypted bytes (head's
+    /Length patched to the new direct value) so the rest of the
+    reader is encryption-blind. XRef streams are never encrypted
+    (PDF 32000 §7.5.8.2) and the /Encrypt object itself is skipped."""
+    def resolve_length(num: int) -> int:
+        b = objs.get(num)
+        if b is None:
+            raise PDFError(f"unresolvable /Length {num} 0 R")
+        return int(b.strip())
+
+    for num in list(objs):
+        if num in skip:
+            continue
+        body = objs[num]
+        marker = body.find(b"stream")
+        if marker < 0:
+            continue
+        head = body[:marker]
+        if b"/XRef" in head:
+            continue
+        start = marker + len(b"stream")
+        if body[start:start + 2] == b"\r\n":
+            start += 2
+        elif body[start:start + 1] == b"\n":
+            start += 1
+        length = _declared_length(head, objs)
+        raw = body[start:start + length] if length is not None else None
+        if raw is None:
+            sm = _STREAM_RE.search(body)
+            if sm is None:
+                continue
+            raw = sm.group(1)
+        try:
+            plain = dec.decrypt(num, raw)
+        except Exception as exc:
+            raise PDFError(f"decryption failed for object {num}: {exc}")
+        new_head = re.sub(rb"/Length\s+\d+(?:\s+\d+\s+R)?",
+                          b"/Length %d" % len(plain), head, count=1)
+        objs[num] = new_head + b"stream\n" + plain + b"\nendstream"
+
+
 def _load_objects(data: bytes) -> dict[int, bytes]:
     """Object table via the xref chain (offset-exact, ObjStm-aware);
-    regex-scan fallback on any structural failure. Either way, any
-    /Type /ObjStm bodies found get expanded."""
+    regex-scan fallback on any structural failure. Encrypted
+    documents (standard handler, empty user password) are decrypted
+    in place; password-protected ones raise — the hybrid pipeline
+    routes those to needs-ocr, like poppler failing on a real
+    password. Either way, any /Type /ObjStm bodies found get
+    expanded."""
     objs: dict[int, bytes] = {}
     try:
         xref = _read_xref(data)
@@ -365,6 +431,17 @@ def _load_objects(data: bytes) -> dict[int, bytes]:
         # errors as readily as structural PDFErrors — either way the
         # regex scan is the recovery path
         objs = _objects_scan(data)
+    enc_num, id0 = _encryption_meta(data)
+    if enc_num is not None:
+        from . import pdfcrypt
+        enc_body = objs.get(enc_num)
+        if enc_body is None:
+            raise PDFError("missing /Encrypt dictionary")
+        try:
+            dec = pdfcrypt.StandardDecryptor(enc_body, id0)
+        except pdfcrypt.PDFCryptError as exc:
+            raise PDFError(str(exc))
+        _decrypt_objects(objs, dec, skip={enc_num})
     for body in list(objs.values()):
         if b"/ObjStm" in body[:256]:
             try:

@@ -294,3 +294,67 @@ def build_pdf_cmap(pages: list[list[Span]]) -> bytes:
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (len(objs) + 1, xref_pos))
     return bytes(out)
+
+
+def encrypt_pdf(pdf: bytes, v: int = 2, r: int = 3,
+                bits: int = 128) -> bytes:
+    """Re-emit a build_pdf()-produced classic PDF with standard
+    security-handler encryption (owner password 'own', EMPTY user
+    password — the common "protected" web-PDF shape): every stream
+    payload encrypted per object, /Encrypt dict + /ID appended, xref
+    rebuilt. v=1/r=2 → RC4-40, v=2/r=3 → RC4-128, v=4/r=4 → AES-128
+    (AESV2 crypt filter)."""
+    import hashlib
+    import re as _re
+
+    from pdf_to_text_extraction_service_spark.kernel.pdfcrypt import (
+        make_standard_encrypt_dict,
+    )
+
+    id0 = hashlib.md5(pdf).digest()
+    enc_dict, enc = make_standard_encrypt_dict(v, r, bits, id0)
+    head_re = _re.compile(rb"(\d+) 0 obj\n")
+    objs: list[tuple[int, bytes]] = []
+    i = 0
+    while True:
+        m = head_re.search(pdf, i)
+        if m is None:
+            break
+        num = int(m.group(1))
+        j = m.end()
+        end = pdf.find(b"endobj", j)
+        sm = pdf.find(b"stream", j)
+        if 0 <= sm < end:
+            head = pdf[j:sm]
+            lm = _re.search(rb"/Length (\d+)", head)
+            length = int(lm.group(1))
+            start = sm + len(b"stream\n")
+            raw = pdf[start:start + length]
+            ct = enc.encrypt(num, raw)
+            head = _re.sub(rb"/Length \d+", b"/Length %d" % len(ct),
+                           head, count=1)
+            body = head + b"stream\n" + ct + b"\nendstream"
+            end = pdf.find(b"endobj", start + length)
+        else:
+            body = pdf[j:end].rstrip(b"\n")
+        objs.append((num, body))
+        i = end + len(b"endobj")
+    enc_no = max(n for n, _ in objs) + 1
+    objs.append((enc_no, enc_dict))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num, body in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n%s\nendobj\n" % (num, body)
+    xref_pos = len(out)
+    n = max(offsets) + 1
+    out += b"xref\n0 %d\n" % n
+    out += b"0000000000 65535 f \n"
+    for k in range(1, n):
+        out += b"%010d 00000 n \n" % offsets[k]
+    idhex = id0.hex().encode()
+    out += (b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R "
+            b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+            % (n, enc_no, idhex, idhex, xref_pos))
+    return bytes(out)

@@ -431,3 +431,67 @@ class TestIncrementalUpdate:
         # keeps winning over /Prev, as before
         base = pdfgen.simple_pdf([["Page one text"]])
         assert pdfk.extract_page_text(base, 1) == "Page one text"
+
+
+class TestEncryptedPDF:
+    """Standard security handler with EMPTY user password — the
+    common "protected" web PDF that poppler opens silently
+    (poppler.go path). RC4-40 (V1/R2), RC4-128 (V2/R3), AES-128
+    (V4/R4 AESV2)."""
+
+    BASE = None
+
+    @classmethod
+    def _base(cls):
+        if cls.BASE is None:
+            cls.BASE = pdfgen.simple_pdf(
+                [GOOD_LINES, GOOD_LINES[:2]])
+        return cls.BASE
+
+    def test_all_modes_match_plaintext(self):
+        want1 = pdfk.extract_page_text(self._base(), 1)
+        want2 = pdfk.extract_page_text(self._base(), 2)
+        for v, r, bits in [(1, 2, 40), (2, 3, 128), (4, 4, 128)]:
+            enc = pdfgen.encrypt_pdf(self._base(), v, r, bits)
+            assert pdfk.page_count(enc) == 2, (v, r)
+            assert pdfk.extract_page_text(enc, 1) == want1, (v, r)
+            assert pdfk.extract_page_text(enc, 2) == want2, (v, r)
+
+    def test_flate_then_decrypt(self):
+        base = pdfgen.build_pdf(
+            [pdfgen.single_column_page(GOOD_LINES)], compress=True)
+        enc = pdfgen.encrypt_pdf(base, 2, 3, 128)
+        assert pdfk.extract_page_text(enc, 1) == \
+            pdfk.extract_page_text(base, 1)
+
+    def test_real_user_password_is_failure_not_crash(self):
+        # corrupt /U so the empty-password check fails -> the doc
+        # behaves like a truly password-protected file
+        enc = bytearray(pdfgen.encrypt_pdf(self._base(), 2, 3, 128))
+        i = bytes(enc).find(b"/U <")
+        enc[i + 4:i + 8] = b"0000"
+        r = pdfk.extract_pdf(bytes(enc), "application/pdf")
+        assert not r.success
+        assert "password" in (r.error or "")
+
+    def test_extract_pdf_full_envelope(self):
+        enc = pdfgen.encrypt_pdf(self._base(), 4, 4, 128)
+        r = pdfk.extract_pdf(enc, "application/pdf")
+        assert r.success and "quick brown fox" in r.text
+
+    def test_unsupported_v5_is_failure(self):
+        enc = pdfgen.encrypt_pdf(self._base(), 2, 3, 128)
+        enc = enc.replace(b"/V 2 /R 3", b"/V 5 /R 6")
+        r = pdfk.extract_pdf(enc, "application/pdf")
+        assert not r.success and "unsupported" in (r.error or "")
+
+    def test_mutation_fuzz_encrypted(self):
+        import random
+        rng = random.Random(99)
+        enc = pdfgen.encrypt_pdf(self._base(), 4, 4, 128)
+        for _ in range(60):
+            blob = bytearray(enc)
+            for _ in range(rng.randint(1, 12)):
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+            r = pdfk.extract_pdf(bytes(blob), "application/pdf")
+            assert r.success in (True, False)
