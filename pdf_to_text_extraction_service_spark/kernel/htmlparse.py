@@ -81,6 +81,24 @@ _RAW_CLOSE = {
     for t in ("script", "style", "title")
 }
 
+# WHATWG formatting elements (the adoption-agency set). Misnesting
+# like <b><i></b></i> or <a>x<div>y</a> is endemic in real crawl
+# HTML; x/net/html recovers via the adoption agency algorithm
+# (html_strip.go:42 inherits it). We implement the active-formatting-
+# elements list + reconstruction + a simplified adoption step that
+# preserves what text extraction depends on: document text order,
+# open block structure (a misnested </b> never blows away an open
+# <div>), and anchor attribution for link-density scoring.
+_FORMATTING = frozenset((
+    "a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
+    "strike", "strong", "tt", "u",
+))
+# table-boundary tags that insert a marker into the AFE list (spec:
+# "clear the list of active formatting elements up to the last
+# marker" when the cell/caption closes)
+_MARKER_TAGS = frozenset(("td", "th", "caption", "table"))
+_AFE_MARKER = object()
+
 _TAG_RE = re.compile(
     r"<(?:"
     r"(?P<comment>!--)"
@@ -109,6 +127,100 @@ def parse(data: bytes | str) -> Node:
     root = Node(DOCUMENT)
     stack: list[Node] = [root]
     open_tags: list[str] = []  # parallel tag-name stack (root excluded)
+    afe: list = []  # active formatting elements: (tag, node) | marker
+
+    def _afe_clear_to_marker() -> None:
+        while afe:
+            if afe.pop() is _AFE_MARKER:
+                return
+
+    def _afe_push(tag: str, node: Node) -> None:
+        # Noah's Ark clause (tag-name approximation): at most 3 same-
+        # tag entries since the last marker
+        same = 0
+        for k in range(len(afe) - 1, -1, -1):
+            e = afe[k]
+            if e is _AFE_MARKER:
+                break
+            if e[0] == tag:
+                same += 1
+                if same == 3:
+                    del afe[k]
+                    break
+        afe.append((tag, node))
+
+    def _reconstruct() -> None:
+        """Reopen formatting elements that were implicitly closed —
+        run before inserting visible text, so <p><b>x</p><p>y keeps
+        y bold and <a>x<p>y keeps y inside an anchor clone."""
+        if not afe:
+            return
+        last = afe[-1]
+        if last is _AFE_MARKER or last[1] in stack:
+            return
+        i = len(afe) - 1
+        while i > 0 and afe[i - 1] is not _AFE_MARKER \
+                and afe[i - 1][1] not in stack:
+            i -= 1
+        for j in range(i, len(afe)):
+            tag_j, _ = afe[j]
+            clone = Node(ELEMENT, tag_j)
+            stack[-1].children.append(clone)
+            stack.append(clone)
+            open_tags.append(tag_j)
+            afe[j] = (tag_j, clone)
+
+    def _adoption(tag: str) -> None:
+        """Simplified adoption agency for a formatting end tag: find
+        the matching AFE entry (up to the last marker); pop through
+        formatting-only runs (leaving the outer entries reconstructable)
+        or — when a block element intervenes — splice the formatting
+        element out of the open stack without disturbing the blocks
+        above it."""
+        for ai in range(len(afe) - 1, -1, -1):
+            e = afe[ai]
+            if e is _AFE_MARKER:
+                return
+            if e[0] != tag:
+                continue
+            node = e[1]
+            if node not in stack:
+                del afe[ai]  # already implicitly closed — stop here
+                return
+            k = stack.index(node)  # open_tags index k-1
+            if any(t not in _FORMATTING for t in open_tags[k:]):
+                # furthest-block case (spec step 14-19, one
+                # iteration): the first block above f is reparented
+                # to f's parent so f no longer wraps FUTURE content,
+                # and its existing children are clone-wrapped so the
+                # content already written keeps f's attribution
+                # (matters when f is <a>: link-density scoring).
+                for bi in range(k, len(open_tags)):
+                    if open_tags[bi] not in _FORMATTING:
+                        block = stack[bi + 1]
+                        break
+                parent = stack[k - 1]
+                if block in node.children:
+                    node.children.remove(block)
+                    try:
+                        pos = parent.children.index(node) + 1
+                    except ValueError:
+                        pos = len(parent.children)
+                    parent.children.insert(pos, block)
+                if block.children:
+                    clone = Node(ELEMENT, tag)
+                    clone.children = block.children
+                    block.children = [clone]
+                del afe[ai]
+                del open_tags[k - 1]
+                del stack[k]
+            else:
+                # only formatting elements above: pop through them;
+                # their AFE entries stay for reconstruction
+                del afe[ai]
+                del stack[k:]
+                del open_tags[k - 1:]
+            return
 
     def _foster_insert(node: Node) -> None:
         """Insert before the nearest open <table> in its parent."""
@@ -134,6 +246,9 @@ def parse(data: bytes | str) -> Node:
             if t in barriers:
                 return
             if t in names:
+                for closed in open_tags[idx:]:
+                    if closed in _MARKER_TAGS:
+                        _afe_clear_to_marker()
                 del open_tags[idx:]
                 del stack[idx + 1:]
                 return
@@ -141,9 +256,12 @@ def parse(data: bytes | str) -> Node:
     def append_text(raw: str, decode: bool = True) -> None:
         if not raw:
             return
-        node = Node(TEXT, _unescape(raw) if decode and "&" in raw else raw)
         # inlined table-context check — this runs per text node
-        if open_tags and open_tags[-1] in _TABLE_CTX and raw.strip():
+        in_table = open_tags and open_tags[-1] in _TABLE_CTX
+        if afe and not in_table and raw.strip():
+            _reconstruct()  # reopen implicitly-closed formatting els
+        node = Node(TEXT, _unescape(raw) if decode and "&" in raw else raw)
+        if in_table and raw.strip():
             _foster_insert(node)  # non-space chars in table context
         else:
             stack[-1].children.append(node)
@@ -181,10 +299,15 @@ def parse(data: bytes | str) -> Node:
             tag = m.group("end")[1:].strip().lower()
             parts = tag.split(None, 1)
             tag = parts[0] if parts else tag
+            if tag in _FORMATTING:
+                _adoption(tag)
+                continue
             if tag in open_tags:
                 while open_tags:
                     t = open_tags.pop()
                     stack.pop()
+                    if t in _MARKER_TAGS:
+                        _afe_clear_to_marker()
                     if t == tag:
                         break
             continue
@@ -213,12 +336,21 @@ def parse(data: bytes | str) -> Node:
             # reprocesses the token in the enclosing mode)
             _close_up_to(_ONLY_TABLE, _EMPTY)
 
+        if tag == "a" and any(
+                e is not _AFE_MARKER and e[0] == "a" for e in afe):
+            # nested <a> is a parse error: the spec runs the adoption
+            # agency for the open anchor before inserting the new one
+            _adoption("a")
+
         el = Node(ELEMENT, tag)
         if open_tags and open_tags[-1] in _TABLE_CTX \
                 and tag not in _TABLE_ALLOWED:
             _foster_insert(el)  # foster-parent stray table content
         else:
             stack[-1].children.append(el)
+
+        if tag in _MARKER_TAGS:
+            afe.append(_AFE_MARKER)
 
         if tag in _VOID or self_closing:
             continue
@@ -238,6 +370,8 @@ def parse(data: bytes | str) -> Node:
 
         stack.append(el)
         open_tags.append(tag)
+        if tag in _FORMATTING:
+            _afe_push(tag, el)
 
     return root
 

@@ -172,3 +172,93 @@ class TestTableFosterParenting:
             b"<html><body><p>before</p><table>x<tr><td><p>in cell</p>"
             b"</td></tr></table><p>after</p></body></html>")
         assert text == "before\n\nin cell\n\nafter"
+
+
+class TestAdoptionAgency:
+    """Misnested formatting recovery (WHATWG adoption agency —
+    x/net/html behavior class; html_strip.go:42 inherits it)."""
+
+    def _tree(self, s):
+        from pdf_to_text_extraction_service_spark.kernel import (
+            htmlparse,
+        )
+        return htmlparse.parse(s)
+
+    def _text(self, s):
+        from pdf_to_text_extraction_service_spark.kernel import (
+            htmlparse,
+        )
+        return htmlparse.node_text(htmlparse.parse(s))
+
+    def test_bi_misnest_reconstructs(self):
+        t = self._tree("<p><b>one<i>two</b>three</i>four</p>")
+        p = t.children[0]
+        # browser tree: p > [b > ('one', i > 'two'), i > 'three', 'four']
+        assert [c.data for c in p.children] == ["b", "i", "four"]
+        assert p.children[1].children[0].data == "three"
+
+    def test_block_survives_misnested_close(self):
+        # </b> must not blow away the open <div>; "3" stays in it
+        t = self._tree("<b>1<div>2</b>3</div>4")
+        div = t.children[1]
+        assert div.data == "div"
+        texts = [c.data for c in div.children if c.type == 0]
+        assert "3" in texts
+        # "4" lands outside both
+        assert t.children[2].data == "4"
+
+    def test_anchor_does_not_wrap_future_blocks(self):
+        # link-density correctness: "3" must NOT be anchor text,
+        # "2" must keep its anchor attribution via the clone
+        t = self._tree("<a href=x>1<p>2</a>3")
+        a0, p = t.children[0], t.children[1]
+        assert a0.data == "a" and p.data == "p"
+        assert p.children[0].data == "a"  # clone wraps "2"
+        assert p.children[1].data == "3"  # sibling, not linked
+
+    def test_formatting_reconstructed_across_paragraphs(self):
+        t = self._tree("<p><b>x</p><p>y</p>")
+        p2 = t.children[1]
+        assert p2.children[0].data == "b"
+        assert p2.children[0].children[0].data == "y"
+
+    def test_nested_anchor_implicitly_closes(self):
+        t = self._tree("<a>1<a>2</a>3</a>4")
+        assert [getattr(c, "data", None) for c in t.children] == \
+            ["a", "a", "3", "4"]
+
+    def test_table_marker_blocks_reconstruction(self):
+        # formatting outside a table must not leak into cells
+        t = self._tree("<b>out<table><tr><td>cell</td></tr></table>x")
+        b = t.children[0]
+        table = b.children[1]
+        td = table.children[0].children[0]
+        assert td.children[0].type == 0 and td.children[0].data == "cell"
+
+    def test_text_order_is_stable_under_misnesting(self):
+        cases = [
+            "<b><i></b></i>plain",
+            "<em>1<strong>2</em>3</strong>4",
+            "<u><s><b>x</u>y</s>z</b>w",
+            "<a>1<div><a>2</div>3",
+        ]
+        for c in cases:
+            flat = "".join(ch for ch in c if ch not in "<>")
+            got = self._text(c)
+            import re
+            want = "".join(re.findall(r"(?<=>)[^<>]+|^[^<]+", c))
+            assert got == "".join(
+                x for x in re.split(r"<[^>]*>", c) if x), c
+
+    def test_deep_misnesting_never_crashes(self):
+        import random
+        rng = random.Random(5)
+        tags = ["b", "i", "em", "a", "div", "p", "span", "table",
+                "tr", "td"]
+        for _ in range(200):
+            parts = []
+            for _ in range(rng.randint(5, 40)):
+                t = rng.choice(tags)
+                parts.append(rng.choice([f"<{t}>", f"</{t}>", "txt "]))
+            s = "".join(parts)
+            self._text(s)  # must not raise
