@@ -196,14 +196,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         .filter(F.size("_sh") > 0)
     )
-    # Shingles AND signatures are computed ONCE into the persisted
-    # relation (the self-join below reads it twice; without the
-    # persist each side would re-run the signature UDF) and never
+    # Shingle-hash ids AND signatures are computed ONCE into the
+    # persisted relation (the self-join below reads it twice; without
+    # the persist each side would re-run the signature UDF) and never
     # travel through the banding explode/shuffle — the banded
     # relation is 3 small scalars per (doc, band). Candidates join
-    # back to `sh` for verification.
+    # back to `sh` for verification over the 31-bit int arrays: the
+    # document-sized shingle STRINGS are projected away right here,
+    # so the verify join ships ~8 bytes per shingle instead of the
+    # shingle text (set-identical Jaccard up to xxhash collisions at
+    # ~2^-31 per differing-shingle pair — and the threshold filter is
+    # the verified property anyway).
     sig_udf = minhash_signature_udf(num_perm)
-    sh = sh.withColumn("_sig", sig_udf(shingle_hashes("_sh"))).persist()
+    sh = sh.select(
+        "_id",
+        F.array_distinct(shingle_hashes("_sh")).alias("_hsh"),
+    ).withColumn("_sig", sig_udf("_hsh")).persist()
     sig = sh
     banded = sig.select(
         "_id",
@@ -237,13 +245,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     jac = (
         cand
         .join(sh.select(F.col("_id").alias("id_a"),
-                        F.col("_sh").alias("_sh_a")), "id_a")
+                        F.col("_hsh").alias("_h_a")), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"),
-                        F.col("_sh").alias("_sh_b")), "id_b")
+                        F.col("_hsh").alias("_h_b")), "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("_sh_a", "_sh_b"))
-            / F.size(F.array_union("_sh_a", "_sh_b")),
+            F.size(F.array_intersect("_h_a", "_h_b"))
+            / F.size(F.array_union("_h_a", "_h_b")),
         )
     )
     return (

@@ -87,3 +87,53 @@ def test_router_utf8_bom_plaintext():
     res, _ = router.extract_document(
         "https://x.test/a.txt", "﻿hello bom".encode("utf-8"))
     assert res.success and res.text == "hello bom"
+
+
+class TestStatisticalFallback:
+    """Unlabeled non-UTF-8 pages: the byte-statistics fallback
+    (docs/NEXT.md #2 residual) must pick the right codec for the
+    common crawl charsets, and must NEVER flip a genuinely Latin or
+    low-evidence page away from windows-1252."""
+
+    CASES = [
+        ("Привет мир, это обычная русская страница с текстом.",
+         "windows-1251"),
+        ("Привет мир, это обычная русская страница с текстом.",
+         "koi8-r"),
+        ("これは普通の日本語のページです。テキストがたくさんあります。",
+         "shift_jis"),
+        ("これは普通の日本語のページです。テキストがたくさんあります。",
+         "euc-jp"),
+        ("这是一个普通的中文网页，包含很多文字内容。", "gbk"),
+        ("這是一個普通的中文網頁，包含很多文字內容。", "big5"),
+        ("이것은 일반적인 한국어 페이지입니다. 텍스트가 있습니다.",
+         "euc-kr"),
+    ]
+
+    def test_detects_unlabeled_encodings(self):
+        for text, enc in self.CASES:
+            raw = ("<html><body>" + text * 5
+                   + "</body></html>").encode(enc)
+            got, codec = charset.decode(raw, scan_meta=False)
+            assert codec == enc, (enc, codec)
+            assert text in got
+
+    def test_latin_pages_stay_cp1252(self):
+        for text in [
+            "Ceci est une page française avec accents: é à ü œ.",
+            "Völlig übliche deutsche Seite mit Umlauten: ä ö ü ß.",
+        ]:
+            raw = (text * 10).encode("windows-1252")
+            _, codec = charset.decode(raw, scan_meta=False)
+            assert codec == "windows-1252", codec
+
+    def test_low_evidence_keeps_default(self):
+        text, codec = charset.decode(b"\x93quoted\x94 text only")
+        assert codec == "windows-1252"
+
+    def test_meta_label_still_beats_statistics(self):
+        body = "Привет мир, это русская страница с текстом."
+        raw = ('<html><meta charset="koi8-r"><body>' + body * 5
+               + "</body></html>").encode("koi8-r")
+        _, codec = charset.decode(raw)
+        assert codec == "koi8-r"
