@@ -241,6 +241,44 @@ def _q_extract_ppt(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i, t: build_ppt([[t, f"slide {i}"]]))
 
 
+def _q_extract_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX kernel (docx.go:34-415) driver-gated: corpus text body +
+    an id-keyed Heading1 (markdown '#' prefix)."""
+    from pdf_to_text_extraction_service_spark.sources.officegen import (
+        make_docx,
+    )
+
+    return _legacy_probe(
+        spark, sf_dir, ".docx",
+        lambda i, t: make_docx([
+            {"text": t}, {"text": f"heading {i}", "style": "Heading1"},
+        ]))
+
+
+def _q_extract_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX kernel (xlsx.go:27-129): sharedStrings + sheet grid to
+    markdown table."""
+    from pdf_to_text_extraction_service_spark.sources.officegen import (
+        make_xlsx,
+    )
+
+    return _legacy_probe(
+        spark, sf_dir, ".xlsx",
+        lambda i, t: make_xlsx({"Data": [["k", "v"], [f"r{i}", "x"]]}))
+
+
+def _q_extract_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX kernel (pptx.go:30-142): slide text frames under
+    '## Slide N' headings."""
+    from pdf_to_text_extraction_service_spark.sources.officegen import (
+        make_pptx,
+    )
+
+    return _legacy_probe(
+        spark, sf_dir, ".pptx",
+        lambda i, t: make_pptx([[t, f"note {i}"]]))
+
+
 def _q_dedup_latest_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(load_documents(spark, sf_dir),
                                  dup_factor=3)
@@ -842,6 +880,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_doc_docs": _q_extract_doc,
     "extract_xls_docs": _q_extract_xls,
     "extract_ppt_docs": _q_extract_ppt,
+    "extract_docx_docs": _q_extract_docx,
+    "extract_xlsx_docs": _q_extract_xlsx,
+    "extract_pptx_docs": _q_extract_pptx,
     "dedup_latest_url": _q_dedup_latest_url,
     "dedup_window_events": _q_dedup_window_events,
     "q1_lineitem_agg": _q1_lineitem_agg,
@@ -1249,6 +1290,25 @@ _KERNEL_PROBE_ORACLES = {
         "text || chr(10) || chr(10) || 'slide ' || "
         "CAST(doc_id AS VARCHAR)",
         "native", "document/legacy-office"),
+    # OOXML kernels over generator-built containers (officegen) —
+    # the extracted markdown is closed-form per doc_id.
+    "extract_docx_docs": _kernel_probe_sql(
+        ".docx",
+        "text || chr(10) || chr(10) || '# heading ' || "
+        "CAST(doc_id AS VARCHAR)",
+        "native", "document/docx"),
+    "extract_xlsx_docs": _kernel_probe_sql(
+        ".xlsx",
+        "'## Sheet: Data' || chr(10) || chr(10) || "
+        "'| k | v |' || chr(10) || '| --- | --- |' || chr(10) || "
+        "'| r' || CAST(doc_id AS VARCHAR) || ' | x |' || chr(10)",
+        "native", "document/xlsx"),
+    "extract_pptx_docs": _kernel_probe_sql(
+        ".pptx",
+        "'---' || chr(10) || '---' || chr(10) || chr(10) || "
+        "'## Slide 1' || chr(10) || chr(10) || text || chr(10) || "
+        "chr(10) || 'note ' || CAST(doc_id AS VARCHAR)",
+        "native", "document/pptx"),
 }
 
 
