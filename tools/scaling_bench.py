@@ -104,17 +104,37 @@ def _run_once(cpus: int, path: str) -> tuple[float, int]:
     return dt, n
 
 
-def _run_pairs(lo: int, hi: int, path: str, pairs: int = 3):
+def _run_once_pinned(cpus: int, path: str) -> tuple[float, int]:
+    """One timed pass in a SUBPROCESS confined to cpus 0..cpus-1 via
+    taskset — the physically-isolated datapoint (NEXT.md #10): the
+    JVM only ever sees the pinned cores, so the measured ratio cannot
+    be polluted by scheduler spillover onto other cores (a live JVM's
+    affinity cannot be changed after launch, hence the subprocess)."""
+    import subprocess
+
+    cmd = [
+        "taskset", "-c", f"0-{cpus - 1}", sys.executable,
+        os.path.abspath(__file__), "--one", str(cpus), "--path", path,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         check=True)
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    return rec["t"], rec["n"]
+
+
+def _run_pairs(lo: int, hi: int, path: str, pairs: int = 3,
+               pinned: bool = False):
     """Efficiency is a RATIO, and this sandbox's absolute throughput
     drifts ±15% across minutes (co-tenant load). Measuring lo and hi
     back-to-back inside each iteration keeps the two legs of every
     ratio under matched conditions; the MEDIAN pair efficiency is the
     reported number (best-of-N across separately-timed levels lets
     one lucky lo leg sink the ratio)."""
+    run = _run_once_pinned if pinned else _run_once
     results = []
     for _ in range(pairs):
-        t_lo, n_lo = _run_once(lo, path)
-        t_hi, n_hi = _run_once(hi, path)
+        t_lo, n_lo = run(lo, path)
+        t_hi, n_hi = run(hi, path)
         assert n_lo == n_hi
         results.append((t_lo, t_hi, (t_lo / t_hi) / (hi / lo)))
     return results
@@ -131,7 +151,17 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--hi", type=int, default=16)
     ap.add_argument("--path", default=None)
+    ap.add_argument("--pin", action="store_true",
+                    help="also run taskset-pinned pairs (subprocess "
+                         "per level, cores 0..N-1)")
+    ap.add_argument("--one", type=int, default=None,
+                    help=argparse.SUPPRESS)  # internal: single run
     args = ap.parse_args()
+
+    if args.one is not None:
+        t, n = _run_once(args.one, args.path)
+        print(json.dumps({"t": t, "n": n}))
+        return
 
     from pdf_to_text_extraction_service_spark.plans.session import (
         build_session,
@@ -166,6 +196,34 @@ def main() -> None:
         "efficiency": round(eff, 3),
         "pair_efficiencies": [round(e, 3) for e in effs],
     }
+
+    pinned_md = ""
+    if args.pin:
+        ppairs = _run_pairs(args.lo, args.hi, path, pairs=3,
+                            pinned=True)
+        peffs = sorted(e for _, _, e in ppairs)
+        peff = statistics.median(peffs)
+        pt_lo, pt_hi, _ = min(ppairs, key=lambda p: abs(p[2] - peff))
+        result["pinned_efficiency"] = round(peff, 3)
+        result["pinned_pair_efficiencies"] = [round(e, 3) for e in peffs]
+        result["pinned_secs_lo"] = round(pt_lo, 2)
+        result["pinned_secs_hi"] = round(pt_hi, 2)
+        pinned_md = f"""
+## Pinned-core isolation (taskset)
+
+Each level additionally ran in a subprocess confined with
+`taskset -c 0-{{N-1}}` — the JVM never sees cores outside its set, so
+the ratio is free of scheduler spillover (the missing-rigor third
+datapoint, docs/NEXT.md #10):
+
+| parallelism (pinned) | wall secs | docs/sec |
+| --- | --- | --- |
+| {args.lo} cores | {pt_lo:.2f} | {args.docs / pt_lo:,.0f} |
+| {args.hi} cores | {pt_hi:.2f} | {args.docs / pt_hi:,.0f} |
+
+**Pinned scaling efficiency: {peff:.3f}** (pairs:
+{", ".join(f"{e:.3f}" for e in peffs)}).
+"""
     print(json.dumps(result))
 
     pair_effs = ", ".join(f"{e:.3f}" for e in effs)
@@ -215,6 +273,7 @@ exceeds the reference's whole-fleet worst-case ceiling by ~3 orders
 of magnitude on the HTML hot path while holding byte-identical
 output per url (CORRECTNESS gate).
 """
+    md += pinned_md
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
