@@ -279,6 +279,33 @@ def _q_extract_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i, t: make_pptx([[t, f"note {i}"]]))
 
 
+def _q_decontam_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination (GPT-3/Pile 13-gram overlap):
+    the planted benchmark is the first 20 tokens of every 17th doc,
+    so those docs are contaminated (8 of their grams hit) and the
+    rest are clean — all closed-form for the string-join oracle."""
+    from pdf_to_text_extraction_service_spark.operators.decontam import (
+        benchmark_overlap,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.expr("array_join(slice(split(text, ' '), 1, 20), ' ')")
+        .alias("text"))
+    return benchmark_overlap(docs, bench, n=13)
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at budget 256 over the
+    documents table (two-level distributed prefix sum; integer math
+    → bit-exact vs the oracle's single window cumsum)."""
+    from pdf_to_text_extraction_service_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    return pack_sequences(load_documents(spark, sf_dir), budget=256)
+
+
 def _q_dedup_latest_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(load_documents(spark, sf_dir),
                                  dup_factor=3)
@@ -883,6 +910,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_docx_docs": _q_extract_docx,
     "extract_xlsx_docs": _q_extract_xlsx,
     "extract_pptx_docs": _q_extract_pptx,
+    "decontam_benchmark": _q_decontam_benchmark,
+    "pack_sequences": _q_pack_sequences,
     "dedup_latest_url": _q_dedup_latest_url,
     "dedup_window_events": _q_dedup_window_events,
     "q1_lineitem_agg": _q1_lineitem_agg,
@@ -1309,6 +1338,53 @@ _KERNEL_PROBE_ORACLES = {
         "'## Slide 1' || chr(10) || chr(10) || text || chr(10) || "
         "chr(10) || 'note ' || CAST(doc_id AS VARCHAR)",
         "native", "document/pptx"),
+    # Decontamination oracle joins on the n-gram STRINGS (identical
+    # up to the engine's ~1e-18 dual-polyhash collision rate).
+    "decontam_benchmark": """
+        WITH bt AS (
+            SELECT (string_split(text, ' '))[1:20] AS t
+            FROM documents WHERE doc_id % 17 = 0
+        ), b AS (
+            SELECT flatten(list(list_transform(
+                range(0, greatest(len(t) - 13, 0) + 1),
+                i -> array_to_string(t[i + 1:i + 13], ' ')))) AS gl
+            FROM bt
+        ), d AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 13, 0) + 1),
+                i -> array_to_string(t[i + 1:i + 13], ' '))) AS gs
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents)
+        )
+        SELECT doc_id,
+               CAST(len(list_intersect(gs, gl)) AS INTEGER)
+                   AS hit_ngrams,
+               CAST(len(gs) AS INTEGER) AS total_ngrams,
+               ROUND(len(list_intersect(gs, gl))::DOUBLE
+                     / greatest(len(gs), 1), 6) AS overlap_frac,
+               len(list_intersect(gs, gl)) > 0 AS contaminated
+        FROM d CROSS JOIN b
+    """,
+    # Packing oracle: single window cumsum (integers — bit-exact vs
+    # the engine's two-level distributed prefix sum).
+    "pack_sequences": """
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n,
+                   COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS before
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n AS INTEGER) AS n_tokens,
+               CAST(before // 256 AS BIGINT) AS seq_id,
+               CAST(before % 256 AS INTEGER) AS seq_offset
+        FROM c
+    """,
 }
 
 

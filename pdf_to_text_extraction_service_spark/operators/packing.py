@@ -1,0 +1,84 @@
+"""Sequence packing for LM training — concat-and-chunk: lay documents
+out in deterministic id order and assign each to the fixed-token-
+budget training sequence its first token falls into
+(``seq_id = floor(tokens_before / budget)``), the standard packing
+used when documents are concatenated and chunked into context-length
+windows.
+
+The global prefix sum is the scale problem: a partition-less window
+over 10^12 rows is a single-task bottleneck. This implements the
+classic two-level reduction tree instead:
+
+1. cumulative sum within fixed id-blocks (windows PARTITIONED by
+   block — fully parallel);
+2. block totals roll up to superblocks the same way;
+3. only the superblock totals (rows / block² ≈ thousands at 10^12
+   docs) pass through a partition-less window, carrying two longs
+   each.
+
+Everything is integer arithmetic — bit-exact under any partitioning,
+so the DuckDB oracle is a plain window cumsum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BLOCK = 65536
+
+
+def pack_sequences(df: DataFrame, budget: int = 2048,
+                   id_col: str = "doc_id",
+                   text_col: str = "text",
+                   tokens_col: str | None = None,
+                   block: int = BLOCK) -> DataFrame:
+    """(id, n_tokens, seq_id, seq_offset) per document.
+
+    ``n_tokens`` is whitespace tokens of ``text_col`` unless a
+    precomputed ``tokens_col`` is given. ``seq_offset`` is the
+    document's first-token position inside its sequence; documents
+    longer than the remaining room straddle into the next sequence
+    (concat-and-chunk semantics)."""
+    ntok = (F.col(tokens_col) if tokens_col else
+            F.size(F.split(F.col(text_col), " "))).cast("long")
+    base = df.select(
+        F.col(id_col),
+        ntok.alias("n_tokens"),
+        (F.col(id_col) / block).cast("long").alias("_blk"),
+    ).withColumn("_sblk", (F.col("_blk") / block).cast("long"))
+
+    w_in = Window.partitionBy("_blk").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    base = base.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+
+    blk_tot = base.groupBy("_sblk", "_blk") \
+        .agg(F.sum("n_tokens").alias("_bt"))
+    w_blk = Window.partitionBy("_sblk").orderBy("_blk") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    blk_off = blk_tot.withColumn(
+        "_blk_off", F.coalesce(F.sum("_bt").over(w_blk), F.lit(0)))
+
+    sblk_tot = blk_tot.groupBy("_sblk").agg(F.sum("_bt").alias("_st"))
+    w_sblk = Window.orderBy("_sblk") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    sblk_off = sblk_tot.withColumn(
+        "_sblk_off", F.coalesce(F.sum("_st").over(w_sblk), F.lit(0)))
+
+    return (
+        base
+        .join(blk_off.select("_blk", "_blk_off"), "_blk")
+        .join(F.broadcast(sblk_off.select("_sblk", "_sblk_off")),
+              "_sblk")
+        .withColumn(
+            "_before",
+            F.col("_sblk_off") + F.col("_blk_off")
+            + F.col("_cum_in") - F.col("n_tokens"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("_before") / budget).cast("long").alias("seq_id"),
+            (F.col("_before") % budget).cast("int").alias("seq_offset"),
+        )
+    )

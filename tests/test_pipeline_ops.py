@@ -1,0 +1,100 @@
+"""Training-pipeline operators added in round 3: benchmark
+decontamination (n-gram overlap) and concat-and-chunk sequence
+packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_decontam_planted_overlap(spark):
+    from pdf_to_text_extraction_service_spark.operators.decontam import (
+        benchmark_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "x y z w v u"), (2, "a b c d q r")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("a b c d",)], "text string")
+    out = {r["doc_id"]: r for r in
+           benchmark_overlap(docs, bench, n=4).collect()}
+    # doc 0 and doc 2 share exactly the 4-gram "a b c d"
+    assert out[0]["contaminated"] and out[2]["contaminated"]
+    assert not out[1]["contaminated"]
+    assert out[0]["hit_ngrams"] == 1
+    assert out[0]["total_ngrams"] == 3  # abcd, bcde, cdef
+    assert abs(out[0]["overlap_frac"] - round(1 / 3, 6)) < 1e-9
+    assert out[1]["hit_ngrams"] == 0
+
+
+def test_decontam_no_false_hits_on_disjoint(spark):
+    from pdf_to_text_extraction_service_spark.operators.decontam import (
+        benchmark_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * 20) for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("other words entirely",)],
+                                  "text string")
+    out = benchmark_overlap(docs, bench, n=3)
+    assert out.filter("contaminated").count() == 0
+
+
+def test_pack_sequences_matches_serial_cumsum(spark):
+    from pdf_to_text_extraction_service_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [(i, "w " * ((i * 7) % 90 + 1)) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 128
+    got = {r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_tokens"])
+           for r in pack_sequences(docs, budget=budget,
+                                   block=32).collect()}
+    cum = 0
+    for i, text in rows:
+        n = len(text.split(" "))
+        assert got[i] == (cum // budget, cum % budget, n), i
+        cum += n
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    from pdf_to_text_extraction_service_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 40 + 1)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    a = sorted(tuple(r) for r in
+               pack_sequences(docs.repartition(1), budget=64,
+                              block=16).collect())
+    b = sorted(tuple(r) for r in
+               pack_sequences(docs.repartition(32), budget=64,
+                              block=16).collect())
+    assert a == b  # integer prefix sums — bit-exact at any parallelism
+
+
+def test_pack_sequences_straddle(spark):
+    from pdf_to_text_extraction_service_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    # one 100-token doc after a 200-token doc, budget 128: the second
+    # doc starts at offset 200 -> seq 1, offset 72
+    docs = spark.createDataFrame(
+        [(0, "w " * 200), (1, "w " * 100)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           pack_sequences(docs, budget=128).collect()}
+    # "w " * 200 splits into 201 tokens (trailing empty from split)
+    n0 = out[0]["n_tokens"]
+    assert out[0]["seq_id"] == 0 and out[0]["seq_offset"] == 0
+    assert out[1]["seq_id"] == n0 // 128
+    assert out[1]["seq_offset"] == n0 % 128
