@@ -797,8 +797,10 @@ def _q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payload = pdfgen.encrypt_pdf(payload, 1, 2, 40)
             elif i % 8 == 4:
                 payload = pdfgen.encrypt_pdf(payload, 2, 3, 128)
-            elif i % 8 == 6:
+            elif i % 16 == 6:
                 payload = pdfgen.encrypt_pdf(payload, 4, 4, 128)
+            elif i % 16 == 14:
+                payload = pdfgen.encrypt_pdf(payload, 5, 6, 256)
         rows.append((url, payload))
     df = spark.createDataFrame(rows, "url string, html binary")
     return pdf_page_stats(extract(df))

@@ -1,11 +1,12 @@
-"""PDF standard security handler (PDF 32000 §7.6.3) — the
+"""PDF standard security handler (PDF 32000 §7.6.3-7.6.4) — the
 empty-user-password decryption path poppler applies silently
 (reference: poppler.go:51-164 shells out to pdftotext, which opens
 most "protected" web PDFs because they encrypt with an owner password
-only). Supports /V 1/2 (RC4 40..128-bit) and /V 4 with /AESV2
-(AES-128-CBC). Real passwords and /V 5 (AES-256) raise PDFError —
-the hybrid pipeline routes those documents to needs-ocr, keeping the
-reference's behavior envelope.
+only). Supports /V 1/2 (RC4 40..128-bit), /V 4 with /AESV2
+(AES-128-CBC), and /V 5 /R 5/6 (AES-256 with the SHA-2 family
+key-derivation of PDF 2.0 Algorithm 2.B). Real passwords raise
+PDFCryptError — the hybrid pipeline routes those documents to
+needs-ocr, keeping the reference's behavior envelope.
 
 RC4 is implemented inline (stream cipher, ~15 lines); AES-CBC uses
 the preinstalled ``cryptography`` package behind an import-try.
@@ -43,6 +44,40 @@ def rc4(key: bytes, data: bytes) -> bytes:
         s[i], s[j] = s[j], s[i]
         out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
     return bytes(out)
+
+
+def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes,
+                 encrypt: bool = False) -> bytes:
+    """AES-CBC without padding (Algorithm 2.B mixing + UE unwrap)."""
+    try:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes,
+        )
+    except ImportError as exc:  # pragma: no cover - baked into image
+        raise PDFCryptError("no AES backend available") from exc
+    c = Cipher(algorithms.AES(key), modes.CBC(iv))
+    op = c.encryptor() if encrypt else c.decryptor()
+    return op.update(data) + op.finalize()
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """PDF 2.0 Algorithm 2.B (R6) iterated SHA-2 hash; R5 uses just
+    the first SHA-256 (call with ``r5=True`` via hash_r5)."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_raw(k[:16], k[16:32], k1, encrypt=True)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
@@ -146,6 +181,10 @@ class StandardDecryptor:
             raise PDFCryptError("unsupported security handler")
         v = _dict_int(encrypt_body, b"V", 0)
         r = _dict_int(encrypt_body, b"R")
+        if v == 5 and r in (5, 6):
+            self.v, self.r = v, r
+            self._init_v5(encrypt_body)
+            return
         if v not in (1, 2, 4) or r not in (2, 3, 4):
             raise PDFCryptError(f"unsupported encryption V={v} R={r}")
         self.v, self.r = v, r
@@ -172,6 +211,30 @@ class StandardDecryptor:
             raise PDFCryptError("password protected (non-empty user "
                                 "password)")
 
+    def _init_v5(self, body: bytes) -> None:
+        """AES-256 (PDF 2.0 §7.6.4.4): validate the EMPTY user
+        password against /U, unwrap the file key from /UE. R6 uses
+        the iterated Algorithm 2.B hash; R5 (the deprecated Adobe
+        extension) a single SHA-256."""
+        u = pdf_string_after(body, b"U")
+        ue = pdf_string_after(body, b"UE")
+        if u is None or ue is None or len(u) < 48 or len(ue) < 32:
+            raise PDFCryptError("/Encrypt missing /U or /UE")
+        vsalt, ksalt = u[32:40], u[40:48]
+
+        def h(salt: bytes) -> bytes:
+            if self.r == 5:
+                return hashlib.sha256(b"" + salt).digest()
+            return _hash_2b(b"", salt, b"")
+
+        if h(vsalt) != u[:32]:
+            raise PDFCryptError("password protected (non-empty user "
+                                "password)")
+        self.key = _aes_cbc_raw(h(ksalt), b"\x00" * 16, ue[:32])
+        self.aes = True
+        self.key_len = 32
+        self.encrypt_metadata = b"/EncryptMetadata false" not in body
+
     def _file_key(self, o: bytes, p: int, id0: bytes) -> bytes:
         h = hashlib.md5()
         h.update(_PAD)              # empty user password → pad only
@@ -196,6 +259,8 @@ class StandardDecryptor:
         return enc == u[:16]
 
     def object_key(self, num: int, gen: int = 0) -> bytes:
+        if self.v == 5:
+            return self.key  # AES-256 uses the file key directly
         h = hashlib.md5()
         h.update(self.key)
         h.update(struct.pack("<I", num)[:3])
@@ -230,8 +295,31 @@ def make_standard_encrypt_dict(v: int, r: int, length_bits: int,
     EMPTY user password, permissive /P) plus its working decryptor.
 
     Follows Algorithms 3 and 4/5: O from the owner password, U from
-    the file key."""
+    the file key. v=5 emits the AES-256 layout (r=5 or 6): /U carries
+    hash+salts, /UE wraps a deterministic 32-byte file key."""
     p = -4
+    if v == 5:
+        r = max(r, 5)
+        vsalt = bytes(range(8))
+        ksalt = bytes(range(8, 16))
+        file_key = hashlib.sha256(b"fixture-file-key" + id0).digest()
+
+        def h(salt: bytes) -> bytes:
+            if r == 5:
+                return hashlib.sha256(salt).digest()
+            return _hash_2b(b"", salt, b"")
+
+        u = h(vsalt) + vsalt + ksalt
+        ue = _aes_cbc_raw(h(ksalt), b"\x00" * 16, file_key,
+                          encrypt=True)
+        body = (b"<< /Filter /Standard /V 5 /R %d /Length 256 /P %d "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF "
+                b"/U <%s> /UE <%s> /O <%s> /OE <%s> >>"
+                % (r, p, u.hex().encode(), ue.hex().encode(),
+                   (b"\x00" * 48).hex().encode(),
+                   (b"\x00" * 32).hex().encode()))
+        return body, StandardDecryptor(body, id0)
     owner = (b"own" + _PAD)[:32]
     # Algorithm 3: O entry
     h = hashlib.md5(owner).digest()

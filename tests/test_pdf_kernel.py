@@ -479,11 +479,28 @@ class TestEncryptedPDF:
         r = pdfk.extract_pdf(enc, "application/pdf")
         assert r.success and "quick brown fox" in r.text
 
-    def test_unsupported_v5_is_failure(self):
+    def test_aes256_v5_modes(self):
+        # PDF 2.0 AES-256: R6 (Algorithm 2.B iterated hash) and the
+        # deprecated Adobe R5 (single SHA-256)
+        want1 = pdfk.extract_page_text(self._base(), 1)
+        for r in (5, 6):
+            enc = pdfgen.encrypt_pdf(self._base(), 5, r, 256)
+            assert pdfk.extract_page_text(enc, 1) == want1, r
+            res = pdfk.extract_pdf(enc, "application/pdf")
+            assert res.success and "quick brown fox" in res.text
+
+    def test_aes256_wrong_password_is_failure(self):
+        enc = bytearray(pdfgen.encrypt_pdf(self._base(), 5, 6, 256))
+        i = bytes(enc).find(b"/U <")
+        enc[i + 4:i + 8] = b"0000"
+        r = pdfk.extract_pdf(bytes(enc), "application/pdf")
+        assert not r.success and "password" in (r.error or "")
+
+    def test_malformed_v5_dict_is_failure(self):
         enc = pdfgen.encrypt_pdf(self._base(), 2, 3, 128)
-        enc = enc.replace(b"/V 2 /R 3", b"/V 5 /R 6")
+        enc = enc.replace(b"/V 2 /R 3", b"/V 5 /R 6")  # no /UE
         r = pdfk.extract_pdf(enc, "application/pdf")
-        assert not r.success and "unsupported" in (r.error or "")
+        assert not r.success and "/UE" in (r.error or "")
 
     def test_mutation_fuzz_encrypted(self):
         import random
