@@ -306,6 +306,17 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_documents(spark, sf_dir), budget=256)
 
 
+def _q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality proxy (CCNet-style perplexity
+    stand-in): mean token logprob + rare-token fraction. Bit-exact
+    vs the oracle via position-ordered folds (ln parity verified)."""
+    from pdf_to_text_extraction_service_spark.operators.lmproxy import (
+        unigram_quality,
+    )
+
+    return unigram_quality(load_documents(spark, sf_dir))
+
+
 def _q_dedup_latest_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(load_documents(spark, sf_dir),
                                  dup_factor=3)
@@ -914,6 +925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pptx_docs": _q_extract_pptx,
     "decontam_benchmark": _q_decontam_benchmark,
     "pack_sequences": _q_pack_sequences,
+    "unigram_lm_quality": _q_unigram_quality,
     "dedup_latest_url": _q_dedup_latest_url,
     "dedup_window_events": _q_dedup_window_events,
     "q1_lineitem_agg": _q1_lineitem_agg,
@@ -1366,6 +1378,41 @@ _KERNEL_PROBE_ORACLES = {
                      / greatest(len(gs), 1), 6) AS overlap_frac,
                len(list_intersect(gs, gl)) > 0 AS contaminated
         FROM d CROSS JOIN b
+    """,
+    # Unigram-LM oracle: same two-pass model in SQL; the per-doc sum
+    # folds (pos, logp) structs in position order, mirroring the
+    # engine's array_sort+aggregate fold bit-for-bit (ln() parity
+    # across engines is test-verified).
+    "unigram_lm_quality": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), pos AS (
+            SELECT doc_id, t,
+                   unnest(range(0, len(t))) AS p
+            FROM toks
+        ), tok AS (
+            SELECT doc_id, p, t[p + 1] AS tok FROM pos
+        ), vocab AS (
+            SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY tok
+        ), tot AS (
+            SELECT sum(cnt)::BIGINT AS total FROM vocab
+        ), scored AS (
+            SELECT k.doc_id, k.p,
+                   ln(v.cnt::DOUBLE / (SELECT total FROM tot))
+                       AS lp,
+                   CASE WHEN v.cnt <= 2 THEN 1 ELSE 0 END AS rare
+            FROM tok k JOIN vocab v USING (tok)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_tokens,
+               ROUND(sum(rare)::DOUBLE / count(*), 6) AS rare_frac,
+               ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(
+                           list_sort(list({'p': p, 'l': lp})),
+                           x -> x.l)),
+                   (a, v) -> a + v) / count(*), 6) AS mean_logprob
+        FROM scored GROUP BY doc_id
     """,
     # Packing oracle: single window cumsum (integers — bit-exact vs
     # the engine's two-level distributed prefix sum).

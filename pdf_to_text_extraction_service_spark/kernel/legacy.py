@@ -58,9 +58,24 @@ def _doc_control_text(raw: str) -> str:
 
 def extract_doc_text(container: CFB) -> str:
     word = container.stream("WordDocument")
-    if len(word) < 0x01AA or struct.unpack_from("<H", word, 0)[0] != 0xA5EC:
+    if len(word) < 0x20 or struct.unpack_from("<H", word, 0)[0] != 0xA5EC:
         raise CFBError("not a Word binary file (bad FIB ident)")
+    n_fib = struct.unpack_from("<H", word, 2)[0]
     flags = struct.unpack_from("<H", word, 0x000A)[0]
+    if n_fib < 101 or len(word) < 0x01AA:
+        # Word95 and earlier (or a truncated FIB): no CLX piece
+        # table — the text is the contiguous [fcMin, fcMac) range,
+        # single-byte unless fExtChar
+        fc_min = struct.unpack_from("<I", word, 0x18)[0]
+        fc_mac = struct.unpack_from("<I", word, 0x1C)[0]
+        if not (0 <= fc_min <= fc_mac <= len(word)):
+            raise CFBError("bad fcMin/fcMac range")
+        raw = word[fc_min:fc_mac]
+        if flags & 0x1000:  # fExtChar: 16-bit text
+            text = raw.decode("utf-16-le", errors="replace")
+        else:
+            text = raw.decode("cp1252", errors="replace")
+        return _doc_control_text(text)
     table_name = "1Table" if flags & 0x0200 else "0Table"
     try:
         table = container.stream(table_name)

@@ -197,3 +197,57 @@ class TestRouterIntegration:
         res, kernel = router.extract_document(
             "https://x.test/f.doc", bytes(blob))
         assert not res.success and res.error
+
+
+class TestWord95:
+    def test_word95_no_clx(self):
+        # Word95-era FIB (nFib < 101): text = [fcMin, fcMac) slice
+        text = "Old Word six text.\r"
+        raw = text.encode("cp1252")
+        fc_min = 0x200
+        word = bytearray(fc_min)
+        struct.pack_into("<H", word, 0, 0xA5EC)
+        struct.pack_into("<H", word, 2, 100)  # nFib pre-97
+        struct.pack_into("<I", word, 0x18, fc_min)
+        struct.pack_into("<I", word, 0x1C, fc_min + len(raw))
+        word += raw
+        blob = legacygen.build_cfb([("WordDocument", bytes(word))])
+        r = legacy.extract_legacy_office(blob, "application/msword")
+        assert r.success and r.text == "Old Word six text."
+
+    def test_word95_bad_range_fails_cleanly(self):
+        word = bytearray(0x40)
+        struct.pack_into("<H", word, 0, 0xA5EC)
+        struct.pack_into("<H", word, 2, 100)
+        struct.pack_into("<I", word, 0x18, 0x9999)
+        struct.pack_into("<I", word, 0x1C, 0x10)
+        blob = legacygen.build_cfb([("WordDocument", bytes(word))])
+        r = legacy.extract_legacy_office(blob, "application/msword")
+        assert not r.success
+
+
+class TestLegacyFuzz:
+    def test_mutation_fuzz_never_raises_through_router(self):
+        import random
+        rng = random.Random(77)
+        bases = [
+            legacygen.build_doc(["fuzz doc body here"]),
+            legacygen.build_xls("S", [["a", "b"], ["c", 1.25]]),
+            legacygen.build_ppt([["frame one", "frame two"]]),
+        ]
+        for base in bases:
+            for _ in range(60):
+                blob = bytearray(base)
+                for _ in range(rng.randint(1, 16)):
+                    blob[rng.randrange(len(blob))] = rng.randrange(256)
+                res, _ = router.extract_document(
+                    "https://x.test/f.doc", bytes(blob))
+                assert res.success in (True, False)
+
+    def test_truncation_fuzz(self):
+        base = legacygen.build_doc(["truncation fuzz body"])
+        for frac in (0.1, 0.3, 0.5, 0.7, 0.9, 0.98):
+            cut = base[:int(len(base) * frac)]
+            res, _ = router.extract_document("https://x.test/f.doc",
+                                             cut)
+            assert res.success in (True, False)

@@ -98,3 +98,51 @@ def test_pack_sequences_straddle(spark):
     assert out[0]["seq_id"] == 0 and out[0]["seq_offset"] == 0
     assert out[1]["seq_id"] == n0 // 128
     assert out[1]["seq_offset"] == n0 % 128
+
+
+def test_unigram_quality_semantics(spark):
+    from pdf_to_text_extraction_service_spark.operators.lmproxy import (
+        unigram_quality,
+    )
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a rareword")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_quality(docs).collect()}
+    # corpus: a x4, b x1, rareword x1 -> total 6
+    assert out[0]["n_tokens"] == 4
+    lp0 = (3 * math.log(4 / 6) + math.log(1 / 6)) / 4
+    assert abs(out[0]["mean_logprob"] - round(lp0, 6)) < 1e-9
+    assert out[0]["rare_frac"] == 0.25       # only 'b' is rare (<=2)
+    assert out[1]["rare_frac"] == 0.5
+
+
+def test_unigram_quality_partitioning_invariant(spark):
+    from pdf_to_text_extraction_service_spark.operators.lmproxy import (
+        unigram_quality,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(tuple(r) for r in
+               unigram_quality(docs.repartition(1)).collect())
+    b = sorted(tuple(r) for r in
+               unigram_quality(docs.repartition(32)).collect())
+    assert a == b  # ordered fold -> bit-exact at any parallelism
+
+
+def test_ln_parity_across_engines(spark):
+    """The unigram oracle depends on ln() agreeing bit-for-bit
+    between Spark (JVM Math.log) and DuckDB (libm) — pin it."""
+    import duckdb
+    import math
+
+    vals = [3 / 500, 17 / 50000, 1 / 7, 123 / 456789, 2 / 3]
+    con = duckdb.connect()
+    duck = [con.execute(f"SELECT ln({v!r})").fetchone()[0]
+            for v in vals]
+    srow = spark.sql("SELECT " + ",".join(
+        f"ln({v!r}) AS v{i}" for i, v in enumerate(vals))).first()
+    for i, v in enumerate(vals):
+        assert duck[i] == math.log(v) == srow[i], v
