@@ -334,6 +334,8 @@ def _ppt_walk(buf: bytes, out: list[str], depth: int = 0) -> None:
             out.append(body.decode("utf-16-le", errors="replace"))
         elif rec_type == 0x0FA8:  # TextBytesAtom (cp1252)
             out.append(body.decode("cp1252", errors="replace"))
+        elif rec_type == 0x0FBA:  # CString (UTF-16LE — titles etc.)
+            out.append(body.decode("utf-16-le", errors="replace"))
         i += 8 + rec_len
 
 

@@ -251,3 +251,13 @@ class TestLegacyFuzz:
             res, _ = router.extract_document("https://x.test/f.doc",
                                              cut)
             assert res.success in (True, False)
+
+
+def test_ppt_cstring_atom():
+    body = "Deck title".encode("utf-16-le")
+    inner = struct.pack("<HHI", 0, 0x0FBA, len(body)) + body
+    doc = struct.pack("<HHI", 0x000F, 0x03EE, len(inner)) + inner
+    blob = legacygen.build_cfb([("PowerPoint Document", doc)])
+    r = legacy.extract_legacy_office(blob,
+                                     "application/vnd.ms-powerpoint")
+    assert r.success and r.text == "Deck title"

@@ -127,6 +127,42 @@ def main() -> None:
         "Exact rerank runs inside the probed clusters only.",
     ))
 
+    q = entry_mod.queries()["decontam_benchmark"]
+    sections.append((
+        "Benchmark decontamination (broadcast n-gram set)",
+        _plan(q(spark, SF)),
+        "The benchmark side (distinct dual-hashed n-grams) goes "
+        "through BroadcastExchange — the document corpus side never "
+        "shuffles for the contamination join; n-gram STRINGS exist "
+        "only inside the hashing projection (8+8 bytes per gram on "
+        "the wire). Hit counts partially aggregate map-side.",
+    ))
+
+    q = entry_mod.queries()["pack_sequences"]
+    sections.append((
+        "Sequence packing (two-level distributed prefix sum)",
+        _plan(q(spark, SF)),
+        "The per-document cumsum window is PARTITIONED by the id "
+        "block; only block totals roll up, and only superblock "
+        "totals (rows/block² — thousands at 10^12 docs) cross the "
+        "single partition-less window, carrying two longs each. No "
+        "global sort or single-task cumsum ever touches the corpus; "
+        "integer math makes the assignment bit-exact at any "
+        "parallelism.",
+    ))
+
+    q = entry_mod.queries()["unigram_lm_quality"]
+    sections.append((
+        "Unigram-LM quality proxy (two-pass, ordered folds)",
+        _plan(q(spark, SF)),
+        "Vocabulary counts partially aggregate map-side; the 1-row "
+        "total joins back via BroadcastExchange (no driver action); "
+        "the per-document logprob sum folds position-sorted structs "
+        "(bounded by document length) so the float result is "
+        "bit-deterministic under any partitioning — which is what "
+        "lets the DuckDB oracle hash-verify a floating-point score.",
+    ))
+
     out = ["""# Physical-plan audit
 
 Captured with `tools/plan_audit.py` (`.explain("formatted")` on
