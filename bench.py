@@ -120,7 +120,9 @@ def _run_suite(spark, sf_dir: str, ctx: dict):
                  "dedup_window_events", "anti_join_manifest",
                  "dedup_minhash_lsh", "dedup_simhash",
                  "dedup_embedding_cosine", "ann_cosine_topk",
-                 "doc_fingerprint", "lang_id_heuristic"):
+                 "doc_fingerprint", "lang_id_heuristic",
+                 "decontam_benchmark", "pack_sequences",
+                 "unigram_lm_quality"):
         q = entry_mod.queries()[name]
         t0 = time.perf_counter()
         q(spark, sf_dir).collect()

@@ -4,17 +4,21 @@ document sharing at least one word n-gram (n=13 by default) with an
 evaluation-benchmark corpus.
 
 Spark-first shape for 10^12 docs:
-- benchmark n-grams are hashed (two independent rolling polyhashes —
-  a 64-bit combined key makes a false hit ~1e-18 per pair), made
-  DISTINCT, and **broadcast**: the benchmark side is a few million
-  rows at most, so no shuffle ever touches the document corpus;
+- benchmark n-grams are hashed (two independent native xxhash64
+  values — a 128-bit combined key makes a false hit ~1e-38 per
+  pair), made DISTINCT, and **broadcast**: the benchmark side is a
+  few million rows at most, so no shuffle ever touches the document
+  corpus;
 - document n-grams explode to (doc_id, h1, h2) scalars only — the
   n-gram STRINGS never leave the projection that hashes them;
 - the hit count aggregates with map-side partial aggregation.
 
-Both hash folds are the proven cross-engine polyhash
-(operators/textstats.polyhash): DuckDB mirrors them exactly, so the
-oracle joins on identical keys and the gate is hash-exact.
+The hashes stay inside whole-stage codegen (xxhash64 is a native JVM
+expression — an earlier interpreted char-fold polyhash made this the
+slowest query in the bench suite at 4x the cost). The DuckDB oracle
+joins on the n-gram STRINGS, so it verifies the results without ever
+mirroring the hash (identical output up to the negligible collision
+rate).
 """
 
 from __future__ import annotations
@@ -22,19 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# two independent (base, modulus) pairs; both < 2^31 keeps the fold
-# inside long arithmetic under ANSI mode
-_H1 = (31, 1000000007)
-_H2 = (131, 999999937)
-
 
 def _gram_struct(tokens_col: str, n: int) -> str:
     """array<struct<h1,h2>> of the word n-gram hashes of a pre-split
     token array column (distinct grams)."""
-    def fold(base: int, mod: int) -> str:
-        return (f"aggregate(filter(split(s, ''), c -> c <> ''), 0L, "
-                f"(acc, c) -> (acc * {base}L + ascii(c)) % {mod}L)")
-
     grams = (
         f"array_distinct(transform("
         f"sequence(0, greatest(size({tokens_col}) - {n}, 0)), "
@@ -42,7 +37,7 @@ def _gram_struct(tokens_col: str, n: int) -> str:
     )
     return (
         f"transform({grams}, s -> struct("
-        f"{fold(*_H1)} as h1, {fold(*_H2)} as h2))"
+        f"xxhash64(s) as h1, xxhash64(s, 's2') as h2))"
     )
 
 
