@@ -279,6 +279,34 @@ def _q_extract_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i, t: make_pptx([[t, f"note {i}"]]))
 
 
+def _q_extract_odt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument kernel (opendocument.go:27-369): body paragraph +
+    id-keyed level-2 heading."""
+    from pdf_to_text_extraction_service_spark.sources.officegen import (
+        make_odt,
+    )
+
+    return _legacy_probe(
+        spark, sf_dir, ".odt",
+        lambda i, t: make_odt([
+            {"type": "p", "text": t},
+            {"type": "h", "level": 2, "text": f"head {i}"},
+        ]))
+
+
+def _q_extract_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB kernel (epub.go:26-301): two spine chapters under
+    '## Chapter N' headings with the --- separator."""
+    from pdf_to_text_extraction_service_spark.sources.officegen import (
+        make_epub,
+    )
+
+    return _legacy_probe(
+        spark, sf_dir, ".epub",
+        lambda i, t: make_epub([f"<p>{t}</p>",
+                                f"<p>chapter two {i}</p>"]))
+
+
 def _q_decontam_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data decontamination (GPT-3/Pile 13-gram overlap):
     the planted benchmark is the first 20 tokens of every 17th doc,
@@ -923,6 +951,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_docx_docs": _q_extract_docx,
     "extract_xlsx_docs": _q_extract_xlsx,
     "extract_pptx_docs": _q_extract_pptx,
+    "extract_odt_docs": _q_extract_odt,
+    "extract_epub_docs": _q_extract_epub,
     "decontam_benchmark": _q_decontam_benchmark,
     "pack_sequences": _q_pack_sequences,
     "unigram_lm_quality": _q_unigram_quality,
@@ -1352,6 +1382,18 @@ _KERNEL_PROBE_ORACLES = {
         "'## Slide 1' || chr(10) || chr(10) || text || chr(10) || "
         "chr(10) || 'note ' || CAST(doc_id AS VARCHAR)",
         "native", "document/pptx"),
+    "extract_odt_docs": _kernel_probe_sql(
+        ".odt",
+        "text || chr(10) || chr(10) || '## head ' || "
+        "CAST(doc_id AS VARCHAR)",
+        "native", "document/opendocument"),
+    "extract_epub_docs": _kernel_probe_sql(
+        ".epub",
+        "'## Chapter 1' || chr(10) || chr(10) || text || chr(10) || "
+        "chr(10) || '---' || chr(10) || chr(10) || '## Chapter 2' || "
+        "chr(10) || chr(10) || 'chapter two ' || "
+        "CAST(doc_id AS VARCHAR)",
+        "native", "document/epub"),
     # Decontamination oracle joins on the n-gram STRINGS (identical
     # up to the engine's ~1e-18 dual-polyhash collision rate).
     "decontam_benchmark": """
