@@ -26,6 +26,8 @@ from pyspark.sql.types import (
 
 if TYPE_CHECKING:
     import pandas as pd
+else:  # runtime: pandas_udf type-hint resolution needs pd in
+    import pandas as pd  # module globals (PEP 563 annotations)
 
 # Tiny per-language stopword anchors for the n-gram/stopword heuristic.
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -104,10 +106,12 @@ def polyhash(expr: str):
     return F.expr(_POLY % expr)
 
 
-def doc_fingerprint(df: DataFrame, text_col: str = "text",
-                    n: int = 4) -> DataFrame:
+def doc_fingerprint_jvm(df: DataFrame, text_col: str = "text",
+                        n: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: min polynomial hash over word
-    n-grams (a 1-permutation MinHash with a cross-engine hash).
+    n-grams (a 1-permutation MinHash with a cross-engine hash) — the
+    pure-JVM reference expression (interpreted HOF char fold; kept as
+    the bit-parity cross-check for the vectorized default below).
 
     Tokens are split ONCE into a materialized column; the per-shingle
     lambda only slices the array (CollapseProject keeps the split out
@@ -126,6 +130,84 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
         )
         .drop("_fp_t")
     )
+
+
+def fingerprint_udf(n: int = 4):
+    """Vectorized fingerprint: one Arrow-batched pandas_udf, numpy
+    column-wise prefix-hash fold (same pattern as the MinHash
+    signature UDF). Bit-identical to doc_fingerprint_jvm:
+
+    - an n-gram of single-space-joined tokens is EXACTLY a substring
+      of the original text (split-on-' ' then join-with-' ' is the
+      identity, including runs of spaces via empty tokens), so every
+      gram hash is recoverable from per-character PREFIX hashes:
+      H(s..e) = (h[e] - h[s] * 31^(e-s)) mod p — exact integer math,
+      same value as the JVM left fold (which never goes negative);
+    - prefix hashes for the whole batch fold column-wise over a
+      padded (rows x maxlen) codepoint matrix — ~maxlen vectorized
+      numpy steps per batch instead of rows x chars interpreted ops;
+    - products stay under 2^63: both factors < p ~ 1e9.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def _fp(texts: pd.Series) -> pd.Series:
+        rows = [
+            None if s is None else
+            np.frombuffer(s.encode("utf-32-le"), np.uint32)
+            .astype(np.int64)
+            for s in texts
+        ]
+        lens = [0 if r is None else len(r) for r in rows]
+        maxlen = max(lens, default=0)
+        nrows = len(rows)
+        mat = np.full((nrows, maxlen), -1, np.int64)
+        for i, r in enumerate(rows):
+            if r is not None and len(r):
+                mat[i, :len(r)] = r
+        # column-wise fold -> full prefix-hash matrix
+        h = np.zeros((nrows, maxlen + 1), np.int64)
+        acc = np.zeros(nrows, np.int64)
+        for j in range(maxlen):
+            col = mat[:, j]
+            acc = np.where(col >= 0, (acc * FP_BASE + col) % FP_MOD,
+                           acc)
+            h[:, j + 1] = acc
+        pow31 = np.empty(maxlen + 1, np.int64)
+        pow31[0] = 1
+        for d in range(maxlen):
+            pow31[d + 1] = (pow31[d] * FP_BASE) % FP_MOD
+        out = []
+        space = ord(" ")
+        for i, r in enumerate(rows):
+            if r is None:
+                out.append(None)
+                continue
+            # token boundaries; gram g spans tokens [g, g+n-1]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(r == space) + 1))
+            ends = np.concatenate(
+                (np.flatnonzero(r == space), [len(r)]))
+            k = len(starts)
+            g = max(k - n, 0) + 1
+            gs = starts[:g]
+            ge = ends[np.minimum(np.arange(g) + n - 1, k - 1)]
+            vals = (h[i, ge] - h[i, gs] * pow31[ge - gs]) % FP_MOD
+            out.append(int(vals.min()))
+        return pd.Series(out, dtype="object")
+
+    return _fp
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    n: int = 4) -> DataFrame:
+    """Default fingerprint path: vectorized numpy prefix-hash UDF
+    (bit-identical to doc_fingerprint_jvm — cross-checked in
+    tests/test_training_ops.py)."""
+    return df.withColumn("fingerprint",
+                         fingerprint_udf(n)(F.col(text_col)))
 
 
 # ------------------------------------------------------ quality scoring

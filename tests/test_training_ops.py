@@ -358,3 +358,35 @@ def test_normalize_nfc(spark):
     assert got[1] == "café"    # combining acute composed
     assert got[2] == "plain"
     assert got[3] is None
+
+
+def test_fingerprint_udf_bit_identical_to_jvm(spark):
+    """The vectorized prefix-hash fingerprint must equal the retained
+    JVM HOF expression bit-for-bit — including empty strings, space
+    runs (empty tokens), nulls, and astral codepoints (Java regex
+    split('') is codepoint-aware, as is the UTF-32 numpy path)."""
+    from pdf_to_text_extraction_service_spark.operators.textstats import (
+        doc_fingerprint,
+        doc_fingerprint_jvm,
+    )
+
+    rows = [(0, ""), (1, "single"), (2, "a  b   c"),
+            (3, " lead and trail "), (4, None),
+            (5, "中文 文本 многоязычный тест emoji 🙂 end"),
+            (6, "🙂"), (7, "a 🙂 b 🚀 c"), (8, "x" * 500 + " y z w v")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["fingerprint"]
+         for r in doc_fingerprint(df).collect()}
+    b = {r["doc_id"]: r["fingerprint"]
+         for r in doc_fingerprint_jvm(df).collect()}
+    assert a == b
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: r["fingerprint"] for r in
+         doc_fingerprint(docs).select("doc_id", "fingerprint")
+         .collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in
+         doc_fingerprint_jvm(docs).select("doc_id", "fingerprint")
+         .collect()}
+    assert a == b
