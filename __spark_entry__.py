@@ -307,6 +307,49 @@ def _q_extract_epub(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 f"<p>chapter two {i}</p>"]))
 
 
+def _q_extract_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end over Common Crawl's native container: documents →
+    a gzipped WARC/1.0 segment (HTTP headers included) → binaryFile
+    + mapInPandas record parse → full extraction pipeline. The WARC
+    file is cached keyed by corpus fingerprint (like the IVF index)."""
+    import gzip
+    import hashlib
+    import os
+    import tempfile
+
+    from pdf_to_text_extraction_service_spark.functions.extract_udf import (
+        extract,
+    )
+    from pdf_to_text_extraction_service_spark.sources.warc import (
+        read_warc_pages,
+        write_warc,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = hashlib.sha256(
+        f"warc-v1:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:16]
+    tag = sf_dir.strip("/").replace("/", "-")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"warc-{tag}-{fp}.warc.gz")
+    if not os.path.exists(path):
+        docs = load_documents(spark, sf_dir).select(
+            "doc_id", "source", "text").collect()
+        records = []
+        for r in docs:
+            i, src, t = r["doc_id"], r["source"], r["text"]
+            url = f"https://corpus.example/{src}/doc{i}.html"
+            html = (f"<html><head><title>Doc {i}</title></head>"
+                    f"<body><h1>Doc {i}</h1><p>{t}</p></body></html>"
+                    ).encode()
+            records.append((url, "2026-01-01T00:00:00Z", html))
+        with open(path, "wb") as f:
+            f.write(gzip.compress(write_warc(records)))
+    pages = read_warc_pages(spark, path)
+    return extract(pages).select("url", "success", "text", "method",
+                                 "file_type", "word_count",
+                                 "char_count")
+
+
 def _q_decontam_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data decontamination (GPT-3/Pile 13-gram overlap):
     the planted benchmark is the first 20 tokens of every 17th doc,
@@ -953,6 +996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pptx_docs": _q_extract_pptx,
     "extract_odt_docs": _q_extract_odt,
     "extract_epub_docs": _q_extract_epub,
+    "extract_warc_docs": _q_extract_warc,
     "decontam_benchmark": _q_decontam_benchmark,
     "pack_sequences": _q_pack_sequences,
     "unigram_lm_quality": _q_unigram_quality,
@@ -1394,6 +1438,19 @@ _KERNEL_PROBE_ORACLES = {
         "chr(10) || chr(10) || 'chapter two ' || "
         "CAST(doc_id AS VARCHAR)",
         "native", "document/epub"),
+    # WARC round-trip: same page construction as extract_html_docs,
+    # delivered through the gzipped WARC container instead of a
+    # parquet binary column — so the oracle is the HTML mirror.
+    "extract_warc_docs": f"""
+        SELECT {_URL} AS url,
+               TRUE AS success,
+               {_EXTRACTED_TEXT} AS text,
+               'native' AS method,
+               'document/html' AS file_type,
+               {_WC} AS word_count,
+               {_CC} AS char_count
+        FROM documents
+    """,
     # Decontamination oracle joins on the n-gram STRINGS (identical
     # up to the engine's ~1e-18 dual-polyhash collision rate).
     "decontam_benchmark": """
