@@ -75,7 +75,10 @@ class CFB:
     # ---------------------------------------------------------- sectors
 
     def _sector(self, sid: int) -> bytes:
-        off = 512 + sid * self.ssz
+        # MS-CFB §2.1: sector offset = (sid + 1) << sector_shift —
+        # for v3 that is 512 + sid*512; for v4 (4096-byte sectors)
+        # the header block is padded to a full sector
+        off = (sid + 1) * self.ssz
         if off + self.ssz > len(self.data):
             raise CFBError(f"sector {sid} out of range")
         return self.data[off:off + self.ssz]

@@ -34,10 +34,14 @@ def _dir_entry(name: str, typ: int, start: int, size: int,
     return bytes(buf)
 
 
-def build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
-    """Assemble a v3 compound file (512-byte sectors): streams under
-    4096 bytes go in the ministream via miniFAT, larger ones in
-    regular FAT chains; flat directory as a right-sibling chain."""
+def build_cfb(streams: list[tuple[str, bytes]],
+              sector_size: int = 512) -> bytes:
+    """Assemble a compound file (v3 with 512-byte sectors by default;
+    sector_size=4096 emits the v4 layout with the header padded to a
+    full sector): streams under 4096 bytes go in the ministream via
+    miniFAT, larger ones in regular FAT chains; flat directory as a
+    right-sibling chain."""
+    SSZ = sector_size
     minis = [(n, b) for n, b in streams if len(b) < MINI_CUTOFF]
     bigs = [(n, b) for n, b in streams if len(b) >= MINI_CUTOFF]
 
@@ -120,14 +124,16 @@ def build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
     dirs = b"".join(entries)
     dirs += b"\x00" * (dir_bytes - len(dirs))
 
-    header = bytearray(512)
+    header = bytearray(max(512, SSZ))
     header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
     struct.pack_into("<H", header, 24, 0x003E)  # minor
-    struct.pack_into("<H", header, 26, 0x0003)  # major (v3)
+    struct.pack_into("<H", header, 26, 3 if SSZ == 512 else 4)  # major
     struct.pack_into("<H", header, 28, 0xFFFE)  # little-endian
-    struct.pack_into("<H", header, 30, 9)       # sector shift
+    struct.pack_into("<H", header, 30, SSZ.bit_length() - 1)  # shift
     struct.pack_into("<H", header, 32, 6)       # mini shift
     struct.pack_into("<I", header, 44, n_fat)
+    if SSZ != 512:  # v4: number of directory sectors
+        struct.pack_into("<I", header, 40, n_dir)
     struct.pack_into("<I", header, 48, dir_start)
     struct.pack_into("<I", header, 56, MINI_CUTOFF)
     struct.pack_into("<I", header, 60,

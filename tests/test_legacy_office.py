@@ -261,3 +261,21 @@ def test_ppt_cstring_atom():
     r = legacy.extract_legacy_office(blob,
                                      "application/vnd.ms-powerpoint")
     assert r.success and r.text == "Deck title"
+
+
+def test_cfb_v4_sector_layout():
+    # v4 (4096-byte sectors, header padded to a full sector) — the
+    # sector-offset formula is (sid + 1) << shift, not 512 + sid*ssz
+    small, big = b"mini body", b"B" * 9000
+    blob = legacygen.build_cfb([("Small", small), ("Big", big)],
+                               sector_size=4096)
+    c = CFB(blob)
+    assert c.ssz == 4096
+    assert c.stream("Small") == small and c.stream("Big") == big
+    # and a full .doc built into a v4 container extracts
+    import re
+    v3 = legacygen.build_doc(["v4 container text"])
+    streams = [(n, b) for n, b in CFB(v3).streams.items()]
+    v4 = legacygen.build_cfb(streams, sector_size=4096)
+    r = legacy.extract_legacy_office(v4, "application/msword")
+    assert r.success and r.text == "v4 container text"
