@@ -1256,7 +1256,11 @@ def _ivf_oracle_sql(sf_dir: str | None = None, k: int = 16,
     clusters (computed here with the exact Python expression
     ivf_topk uses), and takes exact cosine top-k. No files, no
     training in SQL. sf_dir defaults to the driver's gate scale
-    (override with SPARK_GRAFT_ORACLE_SF_DIR for the pytest mimic)."""
+    (override with SPARK_GRAFT_ORACLE_SF_DIR for the pytest mimic).
+
+    Memoized per (corpus fingerprint, params): oracle_sql() is called
+    repeatedly by sweep harnesses, and the numpy mirror training must
+    not rerun each time."""
     import os
 
     import pyarrow.parquet as pq
@@ -1267,6 +1271,18 @@ def _ivf_oracle_sql(sf_dir: str | None = None, k: int = 16,
 
     sf_dir = sf_dir or os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        st = os.stat(f"{sf_dir}/embeddings.parquet")
+    except OSError:
+        # corpus absent: degrade to an empty-result oracle (the IVF
+        # row fails alone) instead of breaking EVERY oracle via an
+        # exception out of oracle_sql()
+        return ("SELECT CAST(NULL AS BIGINT) AS vec_id, "
+                "CAST(NULL AS DOUBLE) AS cosine WHERE FALSE")
+    key = (sf_dir, st.st_mtime_ns, st.st_size, k, iters, nprobe, topk)
+    cached = _IVF_ORACLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_pylist()
@@ -1294,7 +1310,7 @@ def _ivf_oracle_sql(sf_dir: str | None = None, k: int = 16,
         "i -> (e.embedding[i]::DOUBLE - cv[c + 1][i]) * "
         "(e.embedding[i]::DOUBLE - cv[c + 1][i]))), (a, v) -> a + v)"
     )
-    return f"""
+    sql = f"""
         WITH cent AS (SELECT {cent_lit} AS cv),
         assigned AS (
             SELECT e.vec_id, e.embedding,
@@ -1311,6 +1327,11 @@ def _ivf_oracle_sql(sf_dir: str | None = None, k: int = 16,
             ORDER BY list_cosine_similarity(
                 embedding::DOUBLE[], {qlit}) DESC, vec_id) <= {topk}
     """
+    _IVF_ORACLE_CACHE[key] = sql
+    return sql
+
+
+_IVF_ORACLE_CACHE: dict[tuple, str] = {}
 
 
 # DuckDB mirror of the stratified-sampling hash rule.
@@ -1458,14 +1479,17 @@ _KERNEL_PROBE_ORACLES = {
             SELECT (string_split(text, ' '))[1:20] AS t
             FROM documents WHERE doc_id % 17 = 0
         ), b AS (
-            SELECT flatten(list(list_transform(
-                range(0, greatest(len(t) - 13, 0) + 1),
-                i -> array_to_string(t[i + 1:i + 13], ' ')))) AS gl
+            SELECT flatten(list(CASE WHEN len(t) >= 13 THEN
+                list_transform(range(0, len(t) - 13 + 1),
+                    i -> array_to_string(t[i + 1:i + 13], ' '))
+                ELSE [] END)) AS gl
             FROM bt
         ), d AS (
-            SELECT doc_id, list_distinct(list_transform(
-                range(0, greatest(len(t) - 13, 0) + 1),
-                i -> array_to_string(t[i + 1:i + 13], ' '))) AS gs
+            SELECT doc_id, CASE WHEN len(t) >= 13 THEN
+                list_distinct(list_transform(
+                    range(0, len(t) - 13 + 1),
+                    i -> array_to_string(t[i + 1:i + 13], ' ')))
+                ELSE [] END AS gs
             FROM (SELECT doc_id, string_split(text, ' ') AS t
                   FROM documents)
         )

@@ -349,11 +349,14 @@ def parse(data: bytes | str) -> Node:
         else:
             stack[-1].children.append(el)
 
-        if tag in _MARKER_TAGS:
-            afe.append(_AFE_MARKER)
-
         if tag in _VOID or self_closing:
             continue
+
+        # marker only for elements actually OPENED — a self-closing
+        # <table/> must not leave an uncleared marker poisoning the
+        # AFE list for the rest of the document
+        if tag in _MARKER_TAGS:
+            afe.append(_AFE_MARKER)
 
         if tag in _RAWTEXT or tag == "title":
             cm = _RAW_CLOSE[tag].search(s, i)

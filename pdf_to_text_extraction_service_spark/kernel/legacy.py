@@ -47,7 +47,7 @@ def _doc_control_text(raw: str) -> str:
             out.append("\n")
         elif ch == "\x07":
             out.append("\t")
-        elif o in (0x13, 0x14, 0x15, 0x01, 0x02, 0x05, 0x08, 0x28):
+        elif o in (0x13, 0x14, 0x15, 0x01, 0x02, 0x05, 0x08):
             continue  # field separators, embedded-object anchors
         elif o < 0x20 and ch not in ("\t", "\n"):
             continue
@@ -185,16 +185,18 @@ def _parse_sst(body: bytes, continues: list[bytes]) -> list[str]:
                 if not advance():
                     raise CFBError("truncated SST string")
                 high = bool(read(1)[0] & 0x01)  # fresh grbit per segment
+                continue
             if high:
-                take = min(left, remaining() // 2)
-                if take == 0:
+                if remaining() == 1:
+                    # odd trailing byte in a 16-bit segment (corrupt
+                    # record): consume it so the loop always advances
+                    read(1)
                     continue
+                take = min(left, remaining() // 2)
                 chars.append(read(2 * take).decode("utf-16-le",
                                                    errors="replace"))
             else:
                 take = min(left, remaining())
-                if take == 0:
-                    continue
                 chars.append(read(take).decode("cp1252",
                                                errors="replace"))
             left -= take

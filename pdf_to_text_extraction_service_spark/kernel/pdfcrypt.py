@@ -239,7 +239,9 @@ class StandardDecryptor:
         h = hashlib.md5()
         h.update(_PAD)              # empty user password → pad only
         h.update(o)
-        h.update(struct.pack("<i", p))
+        # some producers write /P in unsigned 32-bit form — mask to
+        # the same 4 little-endian bytes either way
+        h.update(struct.pack("<I", p & 0xFFFFFFFF))
         h.update(id0)
         if self.r >= 4 and not self.encrypt_metadata:
             h.update(b"\xff\xff\xff\xff")

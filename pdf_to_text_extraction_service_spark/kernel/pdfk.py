@@ -208,10 +208,15 @@ _PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
 _COLS_RE = re.compile(rb"/Columns\s+(\d+)")
 
 
-def _read_xref(data: bytes) -> dict[int, tuple]:
+def _read_xref(data: bytes,
+               meta: dict | None = None) -> dict[int, tuple]:
     """Follow startxref → xref chain. Entry per object number:
     ('off', byte_offset) or ('objstm', stream_obj_num, index_in_stm).
-    Newest section wins (first seen along the /Prev chain)."""
+    Newest section wins (first seen along the /Prev chain). When
+    ``meta`` is passed, its 'trailer' key receives the NEWEST
+    section's trailer/XRef-dict bytes (the authoritative place for
+    /Encrypt and /ID — an older section's entries must not apply,
+    e.g. after an incremental update that removed encryption)."""
     matches = list(_STARTXREF_RE.finditer(data[-2048:]))
     if not matches:
         raise PDFError("no startxref")
@@ -222,13 +227,14 @@ def _read_xref(data: bytes) -> dict[int, tuple]:
         seen.add(off)
         window = data[off:off + 32].lstrip()
         if window.startswith(b"xref"):
-            off = _read_xref_table(data, off, entries)
+            off = _read_xref_table(data, off, entries, meta)
         else:
-            off = _read_xref_stream(data, off, entries)
+            off = _read_xref_stream(data, off, entries, meta)
     return entries
 
 
-def _read_xref_table(data: bytes, off: int, entries: dict) -> int:
+def _read_xref_table(data: bytes, off: int, entries: dict,
+                     meta: dict | None = None) -> int:
     """Classic 'xref' table section + trailer; returns /Prev or -1."""
     i = data.find(b"xref", off) + 4
     while True:
@@ -255,11 +261,14 @@ def _read_xref_table(data: bytes, off: int, entries: dict) -> int:
         return -1
     d0 = data.find(b"<<", t)
     trailer = data[d0:_dict_end(data, d0)]
+    if meta is not None:
+        meta.setdefault("trailer", trailer)  # first seen = newest
     pm = _PREV_RE.search(trailer)
     return int(pm.group(1)) if pm else -1
 
 
-def _read_xref_stream(data: bytes, off: int, entries: dict) -> int:
+def _read_xref_stream(data: bytes, off: int, entries: dict,
+                      meta: dict | None = None) -> int:
     """XRef STREAM section (PDF 1.5): binary (type, a, b) triples,
     widths per /W, optionally PNG-predicted; returns /Prev or -1."""
     _, body = _object_body_at(data, off)
@@ -267,6 +276,8 @@ def _read_xref_stream(data: bytes, off: int, entries: dict) -> int:
     head = body[:marker]
     if b"/XRef" not in head:
         raise PDFError("startxref does not point at an XRef stream")
+    if meta is not None:
+        meta.setdefault("trailer", head)  # XRef dict doubles as trailer
     wm = _W_RE.search(head)
     sm = _SIZE_RE.search(head)
     if wm is None or sm is None:
@@ -337,13 +348,14 @@ _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
 _ID_HEX_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
 
 
-def _encryption_meta(data: bytes) -> tuple[int | None, bytes]:
-    """(encrypt_obj_num, first /ID element) from the raw trailer
-    bytes — independent of xref health (works for table trailers,
-    XRef-stream dicts, and the scan-fallback path alike); the LAST
-    occurrence wins (newest incremental update)."""
-    nums = _ENCRYPT_REF_RE.findall(data)
-    ids = _ID_HEX_RE.findall(data)
+def _encryption_meta(buf: bytes) -> tuple[int | None, bytes]:
+    """(encrypt_obj_num, first /ID element) parsed from ``buf`` —
+    normally the NEWEST trailer/XRef dict (so an incremental update
+    that removed encryption, or an embedded '/Encrypt' inside some
+    unrelated stream, cannot misdetect the document); the regex-scan
+    recovery path passes the whole file as best effort."""
+    nums = _ENCRYPT_REF_RE.findall(buf)
+    ids = _ID_HEX_RE.findall(buf)
     num = int(nums[-1]) if nums else None
     id0 = b""
     if ids:
@@ -357,13 +369,11 @@ def _decrypt_objects(objs: dict[int, bytes], dec, skip: set[int]) -> None:
     """Replace every stream payload with its decrypted bytes (head's
     /Length patched to the new direct value) so the rest of the
     reader is encryption-blind. XRef streams are never encrypted
-    (PDF 32000 §7.5.8.2) and the /Encrypt object itself is skipped."""
-    def resolve_length(num: int) -> int:
-        b = objs.get(num)
-        if b is None:
-            raise PDFError(f"unresolvable /Length {num} 0 R")
-        return int(b.strip())
-
+    (PDF 32000 §7.5.8.2) and the /Encrypt object itself is skipped.
+    A single undecryptable stream (truncated/zero-length — real
+    writers emit them) drops only THAT object, like poppler
+    recovering the remaining pages, rather than failing the whole
+    document."""
     for num in list(objs):
         if num in skip:
             continue
@@ -388,8 +398,9 @@ def _decrypt_objects(objs: dict[int, bytes], dec, skip: set[int]) -> None:
             raw = sm.group(1)
         try:
             plain = dec.decrypt(num, raw)
-        except Exception as exc:
-            raise PDFError(f"decryption failed for object {num}: {exc}")
+        except Exception:
+            del objs[num]  # absent object = null; page degrades alone
+            continue
         new_head = re.sub(rb"/Length\s+\d+(?:\s+\d+\s+R)?",
                           b"/Length %d" % len(plain), head, count=1)
         objs[num] = new_head + b"stream\n" + plain + b"\nendstream"
@@ -404,8 +415,10 @@ def _load_objects(data: bytes) -> dict[int, bytes]:
     password. Either way, any /Type /ObjStm bodies found get
     expanded."""
     objs: dict[int, bytes] = {}
+    xmeta: dict = {}
+    from_scan = False
     try:
-        xref = _read_xref(data)
+        xref = _read_xref(data, xmeta)
         if not xref:
             raise PDFError("empty xref")
 
@@ -431,7 +444,16 @@ def _load_objects(data: bytes) -> dict[int, bytes]:
         # errors as readily as structural PDFErrors — either way the
         # regex scan is the recovery path
         objs = _objects_scan(data)
-    enc_num, id0 = _encryption_meta(data)
+        from_scan = True
+    # encryption detection: scoped to the NEWEST trailer when the
+    # xref chain parsed; whole-file best effort only on the scan path
+    if not from_scan and "trailer" in xmeta:
+        enc_num, id0 = _encryption_meta(xmeta["trailer"])
+        if enc_num is not None and not id0:
+            # /ID sometimes sits only in an older trailer
+            _, id0 = _encryption_meta(data)
+    else:
+        enc_num, id0 = _encryption_meta(data)
     if enc_num is not None:
         from . import pdfcrypt
         enc_body = objs.get(enc_num)

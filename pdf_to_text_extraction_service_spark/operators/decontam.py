@@ -27,16 +27,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _gram_struct(tokens_col: str, n: int) -> str:
-    """array<struct<h1,h2>> of the word n-gram hashes of a pre-split
-    token array column (distinct grams)."""
-    grams = (
-        f"array_distinct(transform("
-        f"sequence(0, greatest(size({tokens_col}) - {n}, 0)), "
-        f"i -> array_join(slice({tokens_col}, i + 1, {n}), ' ')))"
-    )
+def _grams(tokens_col: str, n: int) -> str:
+    """Distinct word n-grams of a pre-split token array column —
+    standard decontamination semantics: a text with fewer than ``n``
+    tokens has ZERO n-grams (no truncated pseudo-grams that would let
+    short benchmark lines flag short documents)."""
     return (
-        f"transform({grams}, s -> struct("
+        f"case when size({tokens_col}) >= {n} then "
+        f"array_distinct(transform("
+        f"sequence(0, size({tokens_col}) - {n}), "
+        f"i -> array_join(slice({tokens_col}, i + 1, {n}), ' '))) "
+        f"else array() end"
+    )
+
+
+def _gram_struct(tokens_col: str, n: int) -> str:
+    """array<struct<h1,h2>> of the word n-gram hashes."""
+    return (
+        f"transform({_grams(tokens_col, n)}, s -> struct("
         f"xxhash64(s) as h1, xxhash64(s, 's2') as h2))"
     )
 
@@ -72,14 +80,10 @@ def benchmark_overlap(docs: DataFrame, bench: DataFrame, n: int = 13,
         .groupBy(id_col)
         .agg(F.count("*").alias("hit_ngrams"))
     )
+    doc_tokens = f"split({text_col}, ' ')"
     totals = docs.select(
         F.col(id_col),
-        F.expr(
-            f"size(array_distinct(transform("
-            f"sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)), "
-            f"i -> array_join(slice(split({text_col}, ' '), i + 1, {n}), "
-            f"' '))))"
-        ).alias("total_ngrams"),
+        F.expr(f"size({_grams(doc_tokens, n)})").alias("total_ngrams"),
     )
     return (
         totals.join(hits, id_col, "left")

@@ -45,8 +45,11 @@ def pack_sequences(df: DataFrame, budget: int = 2048,
     base = df.select(
         F.col(id_col),
         ntok.alias("n_tokens"),
-        (F.col(id_col) / block).cast("long").alias("_blk"),
-    ).withColumn("_sblk", (F.col("_blk") / block).cast("long"))
+        # `div` = integer division on longs — `/` is DOUBLE division
+        # and loses exactness past 2^53, i.e. precisely at the scale
+        # this operator exists for
+        F.expr(f"{id_col} div {block}").alias("_blk"),
+    ).withColumn("_sblk", F.expr(f"_blk div {block}"))
 
     w_in = Window.partitionBy("_blk").orderBy(id_col) \
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -78,7 +81,7 @@ def pack_sequences(df: DataFrame, budget: int = 2048,
         .select(
             id_col,
             F.col("n_tokens").cast("int").alias("n_tokens"),
-            (F.col("_before") / budget).cast("long").alias("seq_id"),
+            F.expr(f"_before div {budget}").alias("seq_id"),
             (F.col("_before") % budget).cast("int").alias("seq_offset"),
         )
     )

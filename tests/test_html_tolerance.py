@@ -262,3 +262,18 @@ class TestAdoptionAgency:
                 parts.append(rng.choice([f"<{t}>", f"</{t}>", "txt "]))
             s = "".join(parts)
             self._text(s)  # must not raise
+
+
+def test_self_closing_table_does_not_poison_afe():
+    """Regression: <table/> pushed an AFE marker without an element
+    to pop, so every later adoption/reconstruction hit the stale
+    marker and anchors never closed."""
+    from pdf_to_text_extraction_service_spark.kernel import htmlparse
+
+    t = htmlparse.parse("<table/><a href=x>link</a>plain<b>bold</b>tail")
+    kinds = [getattr(c, "data", None) for c in t.children
+             if c.type == htmlparse.ELEMENT]
+    assert kinds == ["table", "a", "b"]
+    # 'plain' and 'tail' are TOP-LEVEL text (not swallowed by a/b)
+    texts = [c.data for c in t.children if c.type == htmlparse.TEXT]
+    assert texts == ["plain", "tail"]

@@ -279,3 +279,34 @@ def test_cfb_v4_sector_layout():
     v4 = legacygen.build_cfb(streams, sector_size=4096)
     r = legacy.extract_legacy_office(v4, "application/msword")
     assert r.success and r.text == "v4 container text"
+
+
+class TestReviewRegressions:
+    def test_parentheses_preserved_in_doc_text(self):
+        blob = legacygen.build_doc(["f(x) = y(2) and (parens)."])
+        r = legacy.extract_legacy_office(blob, "application/msword")
+        assert r.success and r.text == "f(x) = y(2) and (parens)."
+
+    def test_sst_odd_length_terminates(self):
+        # odd body length in the SST string area must not hang the
+        # parser (regression: take==0 looped forever)
+        s1 = "alpha"
+        sst_body = struct.pack("<II", 2, 2)
+        sst_body += struct.pack("<HB", len(s1), 0x01) \
+            + s1.encode("utf-16-le")
+        # second string claims 4 chars but segment carries 3 bytes
+        sst_body += struct.pack("<HB", 4, 0x01) + b"\x41\x00\x42"
+        cont = bytes([0x01]) + "cd".encode("utf-16-le")
+        glb = bytearray(legacygen._bof(0x0005))
+        name = "S".encode("utf-16-le")
+        glb += legacygen._rec(
+            0x0085, struct.pack("<IHBB", 0, 0, 1, 0x01) + name)
+        glb += legacygen._rec(0x00FC, bytes(sst_body))
+        glb += legacygen._rec(0x003C, cont)
+        glb += legacygen._rec(0x000A, b"")
+        sheet = bytearray(legacygen._bof(0x0010))
+        sheet += legacygen._rec(0x000A, b"")
+        blob = legacygen.build_cfb([("Workbook", bytes(glb + sheet))])
+        r = legacy.extract_legacy_office(blob,
+                                         "application/vnd.ms-excel")
+        assert r.success in (True, False)  # terminated is the point

@@ -512,3 +512,58 @@ class TestEncryptedPDF:
                 blob[rng.randrange(len(blob))] = rng.randrange(256)
             r = pdfk.extract_pdf(bytes(blob), "application/pdf")
             assert r.success in (True, False)
+
+
+class TestEncryptionDetectionScope:
+    def test_stray_encrypt_bytes_in_stream_ignored(self):
+        # an unencrypted PDF whose CONTENT mentions '/Encrypt 12 0 R'
+        # (e.g. an embedded attachment) must not be misdetected
+        base = pdfgen.simple_pdf(
+            [GOOD_LINES + ["A spec note mentions /Encrypt 12 0 R "
+                           "inline here."]])
+        assert b"/Encrypt 12 0 R" in base
+        r = pdfk.extract_pdf(base, "application/pdf")
+        assert r.success and "quick brown fox" in r.text
+        assert "spec note" in r.text
+
+    def test_incremental_update_removes_encryption(self):
+        # newest trailer has no /Encrypt: the old encrypted state
+        # must not apply (objects in the update are plaintext)
+        import re
+
+        base = pdfgen.simple_pdf([GOOD_LINES])
+        enc = pdfgen.encrypt_pdf(base, 2, 3, 128)
+        # append an incremental update: plaintext replacement content
+        # object + new xref/trailer WITHOUT /Encrypt
+        content = pdfgen.page_content(pdfgen.single_column_page(
+            ["Now the update holds entirely different plain prose "
+             "about rivers and quiet valleys in the morning light."]))
+        out = bytearray(enc)
+        obj_off = len(out)
+        out += (b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\n"
+                b"endobj\n" % (len(content), content))
+        prev = int(re.search(rb"startxref\s+(\d+)", enc).group(1))
+        xref_off = len(out)
+        out += b"xref\n4 1\n%010d 00000 n \n" % obj_off
+        out += (b"trailer\n<< /Size 8 /Root 1 0 R /Prev %d >>\n"
+                b"startxref\n%d\n%%%%EOF\n" % (prev, xref_off))
+        r = pdfk.extract_pdf(bytes(out), "application/pdf")
+        assert r.success, r.error
+        assert "entirely different plain prose" in r.text
+
+    def test_zero_length_encrypted_stream_degrades_alone(self):
+        # one truncated/empty AES stream must not fail the document
+        base = pdfgen.simple_pdf([GOOD_LINES, GOOD_LINES[:2]])
+        enc = bytearray(pdfgen.encrypt_pdf(base, 4, 4, 128))
+        # truncate object 6's stream (page 2 content) to zero bytes
+        import re
+        m = re.search(rb"6 0 obj\n<< /Length (\d+)", bytes(enc))
+        length = int(m.group(1))
+        start = bytes(enc).find(b"stream\n", m.start()) + len(b"stream\n")
+        del enc[start:start + length]
+        patched = bytes(enc).replace(
+            b"6 0 obj\n<< /Length %d" % length,
+            b"6 0 obj\n<< /Length 0", 1)
+        r = pdfk.extract_pdf(patched, "application/pdf")
+        # page 1 must still extract; page 2 degrades
+        assert "quick brown fox" in (r.text or ""), r.error

@@ -179,3 +179,33 @@ def test_packing_plan_no_global_window_over_corpus(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     partitioned = [s for s in specs if "_blk" in s or "_sblk" in s]
     assert partitioned, plan
+
+
+def test_pack_sequences_integer_exact_beyond_double_range(spark):
+    """seq_id must use integer division: cumulative token counts
+    beyond 2^53 are not double-representable (regression: `/` was
+    double division). 4.3M docs x (2^31-1) tokens pushes the running
+    total past 2^53 while each per-doc count stays int-safe."""
+    from pyspark.sql import functions as F
+
+    from pdf_to_text_extraction_service_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    n_docs = 4_300_000
+    per = (1 << 31) - 1
+    budget = 997
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit(per).cast("long").alias("n"),
+        F.lit("x").alias("text"),
+    )
+    last = (
+        pack_sequences(docs, budget=budget, tokens_col="n")
+        .filter(F.col("doc_id") == n_docs - 1)
+        .first()
+    )
+    before = (n_docs - 1) * per  # ~9.2e15 > 2^53
+    assert before > (1 << 53)
+    assert last["seq_id"] == before // budget
+    assert last["seq_offset"] == before % budget

@@ -54,8 +54,9 @@ def main() -> None:
     spark = build_session(master="local[16]", shuffle_partitions=16)
     failures = []
     t0 = time.time()
+    oracles = em.oracle_sql()  # one call — the IVF entry trains a mirror
     for name, q in sorted(em.queries().items()):
-        sql = em.oracle_sql().get(name)
+        sql = oracles.get(name)
         try:
             got = sorted(tuple(_norm(v) for v in r)
                          for r in q(spark, args.sf_dir).collect())
