@@ -491,6 +491,31 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.7)
 
 
+def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pair edges (the post-dedup step that
+    picks one canonical doc per cluster): MinHash pairs over docs ∪
+    mutants, plus planted chain edges (i, i+1) for i % 50 == 0 so the
+    graph has diameter-3 components — CCF min-label propagation must
+    actually iterate, not just copy pair mins."""
+    from pdf_to_text_extraction_service_spark.operators.components import (
+        connected_components,
+    )
+    from pdf_to_text_extraction_service_spark.operators.neardup import (
+        minhash_lsh_pairs,
+    )
+
+    d2 = _docs_with_mutants(spark, sf_dir)
+    pairs = minhash_lsh_pairs(d2, shingle_n=3, num_perm=96, bands=32,
+                              threshold=0.7).select("id_a", "id_b")
+    docs = load_documents(spark, sf_dir)
+    n = docs.count()
+    chain = docs.filter((F.col("doc_id") % 50 == 0)
+                        & (F.col("doc_id") + 1 < n)).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"))
+    return connected_components(pairs.unionByName(chain))
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_to_text_extraction_service_spark.operators.neardup import (
         ngram_jaccard_pairs,
@@ -1007,6 +1032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join_manifest": _q_anti_join_manifest,
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_lsh": _q_minhash_lsh,
+    "neardup_components": _q_neardup_components,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_simhash": _q_simhash_pairs,
     "ann_cosine_topk": _q_ann_cosine_topk,
@@ -1663,6 +1689,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.s, b.s))::DOUBLE /
                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
                   >= 0.7
+        """,
+        # Components oracle: the same minhash-pair truth + planted
+        # chain edges, closed transitively by a recursive CTE; the
+        # engine's CCF min-label propagation is pure integer math, so
+        # the match is exact.
+        "neardup_components": _SHINGLE_CTE.replace(
+            "WITH d2 AS", "WITH RECURSIVE d2 AS") + """
+            , mh AS MATERIALIZED (
+                -- MATERIALIZED: the recursive fixpoint below would
+                -- otherwise re-run this quadratic jaccard per round
+                SELECT a.id AS ia, b.id AS ib
+                FROM sh a JOIN sh b ON a.id < b.id
+                WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                      >= 0.7
+            ), chain AS (
+                SELECT doc_id AS ia, doc_id + 1 AS ib FROM documents
+                WHERE doc_id % 50 = 0
+                  AND doc_id + 1 < (SELECT count(*) FROM documents)
+            ), sym AS (
+                SELECT ia AS a, ib AS b FROM mh
+                UNION SELECT ib, ia FROM mh
+                UNION SELECT ia, ib FROM chain
+                UNION SELECT ib, ia FROM chain
+            ), reach(a, b) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT a AS id, min(b) AS component FROM reach GROUP BY a
         """,
         "dedup_ngram_jaccard": _SHINGLE_CTE + """
             SELECT a.id AS id_a, b.id AS id_b,

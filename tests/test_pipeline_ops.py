@@ -209,3 +209,35 @@ def test_pack_sequences_integer_exact_beyond_double_range(spark):
     assert before > (1 << 53)
     assert last["seq_id"] == before // budget
     assert last["seq_offset"] == before % budget
+
+
+def test_connected_components_shapes(spark):
+    from pdf_to_text_extraction_service_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = ([(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22),
+              (20, 22), (30, 31)]
+             + [(i, i + 1) for i in range(40, 49)])
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    comp = {i: c for i, c in
+            (tuple(r) for r in connected_components(df).collect())}
+    assert all(comp[i] == 0 for i in (0, 1, 2, 3))
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+    assert comp[30] == comp[31] == 30
+    assert all(comp[i] == 40 for i in range(40, 50))  # 10-node chain
+
+
+def test_connected_components_partitioning_invariant(spark):
+    from pdf_to_text_extraction_service_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = [(i, (i * 7) % 97) for i in range(97)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = sorted(tuple(r) for r in
+               connected_components(df.repartition(1)).collect())
+    b = sorted(tuple(r) for r in
+               connected_components(df.repartition(32)).collect())
+    assert a == b
