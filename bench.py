@@ -122,7 +122,7 @@ def _run_suite(spark, sf_dir: str, ctx: dict):
                  "dedup_embedding_cosine", "ann_cosine_topk",
                  "doc_fingerprint", "lang_id_heuristic",
                  "decontam_benchmark", "pack_sequences",
-                 "unigram_lm_quality"):
+                 "unigram_lm_quality", "neardup_components"):
         q = entry_mod.queries()[name]
         t0 = time.perf_counter()
         q(spark, sf_dir).collect()
