@@ -163,6 +163,23 @@ def main() -> None:
         "lets the DuckDB oracle hash-verify a floating-point score.",
     ))
 
+    from pdf_to_text_extraction_service_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long")
+    sections.append((
+        "Near-dup connected components (CCF round shape)",
+        _plan(connected_components(edges, max_iter=1)),
+        "One groupBy shuffle per CCF round over (node, neighbor) "
+        "scalars; per-node collect_set is bounded by the upstream "
+        "bucket caps. Between rounds the relation is localCheckpointed "
+        "— plan lineage stays constant-depth no matter how many "
+        "rounds run (persist alone lets Catalyst analysis grow "
+        "per-round and eventually fail).",
+    ))
+
     out = ["""# Physical-plan audit
 
 Captured with `tools/plan_audit.py` (`.explain("formatted")` on
