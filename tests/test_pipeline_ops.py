@@ -241,3 +241,9 @@ def test_connected_components_partitioning_invariant(spark):
     b = sorted(tuple(r) for r in
                connected_components(df.repartition(32)).collect())
     assert a == b
+    # and the labels must be the CONVERGED minimum, not merely
+    # deterministic: i -> (i*7) % 97 is one 0 self-loop plus a single
+    # 96-cycle through all of 1..96 (7 generates Z_97*)
+    comp = dict(a)
+    assert comp[0] == 0
+    assert all(comp[v] == 1 for v in range(1, 97))

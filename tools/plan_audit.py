@@ -171,8 +171,8 @@ def main() -> None:
         [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long")
     sections.append((
         "Near-dup connected components (CCF round shape)",
-        _plan(connected_components(edges, max_iter=1)),
-        "One groupBy shuffle per CCF round over (node, neighbor) "
+        _plan(connected_components(edges)),
+        "Two wide shuffles per CCF round (label groupBy + emission dedup) plus the convergence anti-join, over (node, neighbor) "
         "scalars; per-node collect_set is bounded by the upstream "
         "bucket caps. Between rounds the relation is localCheckpointed "
         "— plan lineage stays constant-depth no matter how many "
