@@ -110,9 +110,9 @@ def _parse_ts(ts: str) -> datetime.datetime | None:
         return None
 
 
-def read_warc_pages(spark: SparkSession, path_glob: str) -> DataFrame:
-    """WARC files → pages DataFrame (url, warc_ts, html)."""
-    files = spark.read.format("binaryFile").load(path_glob)
+def _warc_records_fn():
+    """mapInPandas record parser shared by the batch and streaming
+    WARC readers (one file in, N page rows out)."""
 
     def _records(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import gzip
@@ -137,5 +137,30 @@ def read_warc_pages(spark: SparkSession, path_glob: str) -> DataFrame:
                     rows["html"].append(payload)
             yield pd.DataFrame(rows)
 
+    return _records
+
+
+def read_warc_pages(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC files → pages DataFrame (url, warc_ts, html)."""
+    files = spark.read.format("binaryFile").load(path_glob)
     return files.select("path", "content").mapInPandas(
-        _records, schema=PAGES_SCHEMA)
+        _warc_records_fn(), schema=PAGES_SCHEMA)
+
+
+def read_warc_pages_stream(spark: SparkSession, path: str) -> DataFrame:
+    """STREAMING WARC ingestion: new segment files appearing under
+    ``path`` become page micro-batches — the shape of a continuous
+    crawl feed (Common Crawl drops ~1 GiB .warc.gz segments; the
+    binaryFile streaming source tracks processed files in the
+    checkpoint, so a restart never re-parses a segment)."""
+    # the streaming source requires an explicit schema (binaryFile's
+    # is fixed: path/modificationTime/length/content)
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+    )
+    return files.select("path", "content").mapInPandas(
+        _warc_records_fn(), schema=PAGES_SCHEMA)

@@ -78,3 +78,55 @@ def test_spark_warc_to_extraction(spark, tmp_path):
     rows = {r["url"]: r for r in out.collect()}
     assert rows["https://warc.test/f1/p2.html"]["text"] == "page 1 2 content words"
     assert all(r["success"] for r in rows.values())
+
+
+def test_streaming_warc_ingestion_incremental(spark, tmp_path):
+    """New .warc.gz segments become micro-batches; the checkpoint
+    remembers processed files across restarts (no re-parse)."""
+    import gzip
+
+    from pdf_to_text_extraction_service_spark.functions.extract_udf import (
+        extract,
+    )
+    from pdf_to_text_extraction_service_spark.sources.warc import (
+        read_warc_pages_stream,
+        write_warc,
+    )
+
+    in_dir = tmp_path / "segments"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+
+    def seg(name, urls):
+        recs = [(u, "2026-01-01T00:00:00Z",
+                 f"<html><body><p>{u} body text</p></body></html>"
+                 .encode()) for u in urls]
+        (in_dir / name).write_bytes(gzip.compress(write_warc(recs)))
+
+    def run():
+        q = (
+            extract(read_warc_pages_stream(spark, str(in_dir)))
+            .select("url", "success", "text")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    seg("a.warc.gz", ["https://s.test/1", "https://s.test/2"])
+    seg("b.warc.gz", ["https://s.test/3"])
+    run()
+    got = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"https://s.test/1", "https://s.test/2",
+                   "https://s.test/3"}
+
+    # restart with one NEW segment: only its pages append
+    seg("c.warc.gz", ["https://s.test/4"])
+    run()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 4  # no re-parse of a/b
+    assert all(r["success"] for r in rows)
