@@ -49,10 +49,21 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument("--arrow-target-mb", type=int, default=4)
+    ap.add_argument("--input-format", choices=("parquet", "warc"),
+                    default="parquet",
+                    help="'warc' reads raw (gzipped) WARC segment "
+                         "files instead of a parquet pages table")
     args = ap.parse_args()
 
     spark = build_session(app_name="webextract-job")
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from pdf_to_text_extraction_service_spark.sources.warc import (
+            read_warc_pages,
+        )
+
+        pages = read_warc_pages(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
     rows = tune_arrow_batch(spark, pages, target_mb=args.arrow_target_mb)
     print(f"[extract] arrow batch tuned to {rows} rows "
           f"(~{args.arrow_target_mb} MB/batch)")
