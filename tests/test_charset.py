@@ -137,3 +137,14 @@ class TestStatisticalFallback:
                + "</body></html>").encode("koi8-r")
         _, codec = charset.decode(raw)
         assert codec == "koi8-r"
+
+
+def test_decode_never_raises_fuzz():
+    import random
+
+    rng = random.Random(123)
+    for _ in range(300):
+        n = rng.randint(0, 400)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        text, codec = charset.decode(blob)
+        assert isinstance(text, str) and isinstance(codec, str)
