@@ -61,7 +61,15 @@ def main() -> None:
             read_warc_pages,
         )
 
-        pages = read_warc_pages(spark, args.input)
+        # stage the parsed pages to parquet ONCE: the resumable
+        # bucket waves re-scan the input per wave, which is cheap
+        # columnar pruning on parquet but would gunzip+parse every
+        # WARC segment once per wave through the mapInPandas source
+        staged = args.output.rstrip("/") + ".pages"
+        read_warc_pages(spark, args.input).write.mode(
+            "overwrite").parquet(staged)
+        print(f"[extract] warc segments staged to {staged}")
+        pages = spark.read.parquet(staged)
     else:
         pages = spark.read.parquet(args.input)
     rows = tune_arrow_batch(spark, pages, target_mb=args.arrow_target_mb)

@@ -82,6 +82,8 @@ def parse_warc(data: bytes) -> Iterator[tuple[str, str, bytes]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            return  # malicious/corrupt length would move the cursor
         body = data[head_end + 4:head_end + 4 + length]
         i = head_end + 4 + length
         if headers.get("warc-type") != "response":
@@ -116,6 +118,7 @@ def _warc_records_fn():
 
     def _records(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import gzip
+        import zlib
 
         import pandas as pd
 
@@ -129,13 +132,21 @@ def _warc_records_fn():
                     # concatenated-members stream.
                     try:
                         data = gzip.decompress(data)
-                    except OSError:
-                        continue  # corrupt segment → skip file
+                    except (OSError, EOFError, zlib.error):
+                        # truncated upload raises EOFError, corrupt
+                        # deflate zlib.error — neither is an OSError;
+                        # either way skip the segment, never poison
+                        # the stream checkpoint with a crashing file
+                        continue
                 for url, ts, payload in parse_warc(data):
                     rows["url"].append(url)
                     rows["warc_ts"].append(_parse_ts(ts))
                     rows["html"].append(payload)
-            yield pd.DataFrame(rows)
+            if rows["url"]:
+                # never yield an empty frame: pandas types empty
+                # columns float64 and Arrow cannot cast that to
+                # timestamp (all-corrupt batches hit this)
+                yield pd.DataFrame(rows)
 
     return _records
 
@@ -143,6 +154,10 @@ def _warc_records_fn():
 def read_warc_pages(spark: SparkSession, path_glob: str) -> DataFrame:
     """WARC files → pages DataFrame (url, warc_ts, html)."""
     files = spark.read.format("binaryFile").load(path_glob)
+    return _parse_files(files)
+
+
+def _parse_files(files: DataFrame) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         _warc_records_fn(), schema=PAGES_SCHEMA)
 
@@ -160,7 +175,10 @@ def read_warc_pages_stream(spark: SparkSession, path: str) -> DataFrame:
         .schema("path string, modificationTime timestamp, "
                 "length long, content binary")
         .option("pathGlobFilter", "*.warc*")
+        # the file source's DEFAULT maxFileAge is 7 days: backfilled
+        # segments with old mtimes (rsync/s3-sync preserve them)
+        # would be silently skipped — disable age-based exclusion
+        .option("maxFileAge", "36500d")
         .load(path)
     )
-    return files.select("path", "content").mapInPandas(
-        _warc_records_fn(), schema=PAGES_SCHEMA)
+    return _parse_files(files)

@@ -115,7 +115,10 @@ def test_streaming_warc_ingestion_incremental(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        try:
+            assert q.awaitTermination(300)  # False = timed out
+        finally:
+            q.stop()
 
     seg("a.warc.gz", ["https://s.test/1", "https://s.test/2"])
     seg("b.warc.gz", ["https://s.test/3"])
@@ -130,3 +133,32 @@ def test_streaming_warc_ingestion_incremental(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert len(rows) == 4  # no re-parse of a/b
     assert all(r["success"] for r in rows)
+
+
+def test_truncated_gzip_segment_skipped(spark, tmp_path):
+    import gzip
+
+    from pdf_to_text_extraction_service_spark.sources.warc import (
+        read_warc_pages,
+        write_warc,
+    )
+
+    good = gzip.compress(write_warc(
+        [("https://g.test/1", "2026-01-01T00:00:00Z", b"<p>ok</p>")]))
+    bad = good[:len(good) // 2]  # truncated upload -> EOFError path
+    (tmp_path / "good.warc.gz").write_bytes(good)
+    (tmp_path / "bad.warc.gz").write_bytes(bad)
+    rows = read_warc_pages(spark, str(tmp_path / "*.warc.gz")).collect()
+    assert [r["url"] for r in rows] == ["https://g.test/1"]
+
+
+def test_negative_content_length_terminates():
+    from pdf_to_text_extraction_service_spark.sources.warc import (
+        parse_warc,
+    )
+
+    blob = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://x.test/a\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"Content-Length: -82\r\n\r\nbody")
+    assert list(parse_warc(blob)) == []  # rejected, no infinite loop
