@@ -41,6 +41,70 @@ from pdf_to_text_extraction_service_spark.plans.session import (
 )
 
 
+def _warc_fingerprint(spark, path_glob: str) -> str:
+    """Deterministic fingerprint of the WARC segment set: sha256 over
+    the sorted (path, length, mtime) of every matched file, via the
+    Hadoop FS API so it works on any cluster filesystem."""
+    import hashlib
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path_glob)
+    fs = p.getFileSystem(conf)
+    statuses = fs.globStatus(p)
+    entries = []
+    for st in (statuses or []):
+        if st.isDirectory():
+            it = fs.listFiles(st.getPath(), True)
+            while it.hasNext():
+                f = it.next()
+                entries.append((f.getPath().toString(), f.getLen(),
+                                f.getModificationTime()))
+        else:
+            entries.append((st.getPath().toString(), st.getLen(),
+                            st.getModificationTime()))
+    h = hashlib.sha256()
+    for path, length, mtime in sorted(entries):
+        h.update(f"{path}\x00{length}\x00{mtime}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def _stage_warc(spark, input_glob: str, manifest_path: str):
+    """Parse WARC segments to a staged parquet pages table ONCE.
+
+    The resumable bucket waves re-scan the input per wave — cheap
+    columnar pruning on parquet, but a full gunzip+parse per wave on
+    raw WARC — so we stage the parse. The staged path is keyed by an
+    input fingerprint (path+size+mtime of every segment), so a rerun
+    of the same command is a fast no-op (ADVICE r3: the old
+    <output>.pages path was re-staged and clobbered unconditionally on
+    every invocation).
+
+    The staged dir is a SIBLING of the manifest dir, not nested inside
+    it: completed_buckets() reads the manifest path recursively as
+    parquet, so page files under it would shadow the manifest schema.
+    'fp-' (not 'fp=') keeps Hive partition discovery from injecting a
+    bogus fp column into the pages schema."""
+    from pdf_to_text_extraction_service_spark.sources.warc import (
+        read_warc_pages,
+    )
+
+    fp = _warc_fingerprint(spark, input_glob)
+    staged = manifest_path.rstrip("/") + f".warc_staged/fp-{fp}"
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(staged + "/_SUCCESS")
+    if marker.getFileSystem(conf).exists(marker):
+        # committed stage with matching fingerprint: fast no-op rerun
+        print(f"[extract] warc stage cache hit: {staged}")
+        return spark.read.parquet(staged)
+    read_warc_pages(spark, input_glob).write.mode(
+        "overwrite").parquet(staged)
+    print(f"[extract] warc segments staged to {staged}")
+    return spark.read.parquet(staged)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -57,19 +121,7 @@ def main() -> None:
 
     spark = build_session(app_name="webextract-job")
     if args.input_format == "warc":
-        from pdf_to_text_extraction_service_spark.sources.warc import (
-            read_warc_pages,
-        )
-
-        # stage the parsed pages to parquet ONCE: the resumable
-        # bucket waves re-scan the input per wave, which is cheap
-        # columnar pruning on parquet but would gunzip+parse every
-        # WARC segment once per wave through the mapInPandas source
-        staged = args.output.rstrip("/") + ".pages"
-        read_warc_pages(spark, args.input).write.mode(
-            "overwrite").parquet(staged)
-        print(f"[extract] warc segments staged to {staged}")
-        pages = spark.read.parquet(staged)
+        pages = _stage_warc(spark, args.input, args.manifest)
     else:
         pages = spark.read.parquet(args.input)
     rows = tune_arrow_batch(spark, pages, target_mb=args.arrow_target_mb)

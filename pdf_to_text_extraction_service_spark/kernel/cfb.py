@@ -51,7 +51,7 @@ class CFB:
     """Parsed compound file: ``streams`` maps '/'-joined path (root
     name omitted) to bytes."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, directory_only: bool = False):
         if len(data) < 512 or data[:8] != MAGIC:
             raise CFBError("not an OLE2 compound file")
         (sector_shift, mini_shift) = struct.unpack_from("<HH", data, 30)
@@ -69,8 +69,32 @@ class CFB:
         (self.n_difat,) = struct.unpack_from("<I", data, 72)
         self._load_fat()
         self._load_dir()
+        if directory_only:
+            # sniffing needs only entry names (top_level_names); skip
+            # ministream + stream payload materialization
+            return
         self._load_minifat()
         self._load_streams()
+
+    def top_level_names(self) -> list[str]:
+        """Names of the root storage's DIRECT children, red-black-tree
+        order flattened left/self/right — the cheap directory peek the
+        mimetype resolvers use (no stream payloads touched)."""
+        names: list[str] = []
+        seen: set[int] = set()
+
+        def walk(sid: int) -> None:
+            if sid < 0 or sid >= len(self.entries) or sid in seen:
+                return
+            seen.add(sid)
+            e = self.entries[sid]
+            walk(e.left)
+            if e.type in (1, 2):
+                names.append(e.name)
+            walk(e.right)
+
+        walk(self.root.child)
+        return names
 
     # ---------------------------------------------------------- sectors
 

@@ -97,6 +97,8 @@ def extract_doc_text(container: CFB) -> str:
         i += 3 + cb
     if i >= len(clx) or clx[i] != 0x02:
         raise CFBError("CLX has no Pcdt")
+    if i + 5 > len(clx):
+        raise CFBError("truncated Pcdt header in CLX")
     (lcb_plc,) = struct.unpack_from("<I", clx, i + 1)
     plc = clx[i + 5:i + 5 + lcb_plc]
     if len(plc) < lcb_plc or lcb_plc < 4 or (lcb_plc - 4) % 12 != 0:
@@ -281,7 +283,12 @@ def extract_xls_cells(container: CFB):
         elif rid == 0x00BD and sheet_i >= 1 and len(body) >= 12:  # MulRk
             row, col_first = struct.unpack_from("<HH", body, 0)
             col_last = struct.unpack_from("<H", body, len(body) - 2)[0]
-            for j in range(col_last - col_first + 1):
+            # clamp to what the body actually carries (4-byte header,
+            # 2-byte trailing colLast, 6 bytes per RK field): a corrupt
+            # colLast must not drive unpack_from past the record
+            n_fields = (len(body) - 6) // 6
+            for j in range(max(0, min(col_last - col_first + 1,
+                                      n_fields))):
                 (rk,) = struct.unpack_from("<I", body, 4 + 6 * j + 2)
                 cells.setdefault(sheet_i - 1, {})[
                     (row, col_first + j)] = _fmt_num(_rk_value(rk))
@@ -367,7 +374,10 @@ def extract_legacy_office(b: bytes, mime: str) -> Result:
         else:
             raise CFBError(
                 "no WordDocument/Workbook/PowerPoint Document stream")
-    except CFBError as exc:
+    except (CFBError, struct.error, IndexError) as exc:
+        # struct.error/IndexError: defense in depth for malformed
+        # record bodies the per-site bounds checks don't cover — the
+        # module's contract is "failure Result, never raise"
         return Result(success=False, file_type=FILE_TYPE,
                       mime_type=mime, error=str(exc))
     text = runes.trim_space(text)

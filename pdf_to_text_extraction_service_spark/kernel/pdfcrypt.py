@@ -100,25 +100,45 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 
 # ------------------------------------------------------- dict parsing
 
-_NUM_RE = re.compile(rb"/%b\s+(-?\d+)")
+def _dict_depth(buf: bytes, pos: int) -> int:
+    """<<…>> nesting depth at byte offset `pos` (sub-dictionaries such
+    as /CF << /StdCF << … >> >> sit at a deeper level than the
+    top-level /Encrypt keys)."""
+    head = buf[:pos]
+    return head.count(b"<<") - head.count(b">>")
 
 
 def _dict_int(head: bytes, key: bytes, default: int | None = None) -> int:
-    m = re.search(rb"/" + key + rb"\s+(-?\d+)", head)
-    if m is None:
+    # Anchor with a name-delimiter lookahead so /V never matches /VE,
+    # and prefer the shallowest match so the crypt-filter sub-dict's
+    # /Length 16 never shadows the top-level /Length 128.
+    best: tuple[int, int, int] | None = None
+    for m in re.finditer(rb"/" + key + rb"(?![A-Za-z])\s+(-?\d+)", head):
+        cand = (_dict_depth(head, m.start()), m.start(), int(m.group(1)))
+        if best is None or cand[0] < best[0]:
+            best = cand
+    if best is None:
         if default is None:
             raise PDFCryptError(f"/Encrypt missing /{key.decode()}")
         return default
-    return int(m.group(1))
+    return best[2]
 
 
 def pdf_string_after(buf: bytes, key: bytes) -> bytes | None:
     """Parse the PDF string value following /key: literal (…) with
-    escapes, or hex <…>."""
-    m = re.search(rb"/" + key + rb"\s*", buf)
-    if m is None:
-        return None
-    i = m.end()
+    escapes, or hex <…>. Tries every delimited occurrence of /key
+    (shallowest dict depth first) so /U is never confused with /UE
+    and a sub-dictionary key never shadows the top-level one."""
+    starts = [(_dict_depth(buf, m.start()), m.start(), m.end())
+              for m in re.finditer(rb"/" + key + rb"(?![A-Za-z])\s*", buf)]
+    for _, _, end in sorted(starts):
+        val = _string_value_at(buf, end)
+        if val is not None:
+            return val
+    return None
+
+
+def _string_value_at(buf: bytes, i: int) -> bytes | None:
     if i >= len(buf):
         return None
     if buf[i:i + 1] == b"<":

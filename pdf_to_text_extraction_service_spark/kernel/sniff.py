@@ -52,17 +52,7 @@ def sniff_mime(payload: bytes) -> str:
     if head.startswith(b"PK\x03\x04"):
         return "application/zip"
     if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
-        # OLE2 compound file: the reference's mimetype tree resolves
-        # the concrete type from directory stream names — mirror that
-        # with a scan for the UTF-16LE entry names.
-        if "WordDocument".encode("utf-16-le") in payload:
-            return "application/msword"
-        if "Workbook".encode("utf-16-le") in payload \
-                or "Book".encode("utf-16-le") in payload:
-            return "application/vnd.ms-excel"
-        if "PowerPoint Document".encode("utf-16-le") in payload:
-            return "application/vnd.ms-powerpoint"
-        return "application/x-ole-storage"
+        return _sniff_ole2(payload)
     if head.startswith(b"\x1f\x8b"):
         return "application/x-gzip"
     if head.startswith(b"{\\rtf"):
@@ -74,6 +64,33 @@ def sniff_mime(payload: bytes) -> str:
     if any(b in _BINARY_BYTES for b in head):
         return "application/octet-stream"
     return "text/plain; charset=utf-8"
+
+
+def _sniff_ole2(payload: bytes) -> str:
+    """OLE2 compound file: the reference's mimetype tree resolves the
+    concrete type from the ROOT directory's entry names. A bounded
+    CFB directory peek (header + FAT + directory sectors, no stream
+    payloads) beats a whole-payload UTF-16LE substring scan, which
+    mislabels e.g. an .xls carrying an embedded Word OLE object
+    (MBD…/WordDocument) as application/msword (ADVICE r3)."""
+    try:
+        from .cfb import CFB
+
+        names = set(CFB(payload, directory_only=True).top_level_names())
+    except Exception:
+        # corrupt directory: degrade to the old substring heuristic
+        names = set()
+        for n in ("WordDocument", "Workbook", "Book",
+                  "PowerPoint Document"):
+            if n.encode("utf-16-le") in payload:
+                names.add(n)
+    if "WordDocument" in names:
+        return "application/msword"
+    if "Workbook" in names or "Book" in names:
+        return "application/vnd.ms-excel"
+    if "PowerPoint Document" in names:
+        return "application/vnd.ms-powerpoint"
+    return "application/x-ole-storage"
 
 
 def file_ext(file_name: str) -> str:

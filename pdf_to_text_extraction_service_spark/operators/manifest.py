@@ -49,12 +49,14 @@ def completed_buckets(spark: SparkSession, manifest_path: str,
                       source_snapshot: str) -> set[int]:
     try:
         mf = spark.read.parquet(manifest_path)
+        rows = (
+            mf.filter(F.col("source_snapshot") == source_snapshot)
+            .select("bucket").distinct().collect()
+        )
     except Exception:
+        # missing path OR foreign parquet schema at the path: treat as
+        # "nothing committed" and let the run repopulate
         return set()
-    rows = (
-        mf.filter(F.col("source_snapshot") == source_snapshot)
-        .select("bucket").distinct().collect()
-    )
     return {r["bucket"] for r in rows}
 
 

@@ -310,3 +310,91 @@ class TestReviewRegressions:
         r = legacy.extract_legacy_office(blob,
                                          "application/vnd.ms-excel")
         assert r.success in (True, False)  # terminated is the point
+
+
+class TestOLE2SniffDirectoryPeek:
+    """ADVICE r3: OLE2 type must resolve from TOP-LEVEL directory
+    entries, not a whole-payload UTF-16LE substring scan."""
+
+    def test_xls_with_embedded_word_marker_sniffs_excel(self):
+        from pdf_to_text_extraction_service_spark.kernel import sniff
+
+        # plant an embedded-object marker (the bytes an MBD storage's
+        # WordDocument entry would contribute) INSIDE the Workbook
+        # stream body — the old substring scan mislabeled this msword
+        marker = "WordDocument".encode("utf-16-le")
+        glb = bytearray(legacygen._bof(0x0005))
+        glb += legacygen._rec(0x00FC, struct.pack("<II", 0, 0))
+        glb += legacygen._rec(0x000A, b"")
+        body = bytes(glb) + marker + b"\x00" * 64
+        blob = legacygen.build_cfb([("Workbook", body)])
+        assert sniff.sniff_mime(blob) == "application/vnd.ms-excel"
+
+    def test_plain_legacy_types_still_resolve(self):
+        from pdf_to_text_extraction_service_spark.kernel import sniff
+
+        assert sniff.sniff_mime(legacygen.build_doc(["hello doc"])) \
+            == "application/msword"
+        assert sniff.sniff_mime(
+            legacygen.build_xls("S", [["a"]])) \
+            == "application/vnd.ms-excel"
+        assert sniff.sniff_mime(legacygen.build_ppt([["t"]])) \
+            == "application/vnd.ms-powerpoint"
+
+    def test_corrupt_directory_degrades_to_substring_scan(self):
+        from pdf_to_text_extraction_service_spark.kernel import sniff
+
+        blob = bytearray(legacygen.build_doc(["x"]))
+        # wreck the directory start sector pointer
+        struct.pack_into("<I", blob, 48, 0xFFFFFFF0)
+        assert sniff.sniff_mime(bytes(blob)) == "application/msword"
+
+    def test_unknown_ole_storage(self):
+        from pdf_to_text_extraction_service_spark.kernel import sniff
+
+        blob = legacygen.build_cfb([("SomeCustomStream", b"\x01" * 80)])
+        assert sniff.sniff_mime(blob) == "application/x-ole-storage"
+
+
+class TestMalformedRecordBounds:
+    """ADVICE r3: malformed record bodies must surface as failure
+    Results (CFBError contract), never struct.error/IndexError."""
+
+    def test_mulrk_corrupt_col_last(self):
+        glb = bytearray(legacygen._bof(0x0005))
+        glb += legacygen._rec(0x0085, struct.pack(
+            "<IHBB", 0, 0, 1, 0x01) + "S".encode("utf-16-le"))
+        glb += legacygen._rec(0x00FC, struct.pack("<II", 0, 0))
+        glb += legacygen._rec(0x000A, b"")
+        sheet = bytearray(legacygen._bof(0x0010))
+        # MulRk claiming colLast=500 with body room for ONE rk field
+        body = struct.pack("<HH", 0, 0) + struct.pack(
+            "<HI", 0, 0x0000003C) + struct.pack("<H", 500)
+        sheet += legacygen._rec(0x00BD, body)
+        sheet += legacygen._rec(0x000A, b"")
+        blob = legacygen.build_cfb([("Workbook", bytes(glb + sheet))])
+        r = legacy.extract_legacy_office(blob,
+                                         "application/vnd.ms-excel")
+        assert r.success  # clamped, one cell parsed, no raise
+
+    def test_truncated_pcdt_header(self):
+        # CLX ends right after the 0x02 Pcdt marker: the lcbPlcPcd
+        # u32 would read past the end
+        blob = legacygen.build_doc(["seed text"])
+        container = legacy.CFB(blob)
+        word = bytearray(container.streams["WordDocument"])
+        table_name = "1Table" if "1Table" in container.streams \
+            else "0Table"
+        fc_clx = struct.unpack_from("<I", word, 0x01A2)[0]
+        # shrink lcbClx so the slice ends 2 bytes after the marker
+        struct.pack_into("<I", word, 0x01A6, 3)
+        table = container.streams[table_name]
+        patched = bytearray(table)
+        patched[fc_clx] = 0x02  # make first byte the Pcdt marker
+        rebuilt = legacygen.build_cfb(
+            [("WordDocument", bytes(word)),
+             (table_name, bytes(patched))])
+        r = legacy.extract_legacy_office(rebuilt,
+                                         "application/msword")
+        # Word95 fallback may still salvage text; the point is no raise
+        assert r.success in (True, False)

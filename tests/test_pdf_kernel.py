@@ -457,6 +457,24 @@ class TestEncryptedPDF:
             assert pdfk.extract_page_text(enc, 1) == want1, (v, r)
             assert pdfk.extract_page_text(enc, 2) == want2, (v, r)
 
+    def test_encrypt_dict_key_order_and_subdicts(self):
+        # ADVICE r3: /U must not match inside /UE when /UE precedes it,
+        # and the crypt-filter sub-dict's /Length 16 must never shadow
+        # the top-level /Length (pdfcrypt._dict_int depth preference).
+        from pdf_to_text_extraction_service_spark.kernel import pdfcrypt
+        body = (b"<< /Filter /Standard /V 5 /R 6 /UE <0102> /U (uval) "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/OE <0304> /O (oval) /Length 256 /P -4 >>")
+        assert pdfcrypt.pdf_string_after(body, b"U") == b"uval"
+        assert pdfcrypt.pdf_string_after(body, b"UE") == b"\x01\x02"
+        assert pdfcrypt.pdf_string_after(body, b"O") == b"oval"
+        assert pdfcrypt.pdf_string_after(body, b"OE") == b"\x03\x04"
+        assert pdfcrypt._dict_int(body, b"Length", 40) == 256
+        body2 = (b"<< /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                 b"/Filter /Standard /V 4 /R 4 /Length 128 /P -4 >>")
+        assert pdfcrypt._dict_int(body2, b"Length", 40) == 128
+        assert pdfcrypt._dict_int(body2, b"V", 0) == 4
+
     def test_flate_then_decrypt(self):
         base = pdfgen.build_pdf(
             [pdfgen.single_column_page(GOOD_LINES)], compress=True)

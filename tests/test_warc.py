@@ -162,3 +162,45 @@ def test_negative_content_length_terminates():
             b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
             b"Content-Length: -82\r\n\r\nbody")
     assert list(parse_warc(blob)) == []  # rejected, no infinite loop
+
+
+def test_stage_warc_idempotent(spark, tmp_path):
+    """ADVICE r3: --input-format warc staging must be a fast no-op on
+    rerun (fingerprint-keyed cache under the manifest dir) and must
+    re-stage when the segment set changes."""
+    import gzip
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from jobs.extract import _stage_warc, _warc_fingerprint
+
+    warc_dir = tmp_path / "segs"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc.gz").write_bytes(gzip.compress(write_warc(
+        [("https://s.test/1", "2026-01-01T00:00:00Z", b"<p>one</p>")])))
+    manifest = str(tmp_path / "manifest")
+    glob_ = str(warc_dir / "*.warc.gz")
+
+    fp1 = _warc_fingerprint(spark, glob_)
+    pages1 = _stage_warc(spark, glob_, manifest)
+    assert pages1.count() == 1
+    # sibling of the manifest dir, non-Hive-partition dir name
+    assert set(pages1.columns) == {"url", "warc_ts", "html"}
+    staged = tmp_path / "manifest.warc_staged" / f"fp-{fp1}"
+    assert (staged / "_SUCCESS").exists()
+    mtime = (staged / "_SUCCESS").stat().st_mtime_ns
+
+    # same input -> cache hit, nothing rewritten
+    pages2 = _stage_warc(spark, glob_, manifest)
+    assert pages2.count() == 1
+    assert (staged / "_SUCCESS").stat().st_mtime_ns == mtime
+
+    # new segment -> different fingerprint -> fresh stage, old kept
+    (warc_dir / "b.warc.gz").write_bytes(gzip.compress(write_warc(
+        [("https://s.test/2", "2026-01-01T00:00:00Z", b"<p>two</p>")])))
+    fp2 = _warc_fingerprint(spark, glob_)
+    assert fp2 != fp1
+    pages3 = _stage_warc(spark, glob_, manifest)
+    assert pages3.count() == 2
+    assert (staged / "_SUCCESS").exists()
