@@ -913,23 +913,52 @@ def _q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_page_stats(extract(df))
 
 
+def _multimodal_payload(i: int) -> bytes:
+    """Deterministic payload for media id i, cycling through the three
+    supported kinds: i%3==0 FAKEIMG container, i%3==1 a REAL grayscale
+    PNG whose pixel bytes follow the same closed form as the fake body
+    ((j*31 + i*7 + 13) % 256), i%3==2 a REAL baseline JPEG of the flat
+    gray value (i*7+13)%256 with an all-ones quant table (DC-only
+    blocks decode bit-exactly) — so the decoded histogram stays
+    symbolically predictable for the DuckDB oracle."""
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        make_fake_image,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import imgcodec
+
+    w, hgt = 4 + i % 16, 4 + i % 8
+    kind = i % 3
+    if kind == 0:
+        return make_fake_image(w, hgt, seed=i)
+    if kind == 1:
+        body = ((np.arange(w * hgt, dtype=np.int64) * 31 + i * 7 + 13)
+                % 256).astype(np.uint8)
+        return imgcodec.encode_png(body.reshape(hgt, w))
+    v = (i * 7 + 13) % 256
+    return imgcodec.encode_jpeg(
+        np.full((hgt, w), v, dtype=np.uint8),
+        quant=np.ones((8, 8), dtype=np.int32))
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-decode plumbing over fake-container payloads derived from
-    doc ids. The decoded histogram features are closed-form from the
-    seeded generator (multimodal.make_fake_image), so the oracle
-    reconstructs width/height/n_bytes AND a polyhash digest of the
-    16-bin histogram symbolically — a full rows+schema+hash gate over
-    the mapInPandas decode path."""
+    """Image-decode over REAL PNG + baseline JPEG payloads (from-spec
+    codecs, kernel/imgcodec.py) alongside the FAKEIMG container. All
+    three kinds have closed-form decoded pixels, so the oracle
+    reconstructs width/height AND a polyhash digest of the 16-bin
+    histogram symbolically (n_bytes via an embedded lookup, since
+    PNG/JPEG sizes depend on entropy coding) — a full
+    rows+schema+hash gate over the mapInPandas decode path."""
     from pdf_to_text_extraction_service_spark.functions.multimodal import (
         image_features,
-        make_fake_image,
     )
 
     docs = load_documents(spark, sf_dir).select("doc_id") \
         .filter(F.col("doc_id") < 200)
     ids = [r["doc_id"] for r in docs.collect()]
     media = spark.createDataFrame(
-        [(i, make_fake_image(4 + i % 16, 4 + i % 8, seed=i)) for i in ids],
+        [(i, _multimodal_payload(i)) for i in ids],
         "media_id long, payload binary",
     )
     feats = image_features(media)
@@ -1236,6 +1265,58 @@ _SIMHASH_SQL = f"""
 # strictly left-to-right in both (Spark `aggregate`, DuckDB
 # list_reduce over a 0.0-prepended product list), so the sign bits —
 # and hence the bucket — agree bit-for-bit.
+
+
+_MULTIMODAL_ORACLE_CACHE: str | None = None
+
+
+def _multimodal_oracle_sql() -> str:
+    """Mirror of _q_multimodal_features: width/height and the 16-bin
+    histogram digest are closed-form in SQL (the fake/PNG pixel bytes
+    are (j*31 + m*7 + 13) % 256; the JPEG is flat (m*7+13)%256), but
+    PNG/JPEG payload LENGTHS depend on zlib/Huffman coding, so the
+    exact n_bytes for media ids 0..199 are computed here by the same
+    encoders and embedded as a VALUES lookup. Memoized: sweep
+    harnesses call oracle_sql() once per query."""
+    global _MULTIMODAL_ORACLE_CACHE
+    if _MULTIMODAL_ORACLE_CACHE is not None:
+        return _MULTIMODAL_ORACLE_CACHE
+    values = ", ".join(
+        f"({i}, {len(_multimodal_payload(i))})" for i in range(200))
+    _MULTIMODAL_ORACLE_CACHE = f"""
+        WITH nb(media_id, nbytes) AS (VALUES {values}),
+        d AS (
+            SELECT doc_id,
+                   4 + doc_id % 16 AS w,
+                   4 + doc_id % 8 AS h,
+                   (doc_id * 7 + 13) % 256 AS v
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT d.doc_id AS media_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(nb.nbytes AS BIGINT) AS n_bytes,
+               CASE WHEN d.doc_id % 3 = 2 THEN
+                   list_reduce(
+                       list_prepend(0::BIGINT, list_transform(range(0, 16),
+                           b -> CAST(CASE WHEN b = v // 16
+                                     THEN w * h ELSE 0 END AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 1000000007)
+               ELSE
+                   list_reduce(
+                       list_prepend(0::BIGINT, list_transform(range(0, 16),
+                           b -> CAST(len(list_filter(
+                               range(0, w * h),
+                               i -> (i * 31 + d.doc_id * 7 + 13) % 256
+                                        >= b * 16
+                                AND (i * 31 + d.doc_id * 7 + 13) % 256
+                                        < b * 16 + 16
+                           )) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 1000000007)
+               END AS feat_digest
+        FROM d JOIN nb ON nb.media_id = d.doc_id
+    """
+    return _MULTIMODAL_ORACLE_CACHE
 
 
 def _ann_lsh_sql(dim: int = 64, bits: int = 4, seed: int = 7) -> str:
@@ -1757,26 +1838,13 @@ def oracle_sql() -> dict[str, str]:
         # band keys agree; 1<<63 overflows in DuckDB so bit 63 is the
         # min-long literal.
         "dedup_simhash": _SIMHASH_SQL,
-        # Fake-image payloads (multimodal.make_fake_image) are
-        # closed-form: body byte i of media m is (i*31 + m*7 + 13) %
-        # 256, so DuckDB rebuilds the 16-bin histogram and its
-        # polyhash digest symbolically.
-        "multimodal_image_features": """
-            SELECT doc_id AS media_id,
-                   CAST(4 + doc_id % 16 AS INTEGER) AS width,
-                   CAST(4 + doc_id % 8 AS INTEGER) AS height,
-                   CAST(16 + (4 + doc_id % 16) * (4 + doc_id % 8) AS BIGINT)
-                       AS n_bytes,
-                   list_reduce(
-                       list_prepend(0::BIGINT, list_transform(range(0, 16),
-                           b -> CAST(len(list_filter(
-                               range(0, (4 + doc_id % 16) * (4 + doc_id % 8)),
-                               i -> (i * 31 + doc_id * 7 + 13) % 256 >= b * 16
-                                AND (i * 31 + doc_id * 7 + 13) % 256 < b * 16 + 16
-                           )) AS BIGINT))),
-                       (a, c) -> (a * 31 + c) % 1000000007) AS feat_digest
-            FROM documents WHERE doc_id < 200
-        """,
+        # All three payload kinds decode to closed-form pixels: FAKEIMG
+        # body / real-PNG gray bytes are (j*31 + m*7 + 13) % 256, the
+        # real JPEG is the flat value (m*7+13)%256 (all-ones quant
+        # table, DC-only blocks, bit-exact). Payload byte LENGTHS for
+        # PNG/JPEG depend on entropy coding, so they're embedded as a
+        # VALUES lookup computed by the same encoders.
+        "multimodal_image_features": _multimodal_oracle_sql(),
         "ann_cosine_topk": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(

@@ -2,16 +2,14 @@
 
 Prompt mandate: image/audio/video as ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample as Pandas
-UDFs over mapInPandas. The image/audio libs are not in this container,
-so the DECODE step is stubbed two ways, both clearly marked:
-
-- payloads in the engine's own deterministic FAKE container format
-  (``FAKEIMG``/``FAKEVID`` headers, see make_fake_image) decode fully
-  — schema, batch shape, partitioning and feature plumbing are real
-  and tested end-to-end;
-- real formats (PNG/JPEG/...) raise NotImplementedError inside the
-  kernel, which surfaces as an ``error`` row — never a task crash —
-  exactly like the extraction router's failure envelopes.
+UDFs over mapInPandas. Image decode is REAL for PNG and baseline JPEG
+via the from-spec pure-numpy codecs in kernel/imgcodec.py (no image
+libraries exist in this container), matching the reference's
+real-image ingestion path (internal/extractors/image/image.go:39-82);
+the deterministic FAKE container (``FAKEIMG``/``FAKEVID``, see
+make_fake_image) remains as the closed-form oracle-able payload kind.
+Unsupported/malformed formats surface as ``error`` rows — never a
+task crash — exactly like the extraction router's failure envelopes.
 """
 
 from __future__ import annotations
@@ -74,22 +72,39 @@ def make_fake_video(frames: int, width: int, height: int,
     return FAKE_VID_MAGIC + struct.pack(">III", frames, width, height) + body
 
 
+def _hist16(body) -> list[float]:
+    """16-bin byte histogram, L1-normalized — the stand-in for a real
+    embedding; deterministic, so testable end-to-end."""
+    import numpy as np
+
+    arr = np.frombuffer(bytes(body), dtype=np.uint8) \
+        if isinstance(body, (bytes, bytearray)) else np.asarray(body)
+    hist = np.bincount(arr.reshape(-1) >> 4, minlength=16)[:16]
+    total = max(int(arr.size), 1)
+    return [float(v) / total for v in hist]
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Decode the fake container; REAL image decode is a documented
-    stub (no image libs in this environment)."""
+    """Decode real PNG / baseline JPEG (kernel/imgcodec.py, from-spec
+    pure-numpy codecs) or the deterministic FAKEIMG container; the
+    features are a 16-bin histogram over the grayscale pixel bytes.
+    Anything else raises, surfacing as an error row."""
     if payload.startswith(FAKE_IMG_MAGIC):
         w, h = struct.unpack(">II", payload[8:16])
         body = payload[16:16 + w * h]
-        # 16-bin byte histogram, L1-normalized — the stand-in for a
-        # real embedding; deterministic, so testable end-to-end.
-        hist = [0] * 16
-        for b in body:
-            hist[b >> 4] += 1
-        total = max(len(body), 1)
-        return w, h, [v / total for v in hist]
-    raise NotImplementedError(
-        "real image decode requires an image library not present in "
-        "this environment (stub per SURVEY.md §2.3 media note)"
+        return w, h, _hist16(body)
+    from ..kernel import imgcodec
+
+    if payload.startswith(imgcodec.PNG_SIG):
+        img = imgcodec.decode_png(payload)
+        gray = imgcodec.to_gray(img)
+        return int(gray.shape[1]), int(gray.shape[0]), _hist16(gray)
+    if payload.startswith(b"\xff\xd8"):
+        img = imgcodec.decode_jpeg(payload)
+        gray = imgcodec.to_gray(img)
+        return int(gray.shape[1]), int(gray.shape[0]), _hist16(gray)
+    raise ValueError(
+        "unsupported image format (PNG, baseline JPEG, or FAKEIMG)"
     )
 
 

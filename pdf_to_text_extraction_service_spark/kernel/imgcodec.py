@@ -1,0 +1,715 @@
+"""From-spec PNG and baseline-JPEG codecs (pure Python + numpy).
+
+The reference sends real image bytes to its vision/OCR leg
+(internal/extractors/image/image.go:39-82); this engine's multimodal
+column needs a real decode so feature extraction operates on genuine
+pixels rather than the FAKEIMG container alone. No image libraries
+exist in this environment, so both formats are implemented from the
+public specs:
+
+- PNG (RFC 2083 / W3C PNG spec): chunk parse, zlib inflate, all five
+  scanline filters (None/Sub/Up/Average/Paeth), bit depths 1/2/4/8/16,
+  color types 0/2/3/4/6, Adam7 interlace. Output is uint8 (16-bit
+  samples take the high byte, the usual 8-bit reduction).
+- JPEG (ITU-T T.81 baseline): DQT/DHT/SOF0/SOS/DRI markers, Huffman
+  entropy decode with byte unstuffing and restart markers, dequantize,
+  dezigzag, float separable IDCT, nearest-neighbour chroma upsample,
+  JFIF YCbCr->RGB.
+
+Encoders exist so tests and the driver fixture can synthesize real
+payloads deterministically: PNG (filter-0 rows, fixed zlib level) and
+baseline JPEG (grayscale or 4:4:4 color, caller-supplied quant table).
+An all-ones quant table makes a FLAT image round-trip bit-exactly
+(DC-only blocks: IDCT of a pure-DC block is DC/8, exact in binary
+floats), which is what lets the driver's DuckDB oracle predict decoded
+histograms symbolically.
+
+Malformed input raises ValueError; callers surface it as an error row
+(multimodal.image_features), mirroring the extraction router's
+failure envelopes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ===================================================================
+# PNG
+# ===================================================================
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Reverse the per-scanline filters. Sequential by spec (each byte
+    depends on the reconstructed left/up/up-left neighbours)."""
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        if pos >= len(raw):
+            raise ValueError("png: truncated scanline data")
+        ftype = raw[pos]
+        pos += 1
+        line = raw[pos:pos + stride]
+        if len(line) < stride:
+            raise ValueError("png: truncated scanline data")
+        pos += stride
+        o = y * stride
+        prev = out[o - stride:o] if y else bytes(stride)
+        if ftype == 0:  # None
+            out[o:o + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                out[o + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                out[o + x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                out[o + x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                out[o + x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        else:
+            raise ValueError(f"png: bad filter type {ftype}")
+    return out
+
+
+def _expand_samples(recon: bytes, width: int, height: int,
+                    bitdepth: int, channels: int) -> np.ndarray:
+    """Reconstructed scanline bytes -> (h, w, channels) uint8."""
+    stride = (width * channels * bitdepth + 7) // 8
+    rows = np.frombuffer(bytes(recon), dtype=np.uint8).reshape(
+        height, stride)
+    if bitdepth == 8:
+        return rows[:, :width * channels].reshape(
+            height, width, channels).copy()
+    if bitdepth == 16:
+        # high byte: the standard 16->8 reduction
+        return rows[:, :width * channels * 2].reshape(
+            height, width * channels, 2)[:, :, 0].reshape(
+            height, width, channels).copy()
+    # 1/2/4-bit packed, big-endian within the byte
+    per_byte = 8 // bitdepth
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(height, stride * per_byte, bitdepth)
+    weights = (1 << np.arange(bitdepth - 1, -1, -1)).astype(np.uint8)
+    samples = (vals * weights).sum(axis=2).astype(np.uint8)
+    return samples[:, :width * channels].reshape(
+        height, width, channels).copy()
+
+
+def _scale_to_8bit(img: np.ndarray, bitdepth: int,
+                   palette: bytes | None) -> np.ndarray:
+    if palette is not None:
+        pal = np.frombuffer(palette, dtype=np.uint8)
+        if len(pal) % 3:
+            raise ValueError("png: PLTE length not divisible by 3")
+        pal = pal.reshape(-1, 3)
+        idx = img[:, :, 0]
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("png: palette index out of range")
+        return pal[idx]
+    if bitdepth in (8, 16):
+        return img
+    # sample-depth scaling per spec: v * 255 / (2^d - 1)
+    maxv = (1 << bitdepth) - 1
+    return ((img.astype(np.uint16) * 255 + maxv // 2) // maxv).astype(
+        np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) uint8 (palette expanded to RGB)."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("png: bad signature")
+    pos = len(PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    palette: bytes | None = None
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        pos += 8
+        if pos + length + 4 > len(data):
+            raise ValueError("png: truncated chunk")
+        body = data[pos:pos + length]
+        pos += length + 4  # skip CRC (tolerant reader)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            palette = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("png: missing IHDR")
+    w, h, bitdepth, colortype, comp, filt, interlace = ihdr
+    if w == 0 or h == 0 or w > 1 << 24 or h > 1 << 24:
+        raise ValueError("png: bad dimensions")
+    if comp != 0 or filt != 0:
+        raise ValueError("png: unknown compression/filter method")
+    if colortype not in _CHANNELS:
+        raise ValueError(f"png: bad color type {colortype}")
+    allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}[colortype]
+    if bitdepth not in allowed:
+        raise ValueError(f"png: bad bit depth {bitdepth}")
+    if colortype == 3 and palette is None:
+        raise ValueError("png: palette image missing PLTE")
+    channels = _CHANNELS[colortype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"png: bad IDAT stream ({exc})") from None
+    bpp = max(1, (bitdepth * channels) // 8)
+
+    if interlace == 0:
+        stride = (w * channels * bitdepth + 7) // 8
+        recon = _unfilter(raw, h, stride, bpp)
+        img = _expand_samples(recon, w, h, bitdepth, channels)
+    elif interlace == 1:
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * channels * bitdepth + 7) // 8
+            span = ph * (stride + 1)
+            recon = _unfilter(raw[off:off + span], ph, stride, bpp)
+            off += span
+            sub = _expand_samples(recon, pw, ph, bitdepth, channels)
+            img[y0::dy, x0::dx] = sub
+    else:
+        raise ValueError(f"png: bad interlace method {interlace}")
+    return _scale_to_8bit(img, bitdepth, palette if colortype == 3
+                          else None)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """(h, w) or (h, w, {1,2,3,4}) uint8 -> PNG bytes (filter-0 rows,
+    one IDAT). Deterministic for a fixed zlib level."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    rows = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(rows, level))
+            + _chunk(b"IEND", b""))
+
+
+# ===================================================================
+# JPEG (baseline, T.81)
+# ===================================================================
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# T.81 Annex K.3.3: the "typical" luminance Huffman tables every
+# encoder ships. (BITS counts per code length 1..16, then HUFFVAL.)
+_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_VALS = list(range(12))
+_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Annex K.1 luminance quantization table (natural order), for tests
+# that want realistic lossy behavior.
+STD_LUMA_QUANT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+
+# Separable DCT basis: _DCT_M[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_DCT_M = np.zeros((8, 8))
+for _u in range(8):
+    _cu = (1 / np.sqrt(2)) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCT_M[_u, _x] = _cu / 2 * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _DCT_M.T @ block @ _DCT_M
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _DCT_M @ block @ _DCT_M.T
+
+
+class _HuffTable:
+    """Canonical Huffman per T.81 C.2: (code, length) -> symbol."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.lookup: dict[tuple[int, int], int] = {}
+        self.enc: dict[int, tuple[int, int]] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                if k >= len(vals):
+                    raise ValueError("jpeg: DHT bits/vals mismatch")
+                self.lookup[(code, length)] = vals[k]
+                self.enc[vals[k]] = (code, length)
+                k += 1
+                code += 1
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-coded segment reader: 0xFF00 unstuffing, stops at any
+    other marker (the caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        # single-byte fill: bounds read-ahead to one byte so align()
+        # at a restart boundary leaves pos exactly at the RSTn marker
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: truncated entropy data")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(
+                self.data) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError("jpeg: truncated entropy data")
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+    def align(self) -> None:
+        self.bitbuf = 0
+        self.nbits = 0
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB."""
+    if not data.startswith(b"\xff\xd8"):
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker are legal
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[i:i + n]
+                if len(raw) < n:
+                    raise ValueError("jpeg: truncated DQT")
+                if pq:
+                    tbl = np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                else:
+                    tbl = np.frombuffer(raw, dtype=np.uint8).astype(
+                        np.int32)
+                quant[tq] = tbl
+                i += n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (baseline huffman)
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(
+                    ">BBB", body, 6 + 3 * ci)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only baseline (SOF0) supported")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                if len(vals) < nv:
+                    raise ValueError("jpeg: truncated DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
+                    bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tables = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((cs, tables >> 4, tables & 0x0F))
+            pos = pos + seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("jpeg: missing SOF/SOS")
+
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError("jpeg: bad dimensions")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    for (cid, hs, vs, _tq) in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8),
+                               dtype=np.float64)
+
+    by_id = {cid: (hs, vs, tq) for (cid, hs, vs, tq) in comps}
+    reader = _BitReader(data, pos)
+    pred = {cs: 0 for (cs, _, _) in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                # discard padding bits, consume the RSTn, reset DC
+                reader.align()
+                if reader.pos + 1 < len(data) \
+                        and data[reader.pos] == 0xFF \
+                        and 0xD0 <= data[reader.pos + 1] <= 0xD7:
+                    reader.pos += 2
+                pred = {cs: 0 for (cs, _, _) in scan}
+            mcu_count += 1
+            for (cs, td, ta) in scan:
+                hs, vs, tq = by_id[cs]
+                if tq not in quant:
+                    raise ValueError("jpeg: missing quant table")
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError("jpeg: missing Huffman table")
+                qt = quant[tq]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        try:
+                            t = reader.decode_symbol(huff_dc[td])
+                            diff = _extend(reader.read_bits(t), t)
+                            pred[cs] += diff
+                            zz = np.zeros(64, dtype=np.int32)
+                            zz[0] = pred[cs]
+                            k = 1
+                            while k < 64:
+                                rs = reader.decode_symbol(huff_ac[ta])
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError(
+                                        "jpeg: AC index overflow")
+                                zz[k] = _extend(reader.read_bits(s), s)
+                                k += 1
+                        except _RestartMarker:
+                            raise ValueError(
+                                "jpeg: unexpected restart marker")
+                        block = np.zeros(64, dtype=np.int32)
+                        block[_ZIGZAG] = zz * qt
+                        sp = _idct2(block.reshape(8, 8))
+                        y0 = (my * vs + byi) * 8
+                        x0 = (mx * hs + bxi) * 8
+                        planes[cs][y0:y0 + 8, x0:x0 + 8] = sp
+
+    out_planes = []
+    for (cid, hs, vs, _tq) in comps:
+        p = planes[cid]
+        if hs < hmax or vs < vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0),
+                          hmax // hs, axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        y = np.clip(np.round(out_planes[0] + 128), 0, 255)
+        return y.astype(np.uint8)
+    if len(out_planes) == 3:
+        y = out_planes[0] + 128
+        cb = out_planes[1]
+        cr = out_planes[2]
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise ValueError(f"jpeg: unsupported component count "
+                     f"{len(out_planes)}")
+
+
+# ------------------------------------------------------------ encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc <<= (8 - self.n)
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                  dc: _HuffTable, ac: _HuffTable) -> int:
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    code, length = dc.enc[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac.enc[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac.enc[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac.enc[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _dht_segment(tc: int, th: int, bits: list[int],
+                 vals: list[int]) -> bytes:
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(img: np.ndarray,
+                quant: np.ndarray | None = None) -> bytes:
+    """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB -> baseline JPEG.
+
+    RGB encodes as YCbCr 4:4:4; all components share the Annex-K
+    luminance Huffman tables (legal, keeps the constant surface
+    small). quant defaults to STD_LUMA_QUANT; pass np.ones((8, 8)) for
+    the bit-exact flat-image path the driver oracle relies on."""
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if quant is None:
+        quant = STD_LUMA_QUANT
+    qt = np.asarray(quant, dtype=np.int32).reshape(8, 8)
+
+    if gray:
+        comps = [arr.astype(np.float64) - 128.0]
+    else:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y - 128.0, cb, cr]
+
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    padded = []
+    for p in comps:
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1:h, :]  # edge replicate
+        pp[:, w:] = pp[:, w - 1:w]
+        padded.append(pp)
+
+    dc = _HuffTable(_STD_DC_BITS, _STD_DC_VALS)
+    ac = _HuffTable(_STD_AC_BITS, _STD_AC_VALS)
+    bw = _BitWriter()
+    preds = [0] * len(padded)
+    # zz[k] = natural[_ZIGZAG[k]] — _ZIGZAG maps zigzag pos -> natural
+    qt_zz = qt.reshape(64)[_ZIGZAG]
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, p in enumerate(padded):
+                block = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = np.round(
+                    _fdct2(block).reshape(64)[_ZIGZAG] / qt_zz
+                ).astype(np.int32)
+                preds[ci] = _encode_block(bw, coef, preds[ci], dc, ac)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" \
+        + bytes(int(v) for v in qt_zz)
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])  # 4:4:4, quant table 0
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _STD_DC_BITS, _STD_DC_VALS)
+    out += _dht_segment(1, 0, _STD_AC_BITS, _STD_AC_VALS)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------------------ helpers
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """uint8 image of any channel count -> (h, w) uint8 luma.
+    BT.601 integer approximation (77R + 150G + 29B + 128) >> 8 for
+    color; channel 0 for gray/gray+alpha."""
+    if img.ndim == 2:
+        return img
+    ch = img.shape[2]
+    if ch in (1, 2):
+        return img[:, :, 0]
+    r = img[:, :, 0].astype(np.uint32)
+    g = img[:, :, 1].astype(np.uint32)
+    b = img[:, :, 2].astype(np.uint32)
+    return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)

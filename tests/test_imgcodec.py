@@ -1,0 +1,277 @@
+"""PNG + baseline JPEG codec (kernel/imgcodec.py).
+
+The reference feeds real image bytes to its vision leg
+(internal/extractors/image/image.go:39-82); these tests pin the
+from-spec decoders that replace the round-3 NotImplementedError stub.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pdf_to_text_extraction_service_spark.kernel import imgcodec as ic
+
+RNG = np.random.RandomState(7)
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def _png(ihdr_fields, chunks):
+    out = bytearray(ic.PNG_SIG)
+    ihdr = struct.pack(">IIBBBBB", *ihdr_fields)
+    out += ic._chunk(b"IHDR", ihdr)
+    for ctype, body in chunks:
+        out += ic._chunk(ctype, body)
+    out += ic._chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _forward_filter(rows: np.ndarray, ftypes: list[int],
+                    bpp: int) -> bytes:
+    """Independent forward filter (spec definition) for decode tests."""
+    h, stride = rows.shape
+    out = bytearray()
+    for y in range(h):
+        f = ftypes[y % len(ftypes)]
+        out.append(f)
+        prev = rows[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        cur = rows[y].astype(np.int32)
+        for x in range(stride):
+            left = int(cur[x - bpp]) if x >= bpp else 0
+            up = int(prev[x])
+            ul = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - left
+            elif f == 2:
+                v = cur[x] - up
+            elif f == 3:
+                v = cur[x] - ((left + up) >> 1)
+            else:
+                v = cur[x] - ic._paeth(left, up, ul)
+            out.append(int(v) & 0xFF)
+    return bytes(out)
+
+
+class TestPNG:
+    def test_roundtrip_all_channel_counts(self):
+        for ch in (1, 2, 3, 4):
+            img = RNG.randint(0, 256, (11, 23, ch), dtype=np.uint8)
+            out = ic.decode_png(ic.encode_png(img))
+            assert (out == img).all()
+
+    def test_all_filter_types_reverse(self):
+        img = RNG.randint(0, 256, (10, 9, 3), dtype=np.uint8)
+        rows = img.reshape(10, 27)
+        raw = _forward_filter(rows, [0, 1, 2, 3, 4], bpp=3)
+        data = _png((9, 10, 8, 2, 0, 0, 0),
+                    [(b"IDAT", zlib.compress(raw))])
+        out = ic.decode_png(data)
+        assert (out == img).all()
+
+    def test_16bit_high_byte(self):
+        w, h = 5, 4
+        samples = RNG.randint(0, 65536, (h, w), dtype=np.uint16)
+        rows = samples.astype(">u2").view(np.uint8).reshape(h, w * 2)
+        raw = _forward_filter(rows.astype(np.uint8), [0, 2], bpp=2)
+        data = _png((w, h, 16, 0, 0, 0, 0),
+                    [(b"IDAT", zlib.compress(raw))])
+        out = ic.decode_png(data)
+        assert (out[:, :, 0] == (samples >> 8).astype(np.uint8)).all()
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_sub_byte_gray_scaled(self, depth):
+        w, h = 11, 3
+        maxv = (1 << depth) - 1
+        vals = RNG.randint(0, maxv + 1, (h, w), dtype=np.uint8)
+        per_byte = 8 // depth
+        stride = (w * depth + 7) // 8
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                byte_i, slot = divmod(x, per_byte)
+                shift = 8 - depth * (slot + 1)
+                rows[y, byte_i] |= vals[y, x] << shift
+        raw = _forward_filter(rows, [0], bpp=1)
+        data = _png((w, h, depth, 0, 0, 0, 0),
+                    [(b"IDAT", zlib.compress(raw))])
+        out = ic.decode_png(data)[:, :, 0]
+        want = ((vals.astype(np.uint16) * 255 + maxv // 2)
+                // maxv).astype(np.uint8)
+        assert (out == want).all()
+
+    def test_palette_expands_to_rgb(self):
+        pal = bytes(RNG.randint(0, 256, 12, dtype=np.uint8))  # 4 colors
+        idx = RNG.randint(0, 4, (6, 7), dtype=np.uint8)
+        raw = _forward_filter(idx, [0, 1], bpp=1)
+        data = _png((7, 6, 8, 3, 0, 0, 0),
+                    [(b"PLTE", pal), (b"IDAT", zlib.compress(raw))])
+        out = ic.decode_png(data)
+        want = np.frombuffer(pal, np.uint8).reshape(4, 3)[idx]
+        assert (out == want).all()
+
+    def test_adam7_interlace(self):
+        w, h = 10, 9
+        img = RNG.randint(0, 256, (h, w), dtype=np.uint8)
+        passes = bytearray()
+        for (x0, y0, dx, dy) in ic._ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            passes += _forward_filter(sub, [0], bpp=1)
+        data = _png((w, h, 8, 0, 0, 0, 1),
+                    [(b"IDAT", zlib.compress(bytes(passes)))])
+        out = ic.decode_png(data)[:, :, 0]
+        assert (out == img).all()
+
+    def test_multiple_idat_chunks(self):
+        img = RNG.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+        full = ic.encode_png(img)
+        # re-split the IDAT into two chunks
+        raw = zlib.compress(
+            b"".join(b"\x00" + img[y].tobytes() for y in range(8)))
+        data = _png((8, 8, 8, 2, 0, 0, 0),
+                    [(b"IDAT", raw[:10]), (b"IDAT", raw[10:])])
+        assert (ic.decode_png(data) == ic.decode_png(full)).all()
+
+    @pytest.mark.parametrize("mutant", [
+        b"notapng" + b"\x00" * 40,
+        ic.PNG_SIG + b"\x00\x00\x00\x04IDAT\x00\x00\x00\x00" + b"\x00" * 4,
+    ])
+    def test_malformed_raises_valueerror(self, mutant):
+        with pytest.raises(ValueError):
+            ic.decode_png(mutant)
+
+    def test_truncated_idat_raises(self):
+        img = RNG.randint(0, 256, (6, 6), dtype=np.uint8)
+        good = ic.encode_png(img)
+        with pytest.raises(ValueError):
+            ic.decode_png(good[:len(good) - 20])
+
+    def test_bad_filter_type_raises(self):
+        raw = bytes([9]) + bytes(5)
+        data = _png((5, 1, 8, 0, 0, 0, 0),
+                    [(b"IDAT", zlib.compress(raw))])
+        with pytest.raises(ValueError):
+            ic.decode_png(data)
+
+    def test_palette_index_out_of_range_raises(self):
+        raw = _forward_filter(np.full((1, 1), 7, np.uint8), [0], 1)
+        data = _png((1, 1, 8, 3, 0, 0, 0),
+                    [(b"PLTE", bytes(6)), (b"IDAT", zlib.compress(raw))])
+        with pytest.raises(ValueError):
+            ic.decode_png(data)
+
+
+# --------------------------------------------------------------- JPEG
+
+Q1 = np.ones((8, 8), dtype=np.int32)
+
+
+class TestJPEG:
+    def test_flat_gray_bit_exact(self):
+        for v in (0, 1, 127, 128, 254, 255):
+            img = np.full((12, 20), v, dtype=np.uint8)
+            out = ic.decode_jpeg(ic.encode_jpeg(img, quant=Q1))
+            assert out.shape == (12, 20)
+            assert (out == v).all(), v
+
+    def test_gray_q1_within_rounding(self):
+        img = RNG.randint(0, 256, (24, 17), dtype=np.uint8)
+        out = ic.decode_jpeg(ic.encode_jpeg(img, quant=Q1))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    def test_color_444_q1_close(self):
+        img = RNG.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+        out = ic.decode_jpeg(ic.encode_jpeg(img, quant=Q1))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    def test_std_quant_smooth_image(self):
+        xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+        img = ((xx * 2 + yy * 3) % 200 + 20).astype(np.uint8)
+        out = ic.decode_jpeg(ic.encode_jpeg(img))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 4
+
+    def test_non_multiple_of_8_dims_cropped(self):
+        img = np.full((9, 13), 77, dtype=np.uint8)
+        out = ic.decode_jpeg(ic.encode_jpeg(img, quant=Q1))
+        assert out.shape == (9, 13)
+        assert (out == 77).all()
+
+    def test_restart_markers(self):
+        # hand-assemble a 24x8 flat image as 3 MCUs with DRI=1:
+        # entropy data is per-MCU segments separated by RST0/RST1
+        v = 90
+        img = np.full((8, 24), v, dtype=np.uint8)
+        base = ic.encode_jpeg(img, quant=Q1)
+        # encode each 8x8 MCU independently (DC pred resets at RSTn)
+        segs = []
+        for _ in range(3):
+            bw = ic._BitWriter()
+            dc = ic._HuffTable(ic._STD_DC_BITS, ic._STD_DC_VALS)
+            ac = ic._HuffTable(ic._STD_AC_BITS, ic._STD_AC_VALS)
+            zz = np.zeros(64, dtype=np.int32)
+            zz[0] = 8 * (v - 128)
+            ic._encode_block(bw, zz, 0, dc, ac)
+            bw.flush()
+            segs.append(bytes(bw.out))
+        entropy = segs[0] + b"\xff\xd0" + segs[1] + b"\xff\xd1" + segs[2]
+        # splice: reuse base headers up to SOS payload, add DRI
+        sos_at = base.find(b"\xff\xda")
+        dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)
+        sos_len = struct.unpack_from(">H", base, sos_at + 2)[0]
+        header = base[:sos_at] + dri \
+            + base[sos_at:sos_at + 2 + sos_len]
+        out = ic.decode_jpeg(header + entropy + b"\xff\xd9")
+        assert out.shape == (8, 24)
+        assert (out == v).all()
+
+    def test_progressive_rejected(self):
+        img = np.full((8, 8), 10, dtype=np.uint8)
+        blob = bytearray(ic.encode_jpeg(img, quant=Q1))
+        i = blob.find(b"\xff\xc0")
+        blob[i + 1] = 0xC2  # SOF2 progressive
+        with pytest.raises(ValueError, match="baseline"):
+            ic.decode_jpeg(bytes(blob))
+
+    def test_truncated_entropy_raises(self):
+        img = RNG.randint(0, 256, (16, 16), dtype=np.uint8)
+        blob = ic.encode_jpeg(img, quant=Q1)
+        with pytest.raises(ValueError):
+            ic.decode_jpeg(blob[:len(blob) // 2])
+
+    def test_bad_soi_raises(self):
+        with pytest.raises(ValueError):
+            ic.decode_jpeg(b"\x89PNG1234")
+
+    def test_app0_and_fill_bytes_tolerated(self):
+        img = np.full((8, 8), 33, dtype=np.uint8)
+        blob = ic.encode_jpeg(img, quant=Q1)
+        # inject APP0 JFIF segment + a fill byte after SOI
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) \
+            + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        patched = blob[:2] + b"\xff" + app0 + blob[2:]
+        out = ic.decode_jpeg(patched)
+        assert (out == 33).all()
+
+
+class TestToGray:
+    def test_channel_reduction(self):
+        g = RNG.randint(0, 256, (4, 5), dtype=np.uint8)
+        assert (ic.to_gray(g) == g).all()
+        ga = np.stack([g, np.full_like(g, 9)], axis=2)
+        assert (ic.to_gray(ga) == g).all()
+        rgb = RNG.randint(0, 256, (4, 5, 3), dtype=np.uint8)
+        r32 = rgb.astype(np.uint32)
+        want = ((77 * r32[:, :, 0] + 150 * r32[:, :, 1]
+                 + 29 * r32[:, :, 2] + 128) >> 8).astype(np.uint8)
+        assert (ic.to_gray(rgb) == want).all()

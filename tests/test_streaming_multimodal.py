@@ -66,11 +66,22 @@ def test_streaming_resume_checkpoint(spark, tmp_path):
     assert n2 == n1 + added
 
 
-def test_image_features_and_stub(spark):
+def test_image_features_real_and_error_rows(spark):
+    import numpy as np
+    import pytest
+
+    from pdf_to_text_extraction_service_spark.kernel import imgcodec
+
+    png_pixels = np.arange(32, dtype=np.uint8).reshape(4, 8) * 8
+    jpg = imgcodec.encode_jpeg(np.full((8, 16), 160, dtype=np.uint8),
+                               quant=np.ones((8, 8), dtype=np.int32))
     rows = [
         (1, make_fake_image(8, 4, seed=1)),
         (2, make_fake_image(16, 2, seed=2)),
-        (3, b"\x89PNG\r\n\x1a\nreal-png-not-supported"),
+        (3, imgcodec.encode_png(png_pixels)),          # real PNG
+        (4, jpg),                                      # real JPEG
+        (5, b"\x89PNG\r\n\x1a\ntruncated-garbage"),    # corrupt PNG
+        (6, b"GIF89a not a supported format here"),    # unknown format
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r["media_id"]: r for r in image_features(df).collect()}
@@ -80,9 +91,19 @@ def test_image_features_and_stub(spark):
     # determinism
     again = {r["media_id"]: r for r in image_features(df).collect()}
     assert got[1]["features"] == again[1]["features"]
-    # real format → clean stub error row, no crash
-    assert got[3]["width"] is None
-    assert "not present in this environment" in got[3]["error"]
+    # real PNG decodes: histogram over the actual pixel bytes
+    assert (got[3]["width"], got[3]["height"]) == (8, 4)
+    want = [0.0] * 16
+    for px in png_pixels.reshape(-1):
+        want[px >> 4] += 1 / 32
+    assert got[3]["features"] == pytest.approx(want)
+    # real flat JPEG decodes bit-exactly: all pixels land in bin 10
+    assert (got[4]["width"], got[4]["height"]) == (16, 8)
+    assert got[4]["features"][160 >> 4] == pytest.approx(1.0)
+    # corrupt / unsupported payloads → clean error rows, no crash
+    assert got[5]["width"] is None and "png" in got[5]["error"]
+    assert got[6]["width"] is None
+    assert "unsupported image format" in got[6]["error"]
 
 
 def test_video_frame_sampling(spark):
