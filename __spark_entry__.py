@@ -898,6 +898,11 @@ def _q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             payload = pdfgen.build_pdf_cmap(spans)
         elif i % 2 == 1:
             payload = pdfgen.build_pdf_modern(spans)
+        elif i % 8 == 0:
+            # BI…ID…EI inline images + DCTDecode XObject interleaved
+            # with the text: extracted text must be unaffected
+            # (kernel/pdfk._skip_inline_image)
+            payload = pdfgen.build_pdf_with_images(spans)
         else:
             payload = pdfgen.build_pdf(spans)
             if i % 8 == 2:

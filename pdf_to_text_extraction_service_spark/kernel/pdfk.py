@@ -1006,11 +1006,39 @@ def _tokenize(stream: bytes):
                 continue
             m = re.match(rb"[A-Za-z'\"*]+", stream[i:])
             if m:
+                if m.group(0) == b"BI":
+                    # inline image: raw binary follows the ID operator
+                    # and would be mis-tokenized (poppler's content
+                    # parser likewise consumes BI…ID…EI as one unit) —
+                    # skip the whole construct, emitting nothing
+                    i = _skip_inline_image(stream, i + m.end())
+                    continue
                 tokens.append(m.group(0))
                 i += m.end()
             else:
                 i += 1
     return tokens
+
+
+_EI_RE = re.compile(rb"[\x00\t\n\f\r ]EI(?=[\x00\t\n\f\r/\[\]<>(]|$)")
+
+
+def _skip_inline_image(stream: bytes, i: int) -> int:
+    """Skip past a BI … ID <binary> EI inline image starting just
+    after the BI operator. The binary data may contain any bytes, so
+    the terminator is the conventional whitespace-delimited EI; a
+    missing terminator consumes the rest of the stream (the same
+    stop-at-first-error posture as the other kernels)."""
+    # ID is followed by exactly one whitespace byte, but may directly
+    # abut a delimiter on the left (e.g. "/F[/AHx]ID ")
+    m = re.search(rb"(?<![A-Za-z0-9])ID[\x00\t\n\f\r ]", stream[i:])
+    if m is None:
+        return len(stream)
+    data_start = i + m.end()
+    m2 = _EI_RE.search(stream, data_start)
+    if m2 is None:
+        return len(stream)
+    return m2.end()
 
 
 def _parse_hex_string(stream: bytes, i: int) -> tuple[str, int]:

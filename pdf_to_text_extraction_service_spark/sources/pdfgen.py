@@ -213,6 +213,71 @@ def build_pdf_modern(pages: list[list[Span]],
     return bytes(out)
 
 
+def build_pdf_with_images(pages: list[list[Span]]) -> bytes:
+    """Classic-layout PDF whose content streams interleave the text
+    with BI…ID…EI inline images (one raw-binary with hostile bytes,
+    one ASCIIHexDecode-filtered) and a /Im0 Do XObject reference to a
+    DCTDecode (JPEG) image stream — the shapes poppler's content
+    parser skips without corrupting text output (poppler.go behavior:
+    non-text streams never affect extracted text)."""
+    n_pages = len(pages)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    font_num = 3 + 2 * n_pages
+    xobj_num = font_num + 1
+    # raw binary deliberately full of tokenizer bait: parens, hex
+    # delimiters, operator lookalikes, an embedded "EI" without the
+    # required whitespace delimiters
+    hostile = b"\xff(\x00)<<BT(fake) Tj ET>>[0 1]\x00EIX\xfe\x00" * 3
+    inline_raw = (b"q\nBI /W 6 /H 4 /CS /G /BPC 8 ID " + hostile
+                  + b" EI\nQ\n")
+    inline_hex = (b"q\nBI /W 2 /H 2 /CS /G /BPC 8 /F[/AHx]ID "
+                  + b"00ff11ee> EI\nQ\n")
+    for i, spans in enumerate(pages):
+        content = (inline_raw + page_content(spans) + b"\n"
+                   + inline_hex + b"/Im0 Do\n")
+        page_num = 3 + 2 * i
+        objs.append(
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             f"/Resources << /Font << /F1 {font_num} 0 R >> "
+             f"/XObject << /Im0 {xobj_num} 0 R >> >> "
+             f"/Contents {page_num + 1} 0 R >>").encode()
+        )
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(content), content)
+        )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    # JPEG-ish garbage the reader must never attempt to decode
+    dct = b"\xff\xd8\xff\xe0" + bytes(range(256)) + b"\xff\xd9"
+    objs.append(
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+        b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
+        % (len(dct), dct)
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_pos))
+    return bytes(out)
+
+
 def simple_pdf(page_lines: list[list[str]], modern: bool = False) -> bytes:
     """One single-column page per entry of page_lines; ``modern``
     emits the PDF 1.5 xref-stream + object-stream layout."""

@@ -585,3 +585,55 @@ class TestEncryptionDetectionScope:
         r = pdfk.extract_pdf(patched, "application/pdf")
         # page 1 must still extract; page 2 degrades
         assert "quick brown fox" in (r.text or ""), r.error
+
+
+class TestInlineImages:
+    """BI…ID…EI inline images and DCTDecode XObjects inside content
+    streams must never corrupt extracted text (poppler.go behavior:
+    non-text streams are skipped; VERDICT r3 #4)."""
+
+    def test_text_identical_with_interleaved_images(self):
+        spans = [pdfgen.single_column_page(GOOD_LINES),
+                 pdfgen.single_column_page(GOOD_LINES[:3])]
+        plain = pdfgen.build_pdf(spans)
+        imgs = pdfgen.build_pdf_with_images(spans)
+        assert pdfk.page_count(imgs) == 2
+        for p in (1, 2):
+            assert pdfk.extract_page_text(imgs, p) == \
+                pdfk.extract_page_text(plain, p)
+
+    def test_hostile_binary_never_tokenizes(self):
+        # raw inline data containing parens, << >>, Tj lookalikes and
+        # a non-delimited EI — none of it may surface as text
+        content = (b"BI /W 2 /H 2 /CS /G /BPC 8 ID "
+                   b"(not text) Tj <<BT>> EIX\x00\xff EI\n"
+                   b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (real) Tj ET")
+        spans = pdfk._parse_content_spans(content)
+        assert [s[2] for s in spans] == ["real"]
+
+    def test_missing_ei_consumes_rest(self):
+        content = (b"BT /F1 12 Tf (before) Tj ET\n"
+                   b"BI /W 2 /H 2 ID \x01\x02\x03\x04 no terminator")
+        spans = pdfk._parse_content_spans(content)
+        assert [s[2] for s in spans] == ["before"]
+
+    def test_delimiter_adjacent_id(self):
+        content = (b"BI /W 2 /H 2 /F[/AHx]ID 00ff11ee> EI\n"
+                   b"BT /F1 12 Tf (after) Tj ET")
+        spans = pdfk._parse_content_spans(content)
+        assert [s[2] for s in spans] == ["after"]
+
+    def test_mutation_fuzz_with_images(self):
+        import random
+
+        rnd = random.Random(99)
+        base = pdfgen.build_pdf_with_images(
+            [pdfgen.single_column_page(GOOD_LINES)])
+        for _ in range(60):
+            blob = bytearray(base)
+            for _ in range(rnd.randint(1, 6)):
+                blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+            try:
+                pdfk.extract_page_text(bytes(blob), 1)
+            except pdfk.PDFError:
+                pass  # failure envelope is fine; crashes are not
