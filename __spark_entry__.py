@@ -208,26 +208,43 @@ def _q_extract_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     office/legacy.go:38-59; engine: native FIB → piece table,
     kernel/legacy.py): each doc carries the corpus text plus an
     id-keyed second paragraph, so the piece-table cp math is gated
-    per row."""
+    per row. Odd ids wrap the tail in a 0x13…0x14…0x15 FIELD whose
+    instruction must be dropped and cached result kept — the rendered
+    text is identical either way, so the oracle is unchanged while
+    the field state machine is gated end-to-end."""
     from pdf_to_text_extraction_service_spark.sources.legacygen import (
         build_doc,
     )
 
-    return _legacy_probe(
-        spark, sf_dir, ".doc",
-        lambda i, t: build_doc([t, f"tail {i}"]))
+    def payload(i: int, t: str) -> bytes:
+        tail = f"tail {i}"
+        if i % 2 == 1:
+            tail = f"\x13REF bookmark{i} \\h\x14{tail}\x15"
+        return build_doc([t, tail])
+
+    return _legacy_probe(spark, sf_dir, ".doc", payload)
 
 
 def _q_extract_xls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.xls BIFF8: SST/LabelSst string cells + Number cells assembled
-    to the XLSX kernel's markdown-table shape."""
+    to the XLSX kernel's markdown-table shape. Odd ids store the data
+    row as FORMULA records with cached results (a STRING record for
+    the text cell, an IEEE double for the number) — rendering is
+    identical to the Label/Number path, so the oracle is unchanged
+    while the formula-cache parser is gated end-to-end."""
     from pdf_to_text_extraction_service_spark.sources.legacygen import (
+        Formula,
         build_xls,
     )
 
-    return _legacy_probe(
-        spark, sf_dir, ".xls",
-        lambda i, t: build_xls("Data", [["k", "v"], [f"r{i}", i]]))
+    def payload(i: int, t: str) -> bytes:
+        if i % 2 == 1:
+            row = [Formula(f"r{i}"), Formula(float(i))]
+        else:
+            row = [f"r{i}", i]
+        return build_xls("Data", [["k", "v"], row])
+
+    return _legacy_probe(spark, sf_dir, ".xls", payload)
 
 
 def _q_extract_ppt(spark: SparkSession, sf_dir: str) -> DataFrame:

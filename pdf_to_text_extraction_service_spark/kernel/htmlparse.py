@@ -49,6 +49,21 @@ _P_CLOSERS = frozenset((
 
 _RAWTEXT = frozenset(("script", "style"))
 
+# Foreign content (SVG/MathML). The WHATWG "in foreign content" mode
+# either consumes tokens inside the foreign subtree or BREAKS OUT to
+# HTML on these start tags (13.2.6.5); the subtree itself is pruned —
+# vector/math markup carries no extractable prose for the boilerplate
+# stripper, mirroring how the reference's html_strip path only walks
+# HTML block nodes.
+_FOREIGN_ROOTS = frozenset(("svg", "math"))
+_FOREIGN_BREAKOUT = frozenset((
+    "b", "big", "blockquote", "body", "br", "center", "code", "dd",
+    "div", "dl", "dt", "em", "embed", "h1", "h2", "h3", "h4", "h5",
+    "h6", "head", "hr", "i", "img", "li", "listing", "menu", "meta",
+    "nobr", "ol", "p", "pre", "ruby", "s", "small", "span", "strong",
+    "strike", "sub", "sup", "table", "tt", "u", "ul", "var",
+))
+
 # Table insertion modes (WHATWG "in table"/"in row" subset): content
 # that is not table-structural gets FOSTER-PARENTED — inserted into
 # the table's parent immediately before the table — matching
@@ -349,6 +364,10 @@ def parse(data: bytes | str) -> Node:
         else:
             stack[-1].children.append(el)
 
+        if tag in _FOREIGN_ROOTS and not self_closing:
+            i = _skip_foreign(s, i, tag)
+            continue
+
         if tag in _VOID or self_closing:
             continue
 
@@ -377,6 +396,52 @@ def parse(data: bytes | str) -> Node:
             _afe_push(tag, el)
 
     return root
+
+
+def _skip_foreign(s: str, i: int, root: str) -> int:
+    """Consume a foreign (svg/math) subtree starting just after the
+    root's start tag. Depth-counts same-name nesting; an HTML BREAKOUT
+    start tag (WHATWG 13.2.6.5 "in foreign content") closes the
+    foreign subtree and reprocesses in HTML mode (so misnested markup
+    like <svg><div>text</div> never swallows the document). Returns
+    the index where HTML parsing resumes."""
+    depth = 1
+    n = len(s)
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            return n
+        m = _TAG_RE.match(s, lt)
+        if m is None:
+            i = lt + 1
+            continue
+        kind = m.lastgroup
+        if kind == "comment":
+            end = s.find("-->", lt + 4)
+            if end < 0:
+                return n
+            i = end + 3
+            continue
+        if kind == "decl" or kind == "pi":
+            i = m.end()
+            continue
+        if kind == "end":
+            tag = m.group("end")[1:].strip().lower()
+            tag = tag.split(None, 1)[0] if tag.split(None, 1) else tag
+            if tag == root:
+                depth -= 1
+                if depth == 0:
+                    return m.end()
+            i = m.end()
+            continue
+        tag = m.group("start").lower()
+        attrs = m.group("attrs") or ""
+        if tag in _FOREIGN_BREAKOUT:
+            return lt  # reprocess this tag in HTML mode
+        if tag == root and not attrs.rstrip().endswith("/"):
+            depth += 1
+        i = m.end()
+    return n
 
 
 def node_text(n: Node) -> str:

@@ -37,18 +37,54 @@ FILE_TYPE = "document/legacy-office"
 
 
 def _doc_control_text(raw: str) -> str:
-    """Map Word control characters to plain text: 0x0D paragraph and
-    0x0B line break → newline, 0x07 cell/row mark → tab, field and
-    object placeholders dropped."""
+    """Map Word control characters to plain text, the way the
+    reference's soffice conversion renders them (office/legacy.go:43):
+
+    - 0x0D paragraph / 0x0B line break → newline
+    - fields: 0x13 begin … 0x14 separator … 0x15 end — the
+      INSTRUCTION part (begin→separator) is dropped, the RESULT part
+      (separator→end) is kept; a field with no separator contributes
+      nothing. Nesting suppresses inner results inside an outer
+      instruction.
+    - tables: each cell ends with a 0x07 cell mark and the row with an
+      additional 0x07 row mark — cells join with tabs, rows end with a
+      newline (so "a\\x07b\\x07\\x07" renders "a\\tb\\n").
+    - other control placeholders (pictures 0x01, anchors 0x08, …)
+      dropped."""
     out = []
-    for ch in raw:
+    field_depth = 0   # nesting depth of open fields
+    suppress = 0      # open fields currently in their INSTRUCTION part
+    i, n = 0, len(raw)
+    while i < n:
+        ch = raw[i]
         o = ord(ch)
+        i += 1
+        if o == 0x13:  # field begin
+            field_depth += 1
+            suppress += 1
+            continue
+        if o == 0x14:  # field separator: instruction ends
+            if suppress:
+                suppress -= 1
+            continue
+        if o == 0x15:  # field end
+            if field_depth:
+                field_depth -= 1
+            if suppress > field_depth:  # field had no separator
+                suppress = field_depth
+            continue
+        if suppress:
+            continue
         if ch in ("\r", "\x0b"):
             out.append("\n")
         elif ch == "\x07":
-            out.append("\t")
-        elif o in (0x13, 0x14, 0x15, 0x01, 0x02, 0x05, 0x08):
-            continue  # field separators, embedded-object anchors
+            if i < n and raw[i] == "\x07":
+                out.append("\n")  # cell mark + row mark
+                i += 1
+            else:
+                out.append("\t")
+        elif o in (0x01, 0x02, 0x05, 0x08):
+            continue  # pictures, embedded-object anchors, footnotes
         elif o < 0x20 and ch not in ("\t", "\n"):
             continue
         else:
@@ -207,6 +243,13 @@ def _parse_sst(body: bytes, continues: list[bytes]) -> list[str]:
     return out
 
 
+# BIFF8 cached-error codes (MS-XLS 2.5.97.2 BErr)
+_BIFF_ERRORS = {
+    0x00: "#NULL!", 0x07: "#DIV/0!", 0x0F: "#VALUE!", 0x17: "#REF!",
+    0x1D: "#NAME?", 0x24: "#NUM!", 0x2A: "#N/A",
+}
+
+
 def _rk_value(rk: int) -> float:
     v: float
     if rk & 0x02:
@@ -256,9 +299,42 @@ def extract_xls_cells(container: CFB):
                         "cp1252", errors="replace"))
     cells: dict[int, dict[tuple[int, int], str]] = {}
     sheet_i = -1  # first BOF is the workbook globals substream
+    pending_str: tuple[int, int, int] | None = None  # formula → STRING
     for rid, body in recs:
+        if rid == 0x0207 and pending_str is not None and len(body) >= 3:
+            # STRING: cached string result of the preceding FORMULA
+            si, row, col = pending_str
+            cch, grbit = struct.unpack_from("<HB", body, 0)
+            raw = body[3:]
+            if grbit & 0x01:
+                txt = raw[:2 * cch].decode("utf-16-le", errors="replace")
+            else:
+                txt = raw[:cch].decode("cp1252", errors="replace")
+            cells.setdefault(si, {})[(row, col)] = txt
+            pending_str = None
+            continue
+        if rid != 0x003C:  # Continue of a STRING is consumed above
+            pending_str = None
         if rid == 0x0809:  # BOF
             sheet_i += 1
+        elif rid == 0x0006 and sheet_i >= 1 and len(body) >= 14:  # Formula
+            row, col, _ = struct.unpack_from("<HHH", body, 0)
+            num = body[6:14]
+            if num[6:8] == b"\xff\xff":  # non-numeric cached value
+                kind = num[0]
+                if kind == 0:  # string: a STRING record follows
+                    pending_str = (sheet_i - 1, row, col)
+                elif kind == 1:  # boolean
+                    cells.setdefault(sheet_i - 1, {})[(row, col)] = \
+                        "TRUE" if num[2] else "FALSE"
+                elif kind == 2:  # error
+                    cells.setdefault(sheet_i - 1, {})[(row, col)] = \
+                        _BIFF_ERRORS.get(num[2], "#ERR!")
+                # kind 3: empty string → no cell
+            else:
+                (v,) = struct.unpack_from("<d", num, 0)
+                cells.setdefault(sheet_i - 1, {})[(row, col)] = \
+                    _fmt_num(v)
         elif rid == 0x00FD and sheet_i >= 1 and len(body) >= 10:  # LabelSst
             row, col, _, isst = struct.unpack_from("<HHHI", body, 0)
             if isst < len(sst):

@@ -216,9 +216,43 @@ def _sst(strings: list[str]) -> bytes:
     return _rec(0x00FC, body)
 
 
+class Formula:
+    """A FORMULA cell with a cached result: float, str (STRING record
+    follows), bool, or an int BIFF error code (e.g. 0x07 #DIV/0!)."""
+
+    def __init__(self, cached: object):
+        self.cached = cached
+
+
+def _formula_recs(r: int, c: int, cached: object) -> bytes:
+    # FORMULA: row col ixfe num(8) grbit(2) chn(4) cce(2) + empty rgce
+    if isinstance(cached, bool):
+        num = bytes([1, 0, int(cached), 0, 0, 0, 0xFF, 0xFF])
+    elif isinstance(cached, (int, float)) and not isinstance(cached, bool):
+        num = struct.pack("<d", float(cached))
+    elif isinstance(cached, str):
+        num = bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF])
+    else:
+        raise TypeError(f"unsupported cached formula value {cached!r}")
+    out = _rec(0x0006, struct.pack("<HHH", r, c, 0) + num
+               + struct.pack("<HIH", 0, 0, 0))
+    if isinstance(cached, str):
+        body = struct.pack("<HB", len(cached), 0x01) \
+            + cached.encode("utf-16-le")
+        out += _rec(0x0207, body)
+    return out
+
+
+def _error_formula_recs(r: int, c: int, code: int) -> bytes:
+    num = bytes([2, 0, code, 0, 0, 0, 0xFF, 0xFF])
+    return _rec(0x0006, struct.pack("<HHH", r, c, 0) + num
+                + struct.pack("<HIH", 0, 0, 0))
+
+
 def build_xls(sheet_name: str, rows: list[list[object]]) -> bytes:
     """BIFF8 workbook: one sheet; str cells via SST/LabelSst, numeric
-    cells as Number records."""
+    cells as Number records, Formula(...) cells as FORMULA records
+    with cached results (+ a trailing STRING record for str caches)."""
     strings: list[str] = []
     sidx: dict[str, int] = {}
     for row in rows:
@@ -230,7 +264,9 @@ def build_xls(sheet_name: str, rows: list[list[object]]) -> bytes:
     sheet = bytearray(_bof(0x0010))
     for r, row in enumerate(rows):
         for c, v in enumerate(row):
-            if isinstance(v, str):
+            if isinstance(v, Formula):
+                sheet += _formula_recs(r, c, v.cached)
+            elif isinstance(v, str):
                 sheet += _rec(0x00FD, struct.pack(
                     "<HHHI", r, c, 0, sidx[v]))
             elif v is not None:

@@ -277,3 +277,72 @@ def test_self_closing_table_does_not_poison_afe():
     # 'plain' and 'tail' are TOP-LEVEL text (not swallowed by a/b)
     texts = [c.data for c in t.children if c.type == htmlparse.TEXT]
     assert texts == ["plain", "tail"]
+
+
+class TestForeignContent:
+    """WHATWG foreign-content (SVG/MathML) minimal mode: subtrees are
+    pruned deterministically, breakout tags resume HTML parsing, the
+    builder never raises (VERDICT r3 #5)."""
+
+    def _text(self, b: bytes) -> str:
+        from pdf_to_text_extraction_service_spark.kernel.html_strip import (
+            strip_html,
+        )
+
+        return strip_html(b)[0]
+
+    def test_svg_subtree_pruned(self):
+        t = self._text(b"<p>before</p><svg viewBox='0 0 4 4'>"
+                       b"<circle r='4'/><text>svg label</text></svg>"
+                       b"<p>after</p>")
+        assert "before" in t and "after" in t
+        assert "svg label" not in t
+
+    def test_mathml_subtree_pruned(self):
+        t = self._text(b"<p>x</p><math><mi>v</mi><mo>+</mo>"
+                       b"<mn>1</mn></math><p>y</p>")
+        assert "x" in t and "y" in t
+        assert "v" not in t
+
+    def test_breakout_tag_resumes_html(self):
+        # misnested: <p> inside svg is a WHATWG breakout — parsing
+        # must resume, not swallow the rest of the document
+        t = self._text(b"<p>a</p><svg><rect/><p>rescued</p><p>more</p>")
+        assert "a" in t and "rescued" in t and "more" in t
+
+    def test_nested_svg_depth_counted(self):
+        t = self._text(b"<svg><svg></svg><text>inner</text></svg>"
+                       b"<p>tail</p>")
+        assert "tail" in t and "inner" not in t
+
+    def test_unclosed_svg_no_breakout_prunes_tail(self):
+        # stop-at-first-error posture: no close, no breakout tag
+        t = self._text(b"<p>kept</p><svg><text>lost forever")
+        assert "kept" in t and "lost" not in t
+
+    def test_self_closing_svg_inert(self):
+        t = self._text(b"<svg/><p>fine</p><math/><p>also</p>")
+        assert "fine" in t and "also" in t
+
+    def test_comments_and_stray_lt_inside_foreign(self):
+        t = self._text(b"<p>a</p><svg><!-- <p>hidden</p> -->"
+                       b"< notatag <text>x</text></svg><p>b</p>")
+        assert "a" in t and "b" in t and "hidden" not in t
+
+    def test_end_tag_without_open_foreign_ignored(self):
+        t = self._text(b"<p>one</p></svg><p>two</p>")
+        assert "one" in t and "two" in t
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from pdf_to_text_extraction_service_spark.kernel import htmlparse
+
+        rnd = random.Random(31)
+        atoms = ["<svg>", "</svg>", "<math>", "</math>", "<svg/>",
+                 "<p>", "</p>", "<div>", "text", "<text>", "</text>",
+                 "<!--", "-->", "<", ">", "<foreignObject>", "&amp;"]
+        for _ in range(300):
+            doc = "".join(rnd.choice(atoms)
+                          for _ in range(rnd.randint(1, 40)))
+            htmlparse.parse(doc.encode())  # must not raise

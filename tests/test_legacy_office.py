@@ -60,10 +60,13 @@ class TestDoc:
         assert r.success and r.text == "café déjà vu"
 
     def test_control_chars_mapped(self):
-        # cell mark -> tab, vertical tab -> newline, field chars drop
+        # cell mark -> tab, vertical tab -> newline; a field with no
+        # separator has no cached result, so it renders as nothing
+        # (soffice behavior — see TestDocFieldsAndTables for the
+        # result-keeping cases)
         blob = legacygen.build_doc(["a\x07b\x0bc\x13d\x15e"])
         r = legacy.extract_legacy_office(blob, "application/msword")
-        assert r.text == "a\tb\nc" + "de"
+        assert r.text == "a\tb\nce"
 
     def test_corrupt_fib_fails_cleanly(self):
         blob = bytearray(legacygen.build_doc(["x"]))
@@ -398,3 +401,99 @@ class TestMalformedRecordBounds:
                                          "application/msword")
         # Word95 fallback may still salvage text; the point is no raise
         assert r.success in (True, False)
+
+
+class TestDocFieldsAndTables:
+    """VERDICT r3 #3: field instruction text must be dropped (only
+    the cached RESULT renders) and 0x07 cell/row marks must shape
+    tab-separated rows, matching the soffice text conversion shape."""
+
+    def test_hyperlink_field_renders_result_only(self):
+        para = ("Visit \x13HYPERLINK \"https://x.test\"\x14the site\x15"
+                " today.")
+        blob = legacygen.build_doc([para])
+        r = legacy.extract_legacy_office(blob, "application/msword")
+        assert r.success
+        assert r.text == "Visit the site today."
+        assert "HYPERLINK" not in r.text
+
+    def test_field_without_separator_vanishes(self):
+        blob = legacygen.build_doc(["Page \x13PAGE\x15 end."])
+        r = legacy.extract_legacy_office(blob, "application/msword")
+        assert r.text == "Page  end."
+
+    def test_nested_field_inside_instruction_suppressed(self):
+        para = ("A\x13IF \x13REF x\x14inner\x15 > 1\x14shown\x15B")
+        blob = legacygen.build_doc([para])
+        r = legacy.extract_legacy_office(blob, "application/msword")
+        assert r.text == "AshownB"
+
+    def test_table_cells_tabs_rows_newlines(self):
+        para = "name\x07qty\x07\x07apples\x073\x07\x07after table"
+        blob = legacygen.build_doc([para])
+        r = legacy.extract_legacy_office(blob, "application/msword")
+        assert r.text == "name\tqty\napples\t3\nafter table"
+
+
+class TestXlsFormulaRecords:
+    """VERDICT r3 #3: FORMULA cached results — numeric, string (via
+    the following STRING record), boolean, and error codes."""
+
+    def test_cached_kinds_render(self):
+        rows = [
+            ["label", legacygen.Formula(6.5)],
+            [legacygen.Formula("cached text"), legacygen.Formula(True)],
+            [legacygen.Formula(False), None],
+        ]
+        blob = legacygen.build_xls("S1", rows)
+        r = legacy.extract_legacy_office(blob,
+                                         "application/vnd.ms-excel")
+        assert r.success
+        assert "6.5" in r.text
+        assert "cached text" in r.text
+        assert "TRUE" in r.text and "FALSE" in r.text
+
+    def test_error_code_renders(self):
+        glb_and_sheet = legacygen.build_xls("S", [["x"]])
+        # build manually with an error formula
+        import struct as st
+
+        sheet = bytearray(legacygen._bof(0x0010))
+        sheet += legacygen._error_formula_recs(0, 0, 0x07)
+        sheet += legacygen._rec(0x000A, b"")
+        name = "S".encode("utf-16-le")
+        glb = bytearray(legacygen._bof(0x0005))
+        glb += legacygen._rec(0x0085, st.pack("<IHBB", 0, 0, 1, 0x01) + name)
+        glb += legacygen._rec(0x00FC, st.pack("<II", 0, 0))
+        glb += legacygen._rec(0x000A, b"")
+        blob = legacygen.build_cfb([("Workbook", bytes(glb + sheet))])
+        r = legacy.extract_legacy_office(blob,
+                                         "application/vnd.ms-excel")
+        assert r.success and "#DIV/0!" in r.text
+
+    def test_formula_number_matches_number_record(self):
+        a = legacy.extract_legacy_office(
+            legacygen.build_xls("S", [[legacygen.Formula(42.0)]]),
+            "application/vnd.ms-excel")
+        b = legacy.extract_legacy_office(
+            legacygen.build_xls("S", [[42.0]]),
+            "application/vnd.ms-excel")
+        assert a.success and a.text == b.text
+
+    def test_orphan_string_record_ignored(self):
+        import struct as st
+
+        sheet = bytearray(legacygen._bof(0x0010))
+        # STRING with no preceding FORMULA must be ignored
+        sheet += legacygen._rec(0x0207, st.pack("<HB", 4, 0x00) + b"junk")
+        sheet += legacygen._rec(0x000A, b"")
+        name = "S".encode("utf-16-le")
+        glb = bytearray(legacygen._bof(0x0005))
+        glb += legacygen._rec(0x0085, st.pack("<IHBB", 0, 0, 1, 0x01) + name)
+        glb += legacygen._rec(0x00FC, st.pack("<II", 0, 0))
+        glb += legacygen._rec(0x000A, b"")
+        blob = legacygen.build_cfb([("Workbook", bytes(glb + sheet))])
+        r = legacy.extract_legacy_office(blob,
+                                         "application/vnd.ms-excel")
+        assert r.success in (True, False)
+        assert "junk" not in (r.text or "")
