@@ -147,9 +147,15 @@ def _q_extract_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_extract_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """YAML kernel (yaml_extract.go): canonical re-serialization with
-    sorted keys."""
-    payload = F.concat(F.lit("b: 2\na: doc"),
-                       F.col("doc_id").cast("string"), F.lit("\n"))
+    sorted keys and yaml.v3 scalar STYLE rules — the payload exercises
+    a quoted number (re-emits double-quoted), a plain-unsafe string
+    (re-emits single-quoted), a quoted plain-safe string (reverts to
+    plain), and a 2-space literal block (re-indents to 4)."""
+    payload = F.concat(
+        F.lit("b: 2\na: doc"), F.col("doc_id").cast("string"),
+        F.lit("\nq: '4'\nu: 'k: v'\np: \"plain\"\n"
+              "m: |\n  line one\n  two\n"),
+    )
     return _kernel_probe(spark, sf_dir, ".yaml", payload)
 
 
@@ -344,13 +350,17 @@ def _q_extract_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     fp = hashlib.sha256(
-        f"warc-v1:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:16]
+        f"warc-v2-cap500:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:16]
     tag = sf_dir.strip("/").replace("/", "-")
     path = os.path.join(tempfile.gettempdir(),
                         f"warc-{tag}-{fp}.warc.gz")
     if not os.path.exists(path):
+        # bounded fixture (VERDICT r3 #7): cap driver-side record
+        # building at 500 docs so construction cost is constant in sf
+        # (sf0.01 has exactly 500 docs, so the gate rows are unchanged)
         docs = load_documents(spark, sf_dir).select(
-            "doc_id", "source", "text").collect()
+            "doc_id", "source", "text") \
+            .filter(F.col("doc_id") < 500).collect()
         records = []
         for r in docs:
             i, src, t = r["doc_id"], r["source"], r["text"]
@@ -1525,7 +1535,10 @@ _KERNEL_PROBE_ORACLES = {
         ".xml", "text", "native", "structured/xml"),
     "extract_yaml_docs": _kernel_probe_sql(
         ".yaml",
-        "'a: doc' || CAST(doc_id AS VARCHAR) || chr(10) || 'b: 2'",
+        "'a: doc' || CAST(doc_id AS VARCHAR) || chr(10) || 'b: 2' || "
+        "chr(10) || 'm: |' || chr(10) || '    line one' || chr(10) || "
+        "'    two' || chr(10) || 'p: plain' || chr(10) || "
+        "'q: \"4\"' || chr(10) || 'u: ''k: v'''",
         "native", "structured/yaml"),
     "extract_code_docs": _kernel_probe_sql(
         ".py",
@@ -1605,7 +1618,7 @@ _KERNEL_PROBE_ORACLES = {
                'document/html' AS file_type,
                {_WC} AS word_count,
                {_CC} AS char_count
-        FROM documents
+        FROM documents WHERE doc_id < 500
     """,
     # Decontamination oracle joins on the n-gram STRINGS (identical
     # up to the engine's ~1e-18 dual-polyhash collision rate).

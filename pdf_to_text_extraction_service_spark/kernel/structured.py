@@ -209,6 +209,162 @@ def extract_yaml(b: bytes, file_name: str, mime: str) -> Result:
                   word_count=w, char_count=c)
 
 
+class _QuotedStr(str):
+    """A scalar that was QUOTED in the input — yaml.v3 types it as a
+    string, so the emitter must keep it string-typed even when it
+    looks like a number/bool (encode.go stringv: resolve() != strTag
+    → double-quoted)."""
+
+
+def _parse_quoted(val: str) -> str | None:
+    """Parse a single- or double-quoted YAML scalar (full token, no
+    trailing junk except a comment). Returns the decoded string or
+    None when outside the subset."""
+    if len(val) < 2:
+        return None
+    q = val[0]
+    if q not in ("'", '"') or not val.endswith(q):
+        return None
+    body = val[1:-1]
+    if q == "'":
+        # '' is the only escape; an unpaired interior quote means the
+        # token actually ended earlier (trailing junk → not subset)
+        if "'" in body.replace("''", ""):
+            return None
+        return body.replace("''", "'")
+    out: list[str] = []
+    i = 0
+    esc = {"n": "\n", "t": "\t", '"': '"', "\\": "\\", "0": "\x00",
+           "r": "\r"}
+    while i < len(body):
+        c = body[i]
+        if c == "\\":
+            if i + 1 >= len(body):
+                return None
+            e = body[i + 1]
+            if e not in esc:
+                return None  # \u/\x escapes: outside the subset
+            out.append(esc[e])
+            i += 2
+        elif c == '"':
+            return None  # unescaped quote → token ended earlier
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _parse_block_scalar(lines: list[str], idx: int, indent: int,
+                        header: str) -> tuple[str, int] | None:
+    """Parse a literal (|) or folded (>) block scalar whose header
+    token is ``header`` on line ``idx``; content lines are indented
+    more than ``indent``. Returns (string value, next line index)."""
+    m = re.match(r"^([|>])([+-]?)$", header)
+    if m is None:
+        return None  # explicit indent indicators: outside the subset
+    style, chomp = m.group(1), m.group(2)
+    body: list[str] = []
+    j = idx + 1
+    content_indent: int | None = None
+    while j < len(lines):
+        ln = lines[j]
+        if runes.trim_space(ln) == "":
+            body.append("")
+            j += 1
+            continue
+        cur = len(ln) - len(ln.lstrip(" "))
+        if cur <= indent:
+            break
+        if content_indent is None:
+            content_indent = cur
+        if cur < content_indent:
+            return None
+        body.append(ln[content_indent:])
+        j += 1
+    while body and body[-1] == "":
+        body.pop()
+    if content_indent is None:
+        return None
+    if style == "|":
+        s = "\n".join(body)
+    else:  # folded: single breaks become spaces, blank lines newline
+        parts: list[str] = []
+        for ln in body:
+            if ln == "":
+                parts.append("\n")
+            elif parts and not parts[-1].endswith("\n"):
+                parts.append(" " + ln)
+            else:
+                parts.append(ln)
+        s = "".join(parts)
+    if chomp != "-":
+        s += "\n"
+    return s, j
+
+
+# yaml.v3 encode.go stringv: strings that RESOLVE to another type get
+# double-quoted; this regex covers the resolver subset exercised here
+# (bools incl. YAML-1.1 legacy forms, null forms, ints, floats).
+_RESOLVES_NONSTR_RE = re.compile(
+    r"^(|~|null|Null|NULL|true|True|TRUE|false|False|FALSE|"
+    r"y|Y|yes|Yes|YES|n|N|no|No|NO|on|On|ON|off|Off|OFF|"
+    r"[-+]?[0-9][0-9_]*|[-+]?(\.[0-9]+|[0-9][0-9_]*\.?[0-9]*)"
+    r"([eE][-+]?[0-9]+)?|[-+]?\.(inf|Inf|INF)|\.(nan|NaN|NAN))$")
+
+_ASCII_PRINTABLE_RE = re.compile(r"^[\x20-\x7e]*$")
+
+
+def _emit_string_scalar(s: str, indent: int) -> str | None:
+    """Re-emit a STRING-typed scalar the way yaml.v3's encoder +
+    libyaml emitter choose styles (encode.go stringv →
+    yaml_emitter_analyze_scalar): multiline → literal block, resolves-
+    to-other-type or empty → double-quoted, plain-unsafe → single-
+    quoted, else plain. Returns the emitted fragment (which may span
+    lines for literal style) or None outside the subset."""
+    if "\n" in s:
+        # literal block, v3's 4-space indent step
+        if not s.endswith("\n"):
+            body, chomp = s, "-"
+        elif s.endswith("\n\n"):
+            return None  # |+ keep-chomping: outside the subset
+        else:
+            body, chomp = s[:-1], ""
+        lines = body.split("\n")
+        pad = " " * (indent + 4)
+        if lines[0].startswith(" "):
+            return None  # would need an indentation indicator
+        for ln in lines:
+            if ln.endswith(" ") or "\t" in ln:
+                return None  # space-break / tabs: outside the subset
+            if not _ASCII_PRINTABLE_RE.match(ln):
+                return None
+        return "|" + chomp + "\n" + "\n".join(
+            (pad + ln) if ln else "" for ln in lines)
+    if "\t" in s or not _ASCII_PRINTABLE_RE.match(s):
+        return None
+    if s == "" or _RESOLVES_NONSTR_RE.match(s):
+        return '"' + s + '"'  # keep string-typed: double-quoted
+    if _plain_unsafe(s):
+        return "'" + s.replace("'", "''") + "'"
+    return s
+
+
+def _plain_unsafe(s: str) -> bool:
+    """Would libyaml's analyze_scalar disallow PLAIN style in block
+    context? (leading/trailing space, ': '/' #' sequences, leading
+    indicator characters, trailing ':')."""
+    if s.startswith(" ") or s.endswith(" "):
+        return True
+    if ": " in s or s.endswith(":") or " #" in s:
+        return True
+    if s[0] in "-?:,[]{}#&*!|>'\"%@`":
+        # '-'/'?'/':' only block plain when followed by space/EOF
+        if s[0] in "-?:" and len(s) > 1 and s[1] != " ":
+            return False
+        return True
+    return False
+
+
 def _yaml_roundtrip(raw: str) -> str | None:
     """Canonicalize the YAML subset the way yaml.v3's
     Unmarshal→Marshal does: mappings of scalar values (one nesting
@@ -216,14 +372,21 @@ def _yaml_roundtrip(raw: str) -> str | None:
     emitted in sorted order, 4-space nested-map indent. Typed scalars
     round-trip: true/false/null and canonical ints are identity,
     non-canonical floats collapse to Go's shortest decimal ('1.50' →
-    '1.5'). Returns None for input outside the subset (callers keep
-    the raw text, which matches the reference's behavior only for
-    genuinely unparseable YAML)."""
+    '1.5'). Quoted and block (|, >) scalars parse, and string-typed
+    values re-emit with yaml.v3's STYLE rules (_emit_string_scalar):
+    multiline → literal, number/bool-lookalikes → double-quoted,
+    plain-unsafe → single-quoted. Returns None for input outside the
+    subset (callers keep the raw text, which matches the reference's
+    behavior only for genuinely unparseable YAML)."""
     items: list[tuple[str, object]] = []
     cur_list: list[str] | None = None
-    cur_map: list[tuple[str, str]] | None = None
+    cur_map: list[tuple[str, object]] | None = None
     cur_key: str | None = None
-    for line in raw.split("\n"):
+    lines = raw.split("\n")
+    li = 0
+    while li < len(lines):
+        line = lines[li]
+        li += 1
         if runes.trim_space(line) == "" or line.lstrip().startswith("#"):
             continue
         if line.startswith("- ") or line.startswith("    - ") \
@@ -233,16 +396,37 @@ def _yaml_roundtrip(raw: str) -> str | None:
             if cur_list is None:
                 cur_list = []
                 items.append((cur_key, cur_list))
-            cur_list.append(line.split("- ", 1)[1].strip())
+            item = line.split("- ", 1)[1].strip()
+            if item[:1] in ("'", '"'):
+                q = _parse_quoted(item)
+                if q is None:
+                    return None
+                cur_list.append(_QuotedStr(q))
+            else:
+                cur_list.append(item)
             continue
         indented = line.startswith(" ") or line.startswith("\t")
         if ":" not in line:
             return None
         key, _, val = line.partition(":")
+        indent = len(key) - len(key.lstrip(" "))
         key = key.strip()
         val = val.strip()
         if not _plain_scalar_ok(key):
             return None
+        parsed: object = val
+        if val in ("|", "|-", "|+", ">", ">-", ">+"):
+            blk = _parse_block_scalar(lines, li - 1, indent, val)
+            if blk is None:
+                return None
+            parsed = _QuotedStr(blk[0])
+            li = blk[1]
+            val = "\x00block"  # sentinel: value present
+        elif val[:1] in ("'", '"'):
+            q = _parse_quoted(val)
+            if q is None:
+                return None
+            parsed = _QuotedStr(q)
         if indented:
             # one nesting level: 'parent:' followed by 'sub: val'
             if cur_key is None or cur_list is not None or val == "":
@@ -250,16 +434,20 @@ def _yaml_roundtrip(raw: str) -> str | None:
             if cur_map is None:
                 cur_map = []
                 items.append((cur_key, cur_map))
-            cur_map.append((key, val))
+            cur_map.append((key, parsed))
             continue
         cur_key = key
         cur_list = None
         cur_map = None
         if val == "":
             continue  # value is the following list / nested block
-        items.append((key, val))
+        items.append((key, parsed))
 
-    def emit_scalar(s: str) -> str | None:
+    def emit_scalar(s: object, indent: int = 0) -> str | None:
+        if isinstance(s, _QuotedStr):
+            # string-typed regardless of content (was quoted/block)
+            return _emit_string_scalar(str(s), indent)
+        s = str(s)
         if _TYPED_IDENTITY_RE.match(s):
             return s  # true/false/null and canonical ints round-trip
         fm = _FLOAT_RE.match(s)
@@ -276,19 +464,19 @@ def _yaml_roundtrip(raw: str) -> str | None:
         if isinstance(val, list) and val and isinstance(val[0], tuple):
             out.append(f"{key}:")
             for sk, sv in sorted(val):
-                s = emit_scalar(sv)
+                s = emit_scalar(sv, 4)
                 if s is None:
                     return None
                 out.append(f"    {sk}: {s}")
         elif isinstance(val, list):
             out.append(f"{key}:")
             for item in val:
-                s = emit_scalar(item)
+                s = emit_scalar(item, 4)
                 if s is None:
                     return None
                 out.append(f"    - {s}")
         else:
-            s = emit_scalar(str(val))
+            s = emit_scalar(val, 0)
             if s is None:
                 return None
             out.append(f"{key}: {s}")

@@ -581,3 +581,87 @@ class TestGoJSONFloats:
         for f in (math.inf, -math.inf, math.nan):
             with pytest.raises(ValueError):
                 _float(f)
+
+
+class TestYamlScalarStyles:
+    """yaml.v3 scalar STYLE rules (VERDICT r3 #8, yaml_extract.go:25-50
+    → encode.go stringv + libyaml analyze_scalar): each case is a
+    hand-traced yaml.v3 Unmarshal→Marshal output."""
+
+    def _rt(self, s: str) -> str | None:
+        from pdf_to_text_extraction_service_spark.kernel.structured import (
+            _yaml_roundtrip,
+        )
+
+        return _yaml_roundtrip(s)
+
+    def test_quoted_lookalikes_stay_double_quoted(self):
+        # resolve() types these as non-strings, so the encoder forces
+        # double quotes to preserve the string type
+        for v in ('123', 'true', 'yes', 'off', '1.5', '-7', '.inf',
+                  'null', '~', ''):
+            assert self._rt(f'a: "{v}"\n') == f'a: "{v}"\n', v
+            assert self._rt(f"a: '{v}'\n") == f'a: "{v}"\n', v
+
+    def test_quoted_plain_safe_reverts_to_plain(self):
+        assert self._rt("a: 'hello world'\n") == "a: hello world\n"
+        assert self._rt('a: "v1.2-rc"\n') == "a: v1.2-rc\n"
+
+    def test_plain_unsafe_single_quoted(self):
+        cases = {
+            "x: y": "'x: y'",
+            " lead": "' lead'",
+            "trail ": "'trail '",
+            "#hash": "'#hash'",
+            "a #cmt": "'a #cmt'",
+            "&anchor": "'&anchor'",
+            "%tag": "'%tag'",
+            "end:": "'end:'",
+        }
+        for raw, want in cases.items():
+            esc = raw.replace("'", "''")
+            assert self._rt(f"a: '{esc}'\n") == f"a: {want}\n", raw
+
+    def test_apostrophes_and_dashes_stay_plain(self):
+        assert self._rt("a: 'it''s fine'\n") == "a: it's fine\n"
+        assert self._rt("a: '-flag'\n") == "a: -flag\n"
+
+    def test_multiline_literal_block(self):
+        assert self._rt('a: "l1\\nl2"\n') == "a: |-\n    l1\n    l2\n"
+        assert self._rt('a: "l1\\nl2\\n"\n') == "a: |\n    l1\n    l2\n"
+
+    def test_block_scalar_input_reindented(self):
+        # 2-space-indented literal re-emits at v3's 4-space step
+        assert self._rt("a: |-\n  x\n  y\n") == "a: |-\n    x\n    y\n"
+        assert self._rt("a: |\n  x\n") == "a: |\n    x\n"
+
+    def test_folded_input_becomes_literal(self):
+        # '>' folds to "one two\n"; v3 re-emits multiline-free strings
+        # with a trailing break as literal
+        assert self._rt("a: >\n  one\n  two\n") == "a: |\n    one two\n"
+        assert self._rt("a: >-\n  one\n  two\n") == "a: one two\n"
+
+    def test_interior_blank_line_in_literal(self):
+        assert self._rt("a: |-\n  x\n\n  y\n") == "a: |-\n    x\n\n    y\n"
+
+    def test_nested_and_list_quoted_values(self):
+        got = self._rt("m:\n  k: '007'\nl:\n  - 'true'\n  - plain\n")
+        assert got == 'l:\n    - "true"\n    - plain\nm:\n    k: "007"\n'
+
+    def test_out_of_subset_returns_none(self):
+        assert self._rt('a: "tab\\there"\n') is None
+        assert self._rt('a: "keep\\n\\n"\n') is None  # |+ chomping
+        assert self._rt("a: |4-\n      x\n") is None  # indent indicator
+        assert self._rt("a: 'unterminated\n") is None
+        assert self._rt('a: "bad \\q escape"\n') is None
+
+    def test_full_extract_path(self):
+        from pdf_to_text_extraction_service_spark.kernel import structured
+
+        r = structured.extract_yaml(
+            b"note: 'x: y'\ncount: '42'\nbody: |\n  line one\n  line two\n",
+            "x.yaml", "application/yaml")
+        assert r.success
+        # extract_yaml trims the final newline like the other kernels
+        assert r.text == ('body: |\n    line one\n    line two\n'
+                          'count: "42"\nnote: \'x: y\'')

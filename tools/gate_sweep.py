@@ -36,6 +36,9 @@ def _norm(v):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substrings: run only queries "
+                         "whose name contains one of them")
     args = ap.parse_args()
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf_dir
 
@@ -55,7 +58,12 @@ def main() -> None:
     failures = []
     t0 = time.time()
     oracles = em.oracle_sql()  # one call — the IVF entry trains a mirror
+    wanted = args.only.split(",") if args.only else None
+    n_run = 0
     for name, q in sorted(em.queries().items()):
+        if wanted and not any(w in name for w in wanted):
+            continue
+        n_run += 1
         sql = oracles.get(name)
         try:
             got = sorted(tuple(_norm(v) for v in r)
@@ -73,7 +81,7 @@ def main() -> None:
             print(f"ERROR {name}: {exc}", file=sys.stderr)
     spark.stop()
     print(json.dumps({
-        "queries": len(em.queries()),
+        "queries": n_run,
         "failures": failures,
         "sf_dir": args.sf_dir,
         "secs": round(time.time() - t0, 1),
