@@ -1008,6 +1008,56 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail operator over the same 3-kind media fixture: decode →
+    deterministic area-average resize to 8x8 → polyhash digest of the
+    thumbnail pixels. The oracle recomputes every thumbnail with an
+    INDEPENDENT mirror (cumulative-sum box averages over the
+    closed-form pixel definitions — never touching the engine's
+    decoders) and embeds the digests as a VALUES lookup."""
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        resize_images,
+    )
+
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+    ids = [r["doc_id"] for r in docs.collect()]
+    media = spark.createDataFrame(
+        [(i, _multimodal_payload(i)) for i in ids],
+        "media_id long, payload binary",
+    )
+    thumbs = resize_images(media, 8, 8)
+    return thumbs.select(
+        "media_id", "width", "height",
+        F.expr(
+            "aggregate(transform(thumb, v -> cast(v as bigint)), 0L, "
+            "(acc, c) -> (acc * 31L + c) % 1000000007L)"
+        ).alias("thumb_digest"),
+    )
+
+
+def _q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs via 64-bit dHash + 4×16-bit band blocking
+    over the media fixture. Flat JPEG thumbs all hash to 0 (one big
+    exact cluster); formula images with equal (w, h) hash identically
+    because dHash compares NEIGHBOR DIFFERENCES, which are invariant
+    to the per-id +7i offset. The oracle mirrors hash, banding, and
+    hamming verify in numpy from the closed-form pixels and embeds
+    the surviving pairs as VALUES."""
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        dedup_image_dhash,
+    )
+
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+    ids = [r["doc_id"] for r in docs.collect()]
+    media = spark.createDataFrame(
+        [(i, _multimodal_payload(i)) for i in ids],
+        "media_id long, payload binary",
+    )
+    return dedup_image_dhash(media, max_hamming=6)
+
+
 def _q_ocr_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processOCROnly post-processing (image.go:218-263) over sidecar
     OCR page markdown built from documents: page 1 is the doc text
@@ -1123,6 +1173,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_yaml_docs": _q_extract_yaml,
     "extract_notebook_docs": _q_extract_notebook,
     "extract_latex_docs": _q_extract_latex,
+    "multimodal_resize_thumbs": _q_multimodal_resize,
+    "dedup_image_dhash": _q_dedup_image_dhash,
 }
 
 # DuckDB mirror of the language-ID stopword scores (same formula as
@@ -1297,6 +1349,110 @@ _SIMHASH_SQL = f"""
 # strictly left-to-right in both (Spark `aggregate`, DuckDB
 # list_reduce over a 0.0-prepended product list), so the sign bits —
 # and hence the bucket — agree bit-for-bit.
+
+
+def _media_pixels_mirror(i: int):
+    """Closed-form grayscale pixels of media id i — the oracle-side
+    definition, independent of the engine's codecs."""
+    import numpy as np
+
+    w, hgt = 4 + i % 16, 4 + i % 8
+    if i % 3 == 2:
+        return np.full((hgt, w), (i * 7 + 13) % 256, dtype=np.uint8)
+    return ((np.arange(w * hgt, dtype=np.int64) * 31 + i * 7 + 13)
+            % 256).astype(np.uint8).reshape(hgt, w)
+
+
+def _resize_mirror(img, ow: int, oh: int):
+    """Independent area-average mirror: 2-D prefix sums + integer box
+    bounds, floor(sum/count) — same spec as imgcodec.resize_area,
+    different implementation."""
+    import numpy as np
+
+    h, w = img.shape
+    ps = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ps[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.int64), 0), 1)
+    out = np.empty((oh, ow), dtype=np.int64)
+    for y in range(oh):
+        y0 = (y * h) // oh
+        y1 = max(((y + 1) * h) // oh, y0 + 1)
+        for x in range(ow):
+            x0 = (x * w) // ow
+            x1 = max(((x + 1) * w) // ow, x0 + 1)
+            s = ps[y1, x1] - ps[y0, x1] - ps[y1, x0] + ps[y0, x0]
+            out[y, x] = s // ((y1 - y0) * (x1 - x0))
+    return out
+
+
+def _dhash_mirror(img) -> int:
+    small = _resize_mirror(img, 9, 8)
+    h = 0
+    k = 0
+    for r in range(8):
+        for c in range(8):
+            if small[r, c] < small[r, c + 1]:
+                h |= 1 << k
+            k += 1
+    return h
+
+
+_RESIZE_ORACLE_CACHE: str | None = None
+_DHASH_ORACLE_CACHE: str | None = None
+
+
+def _resize_oracle_sql() -> str:
+    global _RESIZE_ORACLE_CACHE
+    if _RESIZE_ORACLE_CACHE is not None:
+        return _RESIZE_ORACLE_CACHE
+    vals = []
+    for i in range(200):
+        thumb = _resize_mirror(_media_pixels_mirror(i), 8, 8)
+        dig = 0
+        for v in thumb.reshape(-1):
+            dig = (dig * 31 + int(v)) % 1000000007
+        vals.append(f"({i}, {dig})")
+    _RESIZE_ORACLE_CACHE = f"""
+        WITH tv(media_id, thumb_digest) AS (VALUES {", ".join(vals)})
+        SELECT d.doc_id AS media_id,
+               CAST(8 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(tv.thumb_digest AS BIGINT) AS thumb_digest
+        FROM documents d JOIN tv ON tv.media_id = d.doc_id
+        WHERE d.doc_id < 200
+    """
+    return _RESIZE_ORACLE_CACHE
+
+
+def _dhash_oracle_sql() -> str:
+    global _DHASH_ORACLE_CACHE
+    if _DHASH_ORACLE_CACHE is not None:
+        return _DHASH_ORACLE_CACHE
+    hashes = {}
+    for i in range(200):
+        h = _dhash_mirror(_media_pixels_mirror(i))
+        hashes[i] = h - (1 << 64) if h >= 1 << 63 else h
+    pairs = []
+    items = sorted(hashes.items())
+    for ai in range(len(items)):
+        a, ha = items[ai]
+        for b, hb in items[ai + 1:]:
+            x = (ha ^ hb) & ((1 << 64) - 1)
+            ham = bin(x).count("1")
+            if ham > 6:
+                continue
+            # mirror the band-blocking contract: ≥1 shared 16-bit band
+            if any((ha >> (16 * k)) & 0xFFFF == (hb >> (16 * k)) & 0xFFFF
+                   for k in range(4)):
+                pairs.append(f"({a}, {b}, {ham})")
+    _DHASH_ORACLE_CACHE = f"""
+        WITH pv(a, b, hamming) AS (VALUES {", ".join(pairs)})
+        SELECT CAST(pv.a AS BIGINT) AS a, CAST(pv.b AS BIGINT) AS b,
+               CAST(pv.hamming AS INTEGER) AS hamming
+        FROM pv
+        JOIN documents da ON da.doc_id = pv.a
+        JOIN documents db ON db.doc_id = pv.b
+    """
+    return _DHASH_ORACLE_CACHE
 
 
 _MULTIMODAL_ORACLE_CACHE: str | None = None
@@ -1880,6 +2036,11 @@ def oracle_sql() -> dict[str, str]:
         # PNG/JPEG depend on entropy coding, so they're embedded as a
         # VALUES lookup computed by the same encoders.
         "multimodal_image_features": _multimodal_oracle_sql(),
+        # Resize/dHash oracles: INDEPENDENT numpy mirrors over the
+        # closed-form pixel definitions (prefix-sum box averages),
+        # never the engine's decoders — embedded as VALUES lookups.
+        "multimodal_resize_thumbs": _resize_oracle_sql(),
+        "dedup_image_dhash": _dhash_oracle_sql(),
         "ann_cosine_topk": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(

@@ -140,6 +140,153 @@ def image_features(df: DataFrame, id_col: str = "media_id",
     )
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("thumb", ArrayType(IntegerType())),
+    StructField("error", StringType()),
+])
+
+DHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("dhash", LongType()),
+    StructField("error", StringType()),
+])
+
+
+def _decode_gray(payload: bytes):
+    """payload → (orig_w, orig_h, gray uint8 array) for any supported
+    image kind (PNG/JPEG/FAKEIMG)."""
+    import numpy as np
+
+    from ..kernel import imgcodec
+
+    if payload.startswith(FAKE_IMG_MAGIC):
+        w, h = struct.unpack(">II", payload[8:16])
+        body = np.frombuffer(payload[16:16 + w * h], dtype=np.uint8)
+        if body.size != w * h:
+            raise ValueError("fake image truncated")
+        return w, h, body.reshape(h, w)
+    if payload.startswith(imgcodec.PNG_SIG):
+        img = imgcodec.decode_png(payload)
+    elif payload.startswith(b"\xff\xd8"):
+        img = imgcodec.decode_jpeg(payload)
+    else:
+        raise ValueError(
+            "unsupported image format (PNG, baseline JPEG, or FAKEIMG)")
+    gray = imgcodec.to_gray(img)
+    return int(gray.shape[1]), int(gray.shape[0]), gray
+
+
+def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
+                  id_col: str = "media_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Thumbnail operator: decode → deterministic area-average resize
+    (imgcodec.resize_area, integer math) → grayscale pixel array.
+    The mapInPandas shape a real thumbnailing stage would have; errors
+    surface as rows, never task crashes."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import imgcodec
+
+        for batch in batches:
+            out = {k: [] for k in ("media_id", "width", "height",
+                                   "thumb", "error")}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                try:
+                    _, _, gray = _decode_gray(payload)
+                    small = imgcodec.resize_area(gray, out_w, out_h)
+                    out["width"].append(out_w)
+                    out["height"].append(out_h)
+                    out["thumb"].append(
+                        [int(v) for v in small.reshape(-1)])
+                    out["error"].append(None)
+                except Exception as exc:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["thumb"].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=RESIZE_SCHEMA)
+
+
+def image_dhash(df: DataFrame, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Per-image 64-bit difference hash (imgcodec.dhash64)."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import imgcodec
+
+        for batch in batches:
+            out = {"media_id": [], "dhash": [], "error": []}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                try:
+                    _, _, gray = _decode_gray(payload)
+                    h = imgcodec.dhash64(gray)
+                    # store as signed 64-bit (Spark LongType)
+                    out["dhash"].append(h - (1 << 64) if h >= 1 << 63
+                                        else h)
+                    out["error"].append(None)
+                except Exception as exc:
+                    out["dhash"].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=DHASH_SCHEMA)
+
+
+def dedup_image_dhash(df: DataFrame, max_hamming: int = 6,
+                      id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Image near-dup pairs by dHash hamming distance, simhash-style
+    4×16-bit band blocking (a pair within hamming ≤ 6 of 64 bits
+    agrees on ≥1 of 4 bands unless ≥4 differing bits land in 4
+    distinct bands — with ≤6 flips across 4 bands at least one band
+    is clean whenever ≤3 bands are hit; the standard banding
+    trade-off, same shape as operators/neardup.simhash_pairs).
+    Never all-pairs: candidate generation is an equi-join on
+    (band_index, band_value), then exact popcount verify."""
+    from pyspark.sql import functions as F
+
+    hashes = image_dhash(df, id_col, payload_col) \
+        .filter(F.col("error").isNull()).select(id_col, "dhash")
+    bands = hashes.select(
+        id_col, "dhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(dhash >> {16 * b}) & 65535").alias("val"),
+            ) for b in range(4)
+        ])).alias("bv"),
+    ).select(id_col, "dhash", "bv.band", "bv.val")
+    left = bands
+    right = bands.select(
+        F.col(id_col).alias("rid"), F.col("dhash").alias("rhash"),
+        "band", "val")
+    pairs = (
+        left.join(right, ["band", "val"])
+        .filter(F.col(id_col) < F.col("rid"))
+        .select(id_col, "rid", "dhash", "rhash").distinct()
+        .withColumn("hamming",
+                    F.expr("bit_count(dhash ^ rhash)").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select(F.col(id_col).alias("a"),
+                        F.col("rid").alias("b"), "hamming")
+
+
 def sample_frames(df: DataFrame, every_n: int = 2,
                   id_col: str = "media_id",
                   payload_col: str = "payload") -> DataFrame:

@@ -700,6 +700,42 @@ def encode_jpeg(img: np.ndarray,
 # ------------------------------------------------------------ helpers
 
 
+def resize_area(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic area-average resize of a (h, w) uint8 image:
+    output pixel (Y, X) averages the source box [Y*h/oh, (Y+1)*h/oh) ×
+    [X*w/ow, (X+1)*w/ow) with integer floor/ceil bounds and
+    floor(sum/count) rounding — integer math only, so the numpy
+    oracle mirror is bit-identical on every platform."""
+    h, w = img.shape[:2]
+    if out_w <= 0 or out_h <= 0 or h == 0 or w == 0:
+        raise ValueError("resize: bad dimensions")
+    out = np.empty((out_h, out_w), dtype=np.uint8)
+    src = img.astype(np.uint64)
+    ys = [(y * h) // out_h for y in range(out_h + 1)]
+    xs = [(x * w) // out_w for x in range(out_w + 1)]
+    for y in range(out_h):
+        y0, y1 = ys[y], max(ys[y + 1], ys[y] + 1)
+        for x in range(out_w):
+            x0, x1 = xs[x], max(xs[x + 1], xs[x] + 1)
+            box = src[y0:y1, x0:x1]
+            out[y, x] = int(box.sum()) // box.size
+    return out
+
+
+def dhash64(gray: np.ndarray) -> int:
+    """64-bit difference hash: area-resize to 9x8, set bit (row*8+col)
+    when pixel[row, col] < pixel[row, col+1] (strict less keeps flat
+    images at hash 0). The standard perceptual near-dup signature for
+    image corpora; hamming distance ≈ visual difference."""
+    small = resize_area(gray, 9, 8).astype(np.int32)
+    bits = (small[:, :8] < small[:, 1:]).reshape(-1)
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return h
+
+
 def to_gray(img: np.ndarray) -> np.ndarray:
     """uint8 image of any channel count -> (h, w) uint8 luma.
     BT.601 integer approximation (77R + 150G + 29B + 128) >> 8 for

@@ -275,3 +275,45 @@ class TestToGray:
         want = ((77 * r32[:, :, 0] + 150 * r32[:, :, 1]
                  + 29 * r32[:, :, 2] + 128) >> 8).astype(np.uint8)
         assert (ic.to_gray(rgb) == want).all()
+
+
+class TestResizeAndDhash:
+    def test_resize_exact_downscale(self):
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        out = ic.resize_area(img, 2, 2)
+        # each 2x2 box floor-averaged
+        assert out.tolist() == [[(0 + 1 + 4 + 5) // 4, (2 + 3 + 6 + 7) // 4],
+                                [(8 + 9 + 12 + 13) // 4,
+                                 (10 + 11 + 14 + 15) // 4]]
+
+    def test_resize_upscale_and_identity(self):
+        img = np.array([[10, 200]], dtype=np.uint8)
+        out = ic.resize_area(img, 4, 2)
+        assert out.shape == (2, 4)
+        assert (out[:, :2] == 10).all() and (out[:, 2:] == 200).all()
+        same = RNG.randint(0, 256, (5, 7), dtype=np.uint8)
+        assert (ic.resize_area(same, 7, 5) == same).all()
+
+    def test_dhash_flat_zero_and_gradient_ones(self):
+        assert ic.dhash64(np.full((12, 20), 99, dtype=np.uint8)) == 0
+        grad = np.tile(np.arange(0, 90, 10, dtype=np.uint8), (9, 1))
+        assert ic.dhash64(grad) == (1 << 64) - 1
+
+    def test_dhash_shift_invariance(self):
+        # dHash compares neighbor differences: adding a constant
+        # (mod-free range) must not change the hash
+        base = RNG.randint(0, 200, (10, 12), dtype=np.uint8)
+        assert ic.dhash64(base) == ic.dhash64(base + 50)
+
+    def test_dhash_robust_to_mild_noise(self):
+        base = np.tile(np.arange(0, 240, 10, dtype=np.uint8), (24, 1))
+        noisy = base.copy()
+        noisy[5, 5] = 255  # single hot pixel
+        h1, h2 = ic.dhash64(base), ic.dhash64(noisy)
+        assert bin(h1 ^ h2).count("1") <= 6
+
+    def test_bad_dims_raise(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            ic.resize_area(np.zeros((2, 2), np.uint8), 0, 4)

@@ -113,3 +113,42 @@ def test_video_frame_sampling(spark):
     frames = sample_frames(df, every_n=2).collect()
     assert [f["frame_index"] for f in frames] == [0, 2, 4]
     assert all(f["frame"]["width"] == 4 for f in frames)
+
+
+def test_resize_and_dhash_operators(spark):
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        dedup_image_dhash,
+        image_dhash,
+        resize_images,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import imgcodec
+
+    flat = lambda v: imgcodec.encode_jpeg(  # noqa: E731
+        np.full((16, 16), v, dtype=np.uint8),
+        quant=np.ones((8, 8), dtype=np.int32))
+    grad = np.tile(np.arange(0, 240, 15, dtype=np.uint8), (16, 1))
+    rows = [
+        (1, flat(40)), (2, flat(40)), (3, flat(200)),
+        (4, imgcodec.encode_png(grad)),
+        (5, make_fake_image(8, 8, seed=5)),
+        (6, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    thumbs = {r["media_id"]: r for r in resize_images(df, 4, 4).collect()}
+    assert thumbs[1]["thumb"] == [40] * 16
+    assert thumbs[3]["thumb"] == [200] * 16
+    assert thumbs[6]["error"] is not None and thumbs[6]["thumb"] is None
+
+    hashes = {r["media_id"]: r for r in image_dhash(df).collect()}
+    assert hashes[1]["dhash"] == hashes[2]["dhash"] == 0  # flat
+    assert hashes[4]["dhash"] not in (None, 0)
+    assert hashes[6]["error"] is not None
+
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in dedup_image_dhash(df).collect()}
+    # all three flat JPEGs hash to 0 regardless of gray value
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    assert not any(4 in p or 6 in p for p in pairs)
