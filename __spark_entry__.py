@@ -1043,7 +1043,8 @@ def _q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     because dHash compares NEIGHBOR DIFFERENCES, which are invariant
     to the per-id +7i offset. The oracle mirrors hash, banding, and
     hamming verify in numpy from the closed-form pixels and embeds
-    the surviving pairs as VALUES."""
+    the surviving pairs as VALUES (max_hamming=3: banding recall
+    is exact by pigeonhole, so the oracle is the full truth)."""
     from pdf_to_text_extraction_service_spark.functions.multimodal import (
         dedup_image_dhash,
     )
@@ -1055,7 +1056,7 @@ def _q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, _multimodal_payload(i)) for i in ids],
         "media_id long, payload binary",
     )
-    return dedup_image_dhash(media, max_hamming=6)
+    return dedup_image_dhash(media, max_hamming=3)
 
 
 def _q_ocr_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1114,12 +1115,9 @@ def _q_audio_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_html_docs": _q_extract_html_docs,
-    "extract_markdown_docs": _q_extract_markdown_docs,
     "extract_lang_agg": _q_extract_lang_agg,
     "extract_rtf_docs": _q_extract_rtf,
     "extract_csv_docs": _q_extract_csv,
-    "extract_json_docs": _q_extract_json,
-    "extract_code_docs": _q_extract_code,
     "extract_doc_docs": _q_extract_doc,
     "extract_xls_docs": _q_extract_xls,
     "extract_ppt_docs": _q_extract_ppt,
@@ -1135,6 +1133,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (pdfk.py + pdfcrypt.py), the preview gate, and the OCR/audio
     # assembly INSIDE the first 50; the displaced xml/yaml/latex/notebook
     # kernel probes (pytest-parity-covered) live at the tail.
+    # Round-4 rotation: the YAML kernel and the two new multimodal
+    # operators changed THIS round, so they sit inside the checked 50;
+    # the displaced markdown/json/code probes (stable, pytest-parity-
+    # covered) move to the tail.
+    "extract_yaml_docs": _q_extract_yaml,
+    "multimodal_resize_thumbs": _q_multimodal_resize,
+    "dedup_image_dhash": _q_dedup_image_dhash,
     "pdf_page_stats": _q_pdf_page_stats,
     "preview_truncation": _q_preview_truncation,
     "ocr_clean_docs": _q_ocr_clean_docs,
@@ -1170,11 +1175,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_bitemporal_dedup": _q_streaming_bitemporal,
     "multimodal_image_features": _q_multimodal_features,
     "extract_xml_docs": _q_extract_xml,
-    "extract_yaml_docs": _q_extract_yaml,
     "extract_notebook_docs": _q_extract_notebook,
     "extract_latex_docs": _q_extract_latex,
-    "multimodal_resize_thumbs": _q_multimodal_resize,
-    "dedup_image_dhash": _q_dedup_image_dhash,
+    "extract_markdown_docs": _q_extract_markdown_docs,
+    "extract_json_docs": _q_extract_json,
+    "extract_code_docs": _q_extract_code,
 }
 
 # DuckDB mirror of the language-ID stopword scores (same formula as
@@ -1438,12 +1443,11 @@ def _dhash_oracle_sql() -> str:
         for b, hb in items[ai + 1:]:
             x = (ha ^ hb) & ((1 << 64) - 1)
             ham = bin(x).count("1")
-            if ham > 6:
+            if ham > 3:
                 continue
-            # mirror the band-blocking contract: ≥1 shared 16-bit band
-            if any((ha >> (16 * k)) & 0xFFFF == (hb >> (16 * k)) & 0xFFFF
-                   for k in range(4)):
-                pairs.append(f"({a}, {b}, {ham})")
+            # hamming <= 3 over 4 bands guarantees a shared band
+            # (pigeonhole), so brute-force truth == banded output
+            pairs.append(f"({a}, {b}, {ham})")
     _DHASH_ORACLE_CACHE = f"""
         WITH pv(a, b, hamming) AS (VALUES {", ".join(pairs)})
         SELECT CAST(pv.a AS BIGINT) AS a, CAST(pv.b AS BIGINT) AS b,

@@ -247,21 +247,24 @@ def image_dhash(df: DataFrame, id_col: str = "media_id",
         _run, schema=DHASH_SCHEMA)
 
 
-def dedup_image_dhash(df: DataFrame, max_hamming: int = 6,
+def dedup_image_dhash(df: DataFrame, max_hamming: int = 3,
                       id_col: str = "media_id",
                       payload_col: str = "payload") -> DataFrame:
     """Image near-dup pairs by dHash hamming distance, simhash-style
-    4×16-bit band blocking (a pair within hamming ≤ 6 of 64 bits
-    agrees on ≥1 of 4 bands unless ≥4 differing bits land in 4
-    distinct bands — with ≤6 flips across 4 bands at least one band
-    is clean whenever ≤3 bands are hit; the standard banding
-    trade-off, same shape as operators/neardup.simhash_pairs).
-    Never all-pairs: candidate generation is an equi-join on
-    (band_index, band_value), then exact popcount verify."""
+    4×16-bit band blocking with EXACT recall at the default
+    max_hamming=3: ≤3 differing bits can touch at most 3 of the 4
+    bands, so every qualifying pair shares a clean band (pigeonhole —
+    the same bound operators/neardup.simhash_pairs uses). Raising
+    max_hamming past bands-1 trades recall for speed. Never
+    all-pairs: candidate generation is an equi-join on (band_index,
+    band_value), then exact popcount verify."""
     from pyspark.sql import functions as F
 
+    # persist: both self-join sides would otherwise re-decode every
+    # image through the pure-Python codecs (the most expensive stage)
     hashes = image_dhash(df, id_col, payload_col) \
-        .filter(F.col("error").isNull()).select(id_col, "dhash")
+        .filter(F.col("error").isNull()).select(id_col, "dhash") \
+        .persist()
     bands = hashes.select(
         id_col, "dhash",
         F.explode(F.array(*[

@@ -42,6 +42,12 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Decode-bomb guard: crawl payloads are untrusted, so total pixels are
+# capped BEFORE any allocation (a 100-byte PNG can claim 2^24 x 2^24
+# and a 1 MB IDAT can inflate to gigabytes). 64 MP covers any sane
+# crawl image; callers surface the ValueError as an error row.
+MAX_PIXELS = 1 << 26
+
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # Adam7 pass layout: (x_start, y_start, x_step, y_step)
@@ -167,7 +173,7 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("png: missing IHDR")
     w, h, bitdepth, colortype, comp, filt, interlace = ihdr
-    if w == 0 or h == 0 or w > 1 << 24 or h > 1 << 24:
+    if w == 0 or h == 0 or w * h > MAX_PIXELS:
         raise ValueError("png: bad dimensions")
     if comp != 0 or filt != 0:
         raise ValueError("png: unknown compression/filter method")
@@ -180,8 +186,20 @@ def decode_png(data: bytes) -> np.ndarray:
     if colortype == 3 and palette is None:
         raise ValueError("png: palette image missing PLTE")
     channels = _CHANNELS[colortype]
+    # expected inflated size bounds the decompression (bomb guard)
+    if interlace == 0:
+        expect = h * ((w * channels * bitdepth + 7) // 8 + 1)
+    else:
+        expect = sum(
+            ((h - y0 + dy - 1) // dy)
+            * ((((w - x0 + dx - 1) // dx) * channels * bitdepth + 7)
+               // 8 + 1)
+            for (x0, y0, dx, dy) in _ADAM7
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+        )
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expect)
     except zlib.error as exc:
         raise ValueError(f"png: bad IDAT stream ({exc})") from None
     bpp = max(1, (bitdepth * channels) // 8)
@@ -460,10 +478,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("jpeg: missing SOF/SOS")
 
     fh, fw, comps = frame
-    if fh == 0 or fw == 0:
+    if fh == 0 or fw == 0 or fh * fw > MAX_PIXELS:
         raise ValueError("jpeg: bad dimensions")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0 or hmax > 4 or vmax > 4:
+        raise ValueError("jpeg: bad sampling factors")
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)
     mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
     planes = {}

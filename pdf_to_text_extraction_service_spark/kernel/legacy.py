@@ -78,11 +78,21 @@ def _doc_control_text(raw: str) -> str:
         if ch in ("\r", "\x0b"):
             out.append("\n")
         elif ch == "\x07":
-            if i < n and raw[i] == "\x07":
-                out.append("\n")  # cell mark + row mark
+            # Runs of cell/row marks: a single 0x07 separates cells
+            # (tab); a run of k>=2 is read as last-cell mark + row mark
+            # preceded by k-2 empty-cell boundaries ((k-2) tabs then a
+            # newline). "a\x07\x07b" is textually ambiguous (empty
+            # mid-row cell vs row boundary) without paragraph
+            # properties; rows are far more common, so runs resolve as
+            # row ends — same trade the text-level converters make.
+            k = 1
+            while i < n and raw[i] == "\x07":
+                k += 1
                 i += 1
-            else:
+            if k == 1:
                 out.append("\t")
+            else:
+                out.append("\t" * (k - 2) + "\n")
         elif o in (0x01, 0x02, 0x05, 0x08):
             continue  # pictures, embedded-object anchors, footnotes
         elif o < 0x20 and ch not in ("\t", "\n"):
@@ -243,6 +253,31 @@ def _parse_sst(body: bytes, continues: list[bytes]) -> list[str]:
     return out
 
 
+def _parse_string_record(body: bytes, continues: list[bytes]) -> str:
+    """STRING record (0x0207): an XLUnicodeString ``cch grbit chars``
+    whose chars may overflow into Continue records, each of which
+    restarts with its own grbit byte."""
+    cch, grbit = struct.unpack_from("<HB", body, 0)
+    segs = [(grbit, body[3:])]
+    for c in continues:
+        if c:
+            segs.append((c[0], c[1:]))
+    parts: list[str] = []
+    left = cch
+    for g, data in segs:
+        if left <= 0:
+            break
+        if g & 0x01:
+            take = min(left, len(data) // 2)
+            parts.append(data[:2 * take].decode("utf-16-le",
+                                                errors="replace"))
+        else:
+            take = min(left, len(data))
+            parts.append(data[:take].decode("cp1252", errors="replace"))
+        left -= take
+    return "".join(parts)
+
+
 # BIFF8 cached-error codes (MS-XLS 2.5.97.2 BErr)
 _BIFF_ERRORS = {
     0x00: "#NULL!", 0x07: "#DIV/0!", 0x0F: "#VALUE!", 0x17: "#REF!",
@@ -300,20 +335,22 @@ def extract_xls_cells(container: CFB):
     cells: dict[int, dict[tuple[int, int], str]] = {}
     sheet_i = -1  # first BOF is the workbook globals substream
     pending_str: tuple[int, int, int] | None = None  # formula → STRING
-    for rid, body in recs:
+    for rec_i, (rid, body) in enumerate(recs):
         if rid == 0x0207 and pending_str is not None and len(body) >= 3:
-            # STRING: cached string result of the preceding FORMULA
+            # STRING: cached string result of the preceding FORMULA;
+            # overflow chars continue in 0x003C records, each with a
+            # fresh grbit byte (same layout as SST continuations)
             si, row, col = pending_str
-            cch, grbit = struct.unpack_from("<HB", body, 0)
-            raw = body[3:]
-            if grbit & 0x01:
-                txt = raw[:2 * cch].decode("utf-16-le", errors="replace")
-            else:
-                txt = raw[:cch].decode("cp1252", errors="replace")
-            cells.setdefault(si, {})[(row, col)] = txt
+            conts = []
+            for rid2, body2 in recs[rec_i + 1:]:
+                if rid2 != 0x003C:
+                    break
+                conts.append(body2)
+            cells.setdefault(si, {})[(row, col)] = \
+                _parse_string_record(body, conts)
             pending_str = None
             continue
-        if rid != 0x003C:  # Continue of a STRING is consumed above
+        if rid != 0x003C:
             pending_str = None
         if rid == 0x0809:  # BOF
             sheet_i += 1

@@ -259,9 +259,11 @@ def _parse_block_scalar(lines: list[str], idx: int, indent: int,
     """Parse a literal (|) or folded (>) block scalar whose header
     token is ``header`` on line ``idx``; content lines are indented
     more than ``indent``. Returns (string value, next line index)."""
-    m = re.match(r"^([|>])([+-]?)$", header)
+    m = re.match(r"^([|>])(-?)$", header)
     if m is None:
-        return None  # explicit indent indicators: outside the subset
+        # explicit indent indicators and '+' keep-chomping (whose kept
+        # trailing newlines the emitter can't represent): not subset
+        return None
     style, chomp = m.group(1), m.group(2)
     body: list[str] = []
     j = idx + 1
@@ -278,6 +280,10 @@ def _parse_block_scalar(lines: list[str], idx: int, indent: int,
         if content_indent is None:
             content_indent = cur
         if cur < content_indent:
+            return None
+        if style == ">" and cur > content_indent:
+            # more-indented lines in a folded scalar KEEP their breaks
+            # (spec folding rules) — outside this emitter's subset
             return None
         body.append(ln[content_indent:])
         j += 1
@@ -309,7 +315,12 @@ _RESOLVES_NONSTR_RE = re.compile(
     r"^(|~|null|Null|NULL|true|True|TRUE|false|False|FALSE|"
     r"y|Y|yes|Yes|YES|n|N|no|No|NO|on|On|ON|off|Off|OFF|"
     r"[-+]?[0-9][0-9_]*|[-+]?(\.[0-9]+|[0-9][0-9_]*\.?[0-9]*)"
-    r"([eE][-+]?[0-9]+)?|[-+]?\.(inf|Inf|INF)|\.(nan|NaN|NAN))$")
+    r"([eE][-+]?[0-9]+)?|[-+]?\.(inf|Inf|INF)|\.(nan|NaN|NAN)|"
+    # hex/octal/binary ints, sexagesimals, and timestamp-ish forms
+    # also resolve to non-string tags in yaml.v3
+    r"[-+]?0x[0-9a-fA-F_]+|[-+]?0o?[0-7_]+|[-+]?0b[01_]+|"
+    r"[-+]?[0-9][0-9_]*(:[0-5]?[0-9])+(\.[0-9_]*)?|"
+    r"[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}([Tt ].*)?)$")
 
 _ASCII_PRINTABLE_RE = re.compile(r"^[\x20-\x7e]*$")
 

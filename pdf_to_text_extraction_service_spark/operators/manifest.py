@@ -47,15 +47,20 @@ def bucket_col(buckets: int, key: str = "url"):
 
 def completed_buckets(spark: SparkSession, manifest_path: str,
                       source_snapshot: str) -> set[int]:
+    from pyspark.errors import AnalysisException
+
     try:
         mf = spark.read.parquet(manifest_path)
         rows = (
             mf.filter(F.col("source_snapshot") == source_snapshot)
             .select("bucket").distinct().collect()
         )
-    except Exception:
-        # missing path OR foreign parquet schema at the path: treat as
-        # "nothing committed" and let the run repopulate
+    except AnalysisException:
+        # missing path or a foreign parquet schema at the path: treat
+        # as "nothing committed" and let the run repopulate. Transient
+        # IO failures raise other exception types and PROPAGATE — a
+        # throttled read must not silently reset resume state and
+        # re-extract the whole corpus.
         return set()
     return {r["bucket"] for r in rows}
 

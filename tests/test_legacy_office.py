@@ -497,3 +497,39 @@ class TestXlsFormulaRecords:
                                          "application/vnd.ms-excel")
         assert r.success in (True, False)
         assert "junk" not in (r.text or "")
+
+
+class TestReviewRound4:
+    """Round-4 self-review fixes (empty cells, STRING continuations)."""
+
+    def test_trailing_empty_cell_no_stray_tab(self):
+        blob = legacygen.build_doc(["a\x07\x07\x07"])
+        r = legacy.extract_legacy_office(blob, "application/msword")
+        assert r.text == "a"  # trim_space strips the \t\n tail
+        blob2 = legacygen.build_doc(["a\x07\x07\x07b\x07\x07"])
+        r2 = legacy.extract_legacy_office(blob2, "application/msword")
+        assert r2.text == "a\t\nb"
+
+    def test_formula_string_continuation_records(self):
+        import struct as st
+
+        long_text = "x" * 40
+        # STRING carries the first 10 chars; a Continue carries the rest
+        sheet = bytearray(legacygen._bof(0x0010))
+        num = bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF])
+        sheet += legacygen._rec(
+            0x0006, st.pack("<HHH", 0, 0, 0) + num + st.pack("<HIH", 0, 0, 0))
+        sheet += legacygen._rec(
+            0x0207, st.pack("<HB", 40, 0x01)
+            + long_text[:10].encode("utf-16-le"))
+        sheet += legacygen._rec(
+            0x003C, bytes([0x01]) + long_text[10:].encode("utf-16-le"))
+        sheet += legacygen._rec(0x000A, b"")
+        name = "S".encode("utf-16-le")
+        glb = bytearray(legacygen._bof(0x0005))
+        glb += legacygen._rec(0x0085, st.pack("<IHBB", 0, 0, 1, 0x01) + name)
+        glb += legacygen._rec(0x00FC, st.pack("<II", 0, 0))
+        glb += legacygen._rec(0x000A, b"")
+        blob = legacygen.build_cfb([("Workbook", bytes(glb + sheet))])
+        r = legacy.extract_legacy_office(blob, "application/vnd.ms-excel")
+        assert r.success and long_text in r.text
