@@ -393,6 +393,32 @@ def _q_decontam_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_overlap(docs, bench, n=13)
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (CCNet/RefinedWeb): every doc gets
+    a shared boilerplate header, its own (unique) text, and a
+    group-keyed banner — dedup keeps the header once corpus-wide and
+    each banner once per group, first (doc_id, pos) wins. Document
+    text crosses exactly one Exchange (operators/paradedup.py)."""
+    from pdf_to_text_extraction_service_spark.operators.paradedup import (
+        paragraph_dedup,
+    )
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text") \
+        .filter(F.col("doc_id") < 500)
+    sep = "\n\n"
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Shared header boilerplate." + sep),
+            F.col("text"),
+            F.lit(sep + "Group banner "),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return paragraph_dedup(built).orderBy("doc_id")
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing at budget 256 over the
     documents table (two-level distributed prefix sum; integer math
@@ -1116,7 +1142,6 @@ def _q_audio_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_html_docs": _q_extract_html_docs,
     "extract_lang_agg": _q_extract_lang_agg,
-    "extract_rtf_docs": _q_extract_rtf,
     "extract_csv_docs": _q_extract_csv,
     "extract_doc_docs": _q_extract_doc,
     "extract_xls_docs": _q_extract_xls,
@@ -1145,6 +1170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ocr_clean_docs": _q_ocr_clean_docs,
     "audio_transcripts": _q_audio_transcripts,
     "decontam_benchmark": _q_decontam_benchmark,
+    "paragraph_dedup": _q_paragraph_dedup,
     "pack_sequences": _q_pack_sequences,
     "unigram_lm_quality": _q_unigram_quality,
     "dedup_latest_url": _q_dedup_latest_url,
@@ -1180,6 +1206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_markdown_docs": _q_extract_markdown_docs,
     "extract_json_docs": _q_extract_json,
     "extract_code_docs": _q_extract_code,
+    "extract_rtf_docs": _q_extract_rtf,
 }
 
 # DuckDB mirror of the language-ID stopword scores (same formula as
@@ -1844,6 +1871,49 @@ _KERNEL_PROBE_ORACLES = {
                            x -> x.l)),
                    (a, v) -> a + v) / count(*), 6) AS mean_logprob
         FROM scored GROUP BY doc_id
+    """,
+    # Paragraph-dedup oracle: groups by the raw paragraph STRING
+    # (the engine groups by xxhash64 — a collision would surface as a
+    # gate failure, the decontam trade), first (doc_id, pos) wins.
+    "paragraph_dedup": """
+        WITH d AS (
+            SELECT doc_id,
+                   'Shared header boilerplate.' || chr(10) || chr(10)
+                   || text || chr(10) || chr(10) || 'Group banner '
+                   || CAST(doc_id % 10 AS VARCHAR) || '.' AS full_text
+            FROM documents WHERE doc_id < 500
+        ),
+        parts AS (
+            SELECT doc_id,
+                   string_split(full_text, chr(10) || chr(10)) AS ps
+            FROM d
+        ),
+        p AS (
+            SELECT doc_id, unnest(range(0, len(ps))) AS pos, ps
+            FROM parts
+        ),
+        px AS (
+            SELECT doc_id, pos, ps[pos + 1] AS para FROM p
+        ),
+        kept AS (
+            SELECT doc_id, pos, para
+            FROM px
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY para ORDER BY doc_id, pos) = 1
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                       AS text_out,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT parts.doc_id,
+               COALESCE(agg.text_out, '') AS text_out,
+               CAST(len(parts.ps) AS INTEGER) AS n_paras,
+               CAST(COALESCE(agg.n_kept, 0) AS INTEGER) AS n_kept
+        FROM parts LEFT JOIN agg ON agg.doc_id = parts.doc_id
+        ORDER BY parts.doc_id
     """,
     # Packing oracle: single window cumsum (integers — bit-exact vs
     # the engine's two-level distributed prefix sum).

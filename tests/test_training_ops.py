@@ -390,3 +390,49 @@ def test_fingerprint_udf_bit_identical_to_jvm(spark):
          doc_fingerprint_jvm(docs).select("doc_id", "fingerprint")
          .collect()}
     assert a == b
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from pdf_to_text_extraction_service_spark.operators.paradedup import (
+        paragraph_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha\n\nSHARED\n\nbeta"),
+            (1, "SHARED\n\ngamma"),
+            (2, "SHARED"),          # every paragraph is a dup
+            (3, "delta\n\ndelta"),  # within-doc dup: first pos wins
+            (4, ""),                # empty doc: [''] — kept once...
+            (5, ""),                # ...second empty doc drops it
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[0]["text_out"] == "alpha\n\nSHARED\n\nbeta"
+    assert out[0]["n_paras"] == 3 and out[0]["n_kept"] == 3
+    assert out[1]["text_out"] == "gamma"
+    assert out[1]["n_kept"] == 1
+    assert out[2]["text_out"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["text_out"] == "delta" and out[3]["n_kept"] == 1
+    assert out[4]["text_out"] == "" and out[4]["n_kept"] == 1
+    assert out[5]["text_out"] == "" and out[5]["n_kept"] == 0
+
+
+def test_paragraph_dedup_deterministic_across_parallelism(spark):
+    from pdf_to_text_extraction_service_spark.operators.paradedup import (
+        paragraph_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"own {i}\n\nbanner {i % 3}\n\ncommon") for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = sorted(paragraph_dedup(docs).collect())
+    b = sorted(paragraph_dedup(docs.repartition(7)).collect())
+    assert a == b
+    # 'common' survives only in doc 0; banners in docs 0,1,2
+    rows = {r["doc_id"]: r for r in a}
+    assert rows[0]["n_kept"] == 3
+    assert rows[1]["n_kept"] == 2 and rows[2]["n_kept"] == 2
+    assert all(rows[i]["n_kept"] == 1 for i in range(3, 60))
