@@ -122,7 +122,8 @@ def _run_suite(spark, sf_dir: str, ctx: dict):
                  "dedup_embedding_cosine", "ann_cosine_topk",
                  "doc_fingerprint", "lang_id_heuristic",
                  "decontam_benchmark", "pack_sequences",
-                 "unigram_lm_quality", "neardup_components"):
+                 "unigram_lm_quality", "neardup_components",
+                 "paragraph_dedup"):
         q = entry_mod.queries()[name]
         t0 = time.perf_counter()
         q(spark, sf_dir).collect()

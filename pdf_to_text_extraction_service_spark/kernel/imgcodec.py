@@ -148,7 +148,23 @@ def _scale_to_8bit(img: np.ndarray, bitdepth: int,
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, channels) uint8 (palette expanded to RGB)."""
+    """PNG bytes -> (h, w, channels) uint8 (palette expanded to RGB).
+    Malformed input raises ValueError, never anything else."""
+    return _never_raises(_decode_png, data)
+
+
+def _never_raises(fn, data: bytes) -> np.ndarray:
+    # contract safety net for untrusted crawl bytes: low-level parse
+    # errors (short struct buffers, huge ints hitting numpy bounds)
+    # surface as the documented ValueError, not as task crashes
+    try:
+        return fn(data)
+    except (struct.error, OverflowError, IndexError, KeyError,
+            MemoryError) as exc:
+        raise ValueError(f"image decode failed: {exc}") from None
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if not data.startswith(PNG_SIG):
         raise ValueError("png: bad signature")
     pos = len(PNG_SIG)
@@ -399,7 +415,12 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB."""
+    """Baseline JPEG -> (h, w) uint8 grayscale or (h, w, 3) uint8
+    RGB. Malformed input raises ValueError, never anything else."""
+    return _never_raises(_decode_jpeg, data)
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("jpeg: bad SOI")
     pos = 2
@@ -439,7 +460,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 quant[tq] = tbl
                 i += n
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (baseline huffman)
+            if len(body) < 6:
+                raise ValueError("jpeg: truncated SOF")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("jpeg: truncated SOF components")
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
             comps = []
@@ -466,6 +491,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("jpeg: truncated SOS")
             ns = body[0]
             scan = []
             for si in range(ns):
@@ -518,9 +545,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     for bxi in range(hs):
                         try:
                             t = reader.decode_symbol(huff_dc[td])
+                            if t > 16:
+                                raise ValueError(
+                                    "jpeg: bad DC category")
                             diff = _extend(reader.read_bits(t), t)
                             pred[cs] += diff
-                            zz = np.zeros(64, dtype=np.int32)
+                            zz = np.zeros(64, dtype=np.int64)
                             zz[0] = pred[cs]
                             k = 1
                             while k < 64:
@@ -540,7 +570,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         except _RestartMarker:
                             raise ValueError(
                                 "jpeg: unexpected restart marker")
-                        block = np.zeros(64, dtype=np.int32)
+                        block = np.zeros(64, dtype=np.int64)
                         block[_ZIGZAG] = zz * qt
                         sp = _idct2(block.reshape(8, 8))
                         y0 = (my * vs + byi) * 8

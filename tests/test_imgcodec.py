@@ -317,3 +317,63 @@ class TestResizeAndDhash:
 
         with pytest.raises(ValueError):
             ic.resize_area(np.zeros((2, 2), np.uint8), 0, 4)
+
+
+class TestDecodeFuzz:
+    """Untrusted-input posture: mutated/truncated/random payloads must
+    raise ValueError (→ error rows), never crash or hang."""
+
+    def test_png_mutation_fuzz(self):
+        import random
+
+        rnd = random.Random(1234)
+        base = ic.encode_png(RNG.randint(0, 256, (9, 13, 3), np.uint8))
+        for _ in range(250):
+            blob = bytearray(base)
+            for _ in range(rnd.randint(1, 8)):
+                blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+            try:
+                out = ic.decode_png(bytes(blob))
+                assert out.nbytes <= ic.MAX_PIXELS * 4
+            except ValueError:
+                pass
+
+    def test_jpeg_mutation_fuzz(self):
+        import random
+
+        rnd = random.Random(4321)
+        base = ic.encode_jpeg(RNG.randint(0, 256, (16, 16), np.uint8),
+                              quant=Q1)
+        for _ in range(250):
+            blob = bytearray(base)
+            for _ in range(rnd.randint(1, 8)):
+                blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+            try:
+                out = ic.decode_jpeg(bytes(blob))
+                assert out.nbytes <= ic.MAX_PIXELS * 4
+            except ValueError:
+                pass
+
+    def test_truncation_fuzz(self):
+        png = ic.encode_png(RNG.randint(0, 256, (8, 8), np.uint8))
+        jpg = ic.encode_jpeg(RNG.randint(0, 256, (8, 8), np.uint8))
+        for blob, dec in ((png, ic.decode_png), (jpg, ic.decode_jpeg)):
+            for cut in range(0, len(blob), 7):
+                try:
+                    dec(blob[:cut])
+                except ValueError:
+                    pass
+
+    def test_random_bytes_fuzz(self):
+        import random
+
+        rnd = random.Random(99)
+        for _ in range(150):
+            blob = bytes(rnd.randrange(256)
+                         for _ in range(rnd.randrange(4, 400)))
+            for dec in (ic.decode_png, ic.decode_jpeg):
+                try:
+                    dec(ic.PNG_SIG + blob if dec is ic.decode_png
+                        else b"\xff\xd8" + blob)
+                except ValueError:
+                    pass
