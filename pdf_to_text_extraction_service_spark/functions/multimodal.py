@@ -249,7 +249,8 @@ def image_dhash(df: DataFrame, id_col: str = "media_id",
 
 def dedup_image_dhash(df: DataFrame, max_hamming: int = 3,
                       id_col: str = "media_id",
-                      payload_col: str = "payload") -> DataFrame:
+                      payload_col: str = "payload",
+                      max_bucket: int = 1024) -> DataFrame:
     """Image near-dup pairs by dHash hamming distance, simhash-style
     4×16-bit band blocking with EXACT recall at the default
     max_hamming=3: ≤3 differing bits can touch at most 3 of the 4
@@ -257,7 +258,15 @@ def dedup_image_dhash(df: DataFrame, max_hamming: int = 3,
     the same bound operators/neardup.simhash_pairs uses). Raising
     max_hamming past bands-1 trades recall for speed. Never
     all-pairs: candidate generation is an equi-join on (band_index,
-    band_value), then exact popcount verify."""
+    band_value), then exact popcount verify.
+
+    ``max_bucket`` caps each band bucket (first ``max_bucket`` ids
+    kept, deterministic) — at crawl scale, solid-color images
+    (spacers, tracking pixels) ALL hash to 0 and would otherwise make
+    one bucket quadratic; the cap bounds it to max_bucket² candidate
+    rows, the same guard operators/neardup.py applies to boilerplate
+    floods."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     # persist: both self-join sides would otherwise re-decode every
@@ -274,6 +283,11 @@ def dedup_image_dhash(df: DataFrame, max_hamming: int = 3,
             ) for b in range(4)
         ])).alias("bv"),
     ).select(id_col, "dhash", "bv.band", "bv.val")
+    bands = bands.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("band", "val").orderBy(id_col)),
+    ).filter(F.col("_rn") <= max_bucket).drop("_rn")
     left = bands
     right = bands.select(
         F.col(id_col).alias("rid"), F.col("dhash").alias("rhash"),

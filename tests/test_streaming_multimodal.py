@@ -152,3 +152,25 @@ def test_resize_and_dhash_operators(spark):
     # all three flat JPEGs hash to 0 regardless of gray value
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
     assert not any(4 in p or 6 in p for p in pairs)
+
+
+def test_dhash_bucket_cap_bounds_floods(spark):
+    """Solid-color flood: with max_bucket=4, the dhash-0 bucket keeps
+    only the first 4 ids, so pairs are bounded (and deterministic)."""
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        dedup_image_dhash,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import imgcodec
+
+    flat = imgcodec.encode_jpeg(np.full((8, 8), 50, dtype=np.uint8),
+                                quant=np.ones((8, 8), dtype=np.int32))
+    df = spark.createDataFrame([(i, flat) for i in range(12)],
+                               "media_id long, payload binary")
+    pairs = dedup_image_dhash(df, max_bucket=4).collect()
+    ids = {r["a"] for r in pairs} | {r["b"] for r in pairs}
+    assert ids == {0, 1, 2, 3}          # only the kept prefix pairs up
+    assert len(pairs) == 6              # C(4,2), not C(12,2)=66
+    uncapped = dedup_image_dhash(df).collect()
+    assert len(uncapped) == 66
