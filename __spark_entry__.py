@@ -419,6 +419,28 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(built).orderBy("doc_id")
 
 
+def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span audit (ExactSubstr-lite): every 3rd doc gets a
+    planted 13-word sentence appended, so those docs share duplicated
+    13-gram windows corpus-wide; any NATURAL 13-gram repetition in
+    the corpus text is mirrored identically by the oracle."""
+    from pdf_to_text_extraction_service_spark.operators.dupspans import (
+        duplicated_span_stats,
+    )
+
+    sentinel = ("shared sentinel alpha bravo charlie delta echo "
+                "foxtrot golf hotel india juliet kilo")
+    docs = load_documents(spark, sf_dir).select("doc_id", "text") \
+        .filter(F.col("doc_id") < 500)
+    built = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" " + sentinel)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return duplicated_span_stats(built, n=13, min_count=2)
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing at budget 256 over the
     documents table (two-level distributed prefix sum; integer math
@@ -1142,7 +1164,6 @@ def _q_audio_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_html_docs": _q_extract_html_docs,
     "extract_lang_agg": _q_extract_lang_agg,
-    "extract_csv_docs": _q_extract_csv,
     "extract_doc_docs": _q_extract_doc,
     "extract_xls_docs": _q_extract_xls,
     "extract_ppt_docs": _q_extract_ppt,
@@ -1171,6 +1192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_transcripts": _q_audio_transcripts,
     "decontam_benchmark": _q_decontam_benchmark,
     "paragraph_dedup": _q_paragraph_dedup,
+    "dup_span_stats": _q_dup_span_stats,
     "pack_sequences": _q_pack_sequences,
     "unigram_lm_quality": _q_unigram_quality,
     "dedup_latest_url": _q_dedup_latest_url,
@@ -1207,6 +1229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_json_docs": _q_extract_json,
     "extract_code_docs": _q_extract_code,
     "extract_rtf_docs": _q_extract_rtf,
+    "extract_csv_docs": _q_extract_csv,
 }
 
 # DuckDB mirror of the language-ID stopword scores (same formula as
@@ -1914,6 +1937,51 @@ _KERNEL_PROBE_ORACLES = {
                CAST(COALESCE(agg.n_kept, 0) AS INTEGER) AS n_kept
         FROM parts LEFT JOIN agg ON agg.doc_id = parts.doc_id
         ORDER BY parts.doc_id
+    """,
+    # Duplicated-span oracle: groups on raw 13-gram window STRINGS
+    # (engine uses dual xxhash64 — collision would fail the gate).
+    "dup_span_stats": """
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN text ||
+                        ' shared sentinel alpha bravo charlie delta'
+                        || ' echo foxtrot golf hotel india juliet kilo'
+                   ELSE text END AS text
+            FROM documents WHERE doc_id < 500
+        ),
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM d
+        ),
+        idx AS (
+            SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 12, 0))) AS i
+            FROM toks
+        ),
+        occ AS (
+            SELECT doc_id,
+                   array_to_string(t[i + 1:i + 13], ' ') AS w
+            FROM idx
+        ),
+        dupw AS (
+            SELECT w FROM occ GROUP BY w HAVING COUNT(*) >= 2
+        ),
+        docw AS (SELECT DISTINCT doc_id, w FROM occ),
+        dup AS (
+            SELECT doc_id, COUNT(*) AS c
+            FROM docw JOIN dupw USING (w) GROUP BY doc_id
+        ),
+        tot AS (
+            SELECT doc_id, greatest(len(t) - 12, 0) AS total
+            FROM toks
+        )
+        SELECT tot.doc_id,
+               CAST(COALESCE(dup.c, 0) AS INTEGER) AS dup_windows,
+               CAST(tot.total AS INTEGER) AS total_windows,
+               ROUND(COALESCE(dup.c, 0)
+                     / greatest(tot.total, 1), 6) AS dup_frac,
+               COALESCE(dup.c, 0) >= greatest(tot.total, 1) * 0.5
+                   AS dup_heavy
+        FROM tot LEFT JOIN dup ON dup.doc_id = tot.doc_id
     """,
     # Packing oracle: single window cumsum (integers — bit-exact vs
     # the engine's two-level distributed prefix sum).

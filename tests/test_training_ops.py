@@ -436,3 +436,52 @@ def test_paragraph_dedup_deterministic_across_parallelism(spark):
     assert rows[0]["n_kept"] == 3
     assert rows[1]["n_kept"] == 2 and rows[2]["n_kept"] == 2
     assert all(rows[i]["n_kept"] == 1 for i in range(3, 60))
+
+
+def test_duplicated_span_stats(spark):
+    from pdf_to_text_extraction_service_spark.operators.dupspans import (
+        duplicated_span_stats,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(13))
+    unique = lambda s, n: " ".join(f"{s}{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " " + unique("a", 13)),   # shares w/ doc 1
+            (1, unique("b", 13) + " " + shared),
+            (2, unique("c", 30)),                  # all unique
+            (3, shared),                           # 100% duplicated
+            (4, "too short"),                      # < 13 tokens
+            (5, shared + " " + shared),            # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           duplicated_span_stats(docs, n=13, min_count=2).collect()}
+    assert out[3]["dup_windows"] == 1 and out[3]["total_windows"] == 1
+    assert out[3]["dup_heavy"]
+    assert out[2]["dup_windows"] == 0 and not out[2]["dup_heavy"]
+    assert out[4]["total_windows"] == 0 and not out[4]["dup_heavy"]
+    # docs 0/1 share the sentinel window; their unique windows are not
+    # counted, so they are not dup-heavy
+    assert out[0]["dup_windows"] >= 1 and not out[0]["dup_heavy"]
+    assert out[1]["dup_windows"] >= 1
+    # within-doc repetition alone reaches min_count
+    assert out[5]["dup_windows"] >= 1
+
+
+def test_duplicated_span_text_never_shuffles(spark):
+    """Plan audit: only hash/count scalars cross Exchanges — the text
+    column must not appear in any Exchange's input schema."""
+    from pdf_to_text_extraction_service_spark.operators.dupspans import (
+        duplicated_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i} " * 20) for i in range(10)],
+        "doc_id long, text string")
+    plan = duplicated_span_stats(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("+-", 2)[:2]
+        assert "text#" not in frag.split("\n")[0], frag[:200]
