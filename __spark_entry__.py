@@ -997,10 +997,11 @@ def _multimodal_payload(i: int) -> bytes:
     """Deterministic payload for media id i, cycling through the three
     supported kinds: i%3==0 FAKEIMG container, i%3==1 a REAL grayscale
     PNG whose pixel bytes follow the same closed form as the fake body
-    ((j*31 + i*7 + 13) % 256), i%3==2 a REAL baseline JPEG of the flat
-    gray value (i*7+13)%256 with an all-ones quant table (DC-only
-    blocks decode bit-exactly) — so the decoded histogram stays
-    symbolically predictable for the DuckDB oracle."""
+    ((j*31 + i*7 + 13) % 256), i%3==2 a REAL JPEG of the flat gray
+    value (i*7+13)%256 with an all-ones quant table (DC-only blocks
+    decode bit-exactly) — BASELINE for i%6==2, PROGRESSIVE (SOF2,
+    successive-approximation scan script) for i%6==5 — so the decoded
+    histogram stays symbolically predictable for the DuckDB oracle."""
     import numpy as np
 
     from pdf_to_text_extraction_service_spark.functions.multimodal import (
@@ -1017,9 +1018,10 @@ def _multimodal_payload(i: int) -> bytes:
                 % 256).astype(np.uint8)
         return imgcodec.encode_png(body.reshape(hgt, w))
     v = (i * 7 + 13) % 256
-    return imgcodec.encode_jpeg(
-        np.full((hgt, w), v, dtype=np.uint8),
-        quant=np.ones((8, 8), dtype=np.int32))
+    enc = imgcodec.encode_jpeg_progressive if i % 6 == 5 \
+        else imgcodec.encode_jpeg
+    return enc(np.full((hgt, w), v, dtype=np.uint8),
+               quant=np.ones((8, 8), dtype=np.int32))
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

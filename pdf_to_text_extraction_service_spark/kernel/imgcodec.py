@@ -421,16 +421,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
+    """Sequential-baseline (SOF0/SOF1) and PROGRESSIVE (SOF2) decode.
+
+    Both modes run through the same architecture: every scan decodes
+    into per-component zigzag COEFFICIENT buffers (progressive scans
+    accumulate spectral bands / successive-approximation bits across
+    many SOS segments; a baseline scan is simply the one full-band
+    Ss=0..63 Ah=Al=0 pass), and dequantize + IDCT happen once at the
+    end over the finished coefficients."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("jpeg: bad SOI")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
-    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    frame = None  # (h, w, [(cid, hs, vs, tq)], progressive)
     restart_interval = 0
-    scan = None
-    while pos + 4 <= len(data):
+    st: "_JpegState | None" = None
+    saw_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: marker expected")
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
@@ -441,6 +450,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if pos + 2 > len(data):
+            raise ValueError("jpeg: truncated marker segment")
         (seglen,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
@@ -453,13 +464,13 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 if len(raw) < n:
                     raise ValueError("jpeg: truncated DQT")
                 if pq:
-                    tbl = np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                    tbl = np.frombuffer(raw, dtype=">u2").astype(np.int64)
                 else:
                     tbl = np.frombuffer(raw, dtype=np.uint8).astype(
-                        np.int32)
+                        np.int64)
                 quant[tq] = tbl
                 i += n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (baseline huffman)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             if len(body) < 6:
                 raise ValueError("jpeg: truncated SOF")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
@@ -472,10 +483,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(
                     ">BBB", body, 6 + 3 * ci)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = (fh, fw, comps, marker == 0xC2)
+            st = _JpegState(fh, fw, comps)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline (SOF0) supported")
+            raise ValueError(
+                "jpeg: only baseline/progressive huffman supported")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -491,113 +504,264 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
-            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+            if st is None:
+                raise ValueError("jpeg: SOS before SOF")
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
                 raise ValueError("jpeg: truncated SOS")
             ns = body[0]
-            scan = []
+            scomps = []
             for si in range(ns):
                 cs, tables = body[1 + 2 * si], body[2 + 2 * si]
-                scan.append((cs, tables >> 4, tables & 0x0F))
-            pos = pos + seglen
-            break
+                scomps.append((cs, tables >> 4, tables & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not frame[3] and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("jpeg: bad baseline scan header")
+            if ss > se or se > 63 or al > 13:
+                raise ValueError("jpeg: bad spectral selection")
+            reader = _BitReader(data, pos + seglen)
+            _decode_scan(reader, st, scomps, ss, se, ah, al,
+                         quant, huff_dc, huff_ac, restart_interval,
+                         data)
+            reader.align()
+            pos = reader.pos
+            saw_scan = True
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("jpeg: missing SOF/SOS")
+    return st.assemble(quant)
 
-    fh, fw, comps = frame
-    if fh == 0 or fw == 0 or fh * fw > MAX_PIXELS:
-        raise ValueError("jpeg: bad dimensions")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax == 0 or vmax == 0 or hmax > 4 or vmax > 4:
-        raise ValueError("jpeg: bad sampling factors")
-    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
-    planes = {}
-    for (cid, hs, vs, _tq) in comps:
-        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8),
-                               dtype=np.float64)
 
-    by_id = {cid: (hs, vs, tq) for (cid, hs, vs, tq) in comps}
-    reader = _BitReader(data, pos)
-    pred = {cs: 0 for (cs, _, _) in scan}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count \
-                    and mcu_count % restart_interval == 0:
-                # discard padding bits, consume the RSTn, reset DC
-                reader.align()
-                if reader.pos + 1 < len(data) \
-                        and data[reader.pos] == 0xFF \
-                        and 0xD0 <= data[reader.pos + 1] <= 0xD7:
-                    reader.pos += 2
-                pred = {cs: 0 for (cs, _, _) in scan}
-            mcu_count += 1
-            for (cs, td, ta) in scan:
-                hs, vs, tq = by_id[cs]
-                if tq not in quant:
-                    raise ValueError("jpeg: missing quant table")
-                if td not in huff_dc or ta not in huff_ac:
-                    raise ValueError("jpeg: missing Huffman table")
-                qt = quant[tq]
-                for byi in range(vs):
-                    for bxi in range(hs):
-                        try:
-                            t = reader.decode_symbol(huff_dc[td])
-                            if t > 16:
-                                raise ValueError(
-                                    "jpeg: bad DC category")
-                            diff = _extend(reader.read_bits(t), t)
-                            pred[cs] += diff
-                            zz = np.zeros(64, dtype=np.int64)
-                            zz[0] = pred[cs]
-                            k = 1
-                            while k < 64:
-                                rs = reader.decode_symbol(huff_ac[ta])
-                                r, s = rs >> 4, rs & 0x0F
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError(
-                                        "jpeg: AC index overflow")
-                                zz[k] = _extend(reader.read_bits(s), s)
-                                k += 1
-                        except _RestartMarker:
-                            raise ValueError(
-                                "jpeg: unexpected restart marker")
-                        block = np.zeros(64, dtype=np.int64)
-                        block[_ZIGZAG] = zz * qt
-                        sp = _idct2(block.reshape(8, 8))
-                        y0 = (my * vs + byi) * 8
-                        x0 = (mx * hs + bxi) * 8
-                        planes[cs][y0:y0 + 8, x0:x0 + 8] = sp
+class _JpegState:
+    """Per-component coefficient buffers (zigzag order) shared across
+    scans, sized to the MCU-padded block grid."""
 
-    out_planes = []
-    for (cid, hs, vs, _tq) in comps:
-        p = planes[cid]
-        if hs < hmax or vs < vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0),
-                          hmax // hs, axis=1)
-        out_planes.append(p[:fh, :fw])
-    if len(out_planes) == 1:
-        y = np.clip(np.round(out_planes[0] + 128), 0, 255)
-        return y.astype(np.uint8)
-    if len(out_planes) == 3:
-        y = out_planes[0] + 128
-        cb = out_planes[1]
-        cr = out_planes[2]
-        r = y + 1.402 * cr
-        g = y - 0.344136 * cb - 0.714136 * cr
-        b = y + 1.772 * cb
-        rgb = np.stack([r, g, b], axis=2)
-        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    raise ValueError(f"jpeg: unsupported component count "
-                     f"{len(out_planes)}")
+    def __init__(self, fh: int, fw: int, comps):
+        if fh == 0 or fw == 0 or fh * fw > MAX_PIXELS:
+            raise ValueError("jpeg: bad dimensions")
+        self.fh, self.fw, self.comps = fh, fw, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        if self.hmax == 0 or self.vmax == 0 \
+                or self.hmax > 4 or self.vmax > 4:
+            raise ValueError("jpeg: bad sampling factors")
+        self.mcux = (fw + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (fh + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coefs: dict[int, np.ndarray] = {}
+        self.grid: dict[int, tuple[int, int, int, int, int]] = {}
+        for (cid, hs, vs, tq) in comps:
+            if hs == 0 or vs == 0:
+                raise ValueError("jpeg: bad sampling factors")
+            bw_full = self.mcux * hs
+            bh_full = self.mcuy * vs
+            # non-interleaved scans cover only the component's own
+            # ceil(dim/8) grid (no MCU padding)
+            cw = (fw * hs + self.hmax - 1) // self.hmax
+            ch = (fh * vs + self.vmax - 1) // self.vmax
+            self.grid[cid] = (bw_full, bh_full,
+                              (cw + 7) // 8, (ch + 7) // 8, tq)
+            self.coefs[cid] = np.zeros((bh_full * bw_full, 64),
+                                       dtype=np.int64)
+
+    def assemble(self, quant: dict[int, np.ndarray]) -> np.ndarray:
+        planes = []
+        for (cid, hs, vs, tq) in self.comps:
+            if tq not in quant:
+                raise ValueError("jpeg: missing quant table")
+            bw_full, bh_full, _, _, _ = self.grid[cid]
+            zz = self.coefs[cid] * quant[tq]  # dequant in zigzag order
+            nat = np.zeros_like(zz)
+            nat[:, _ZIGZAG] = zz
+            blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+            # IDCT over all blocks at once: out = M.T @ B @ M
+            sp = np.einsum("ux,nuv,vy->nxy", _DCT_M, blocks, _DCT_M)
+            plane = sp.reshape(bh_full, bw_full, 8, 8) \
+                .transpose(0, 2, 1, 3) \
+                .reshape(bh_full * 8, bw_full * 8)
+            if hs < self.hmax or vs < self.vmax:
+                plane = np.repeat(
+                    np.repeat(plane, self.vmax // vs, axis=0),
+                    self.hmax // hs, axis=1)
+            planes.append(plane[:self.fh, :self.fw])
+        if len(planes) == 1:
+            y = np.clip(np.round(planes[0] + 128), 0, 255)
+            return y.astype(np.uint8)
+        if len(planes) == 3:
+            y = planes[0] + 128
+            cb, cr = planes[1], planes[2]
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            rgb = np.stack([r, g, b], axis=2)
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        raise ValueError(
+            f"jpeg: unsupported component count {len(planes)}")
+
+
+def _decode_scan(reader, st: _JpegState, scomps, ss, se, ah, al,
+                 quant, huff_dc, huff_ac, restart_interval,
+                 data: bytes) -> None:
+    by_id = {cid: (hs, vs, tq) for (cid, hs, vs, tq) in st.comps}
+    for (cs, td, ta) in scomps:
+        if cs not in by_id:
+            raise ValueError("jpeg: scan references unknown component")
+        if ss == 0 and ah == 0 and td not in huff_dc:
+            raise ValueError("jpeg: missing Huffman table")
+        if se > 0 and ta not in huff_ac:
+            raise ValueError("jpeg: missing Huffman table")
+
+    pred = {cs: 0 for (cs, _, _) in scomps}
+    eobrun = [0]
+
+    def restart_check(unit_count: int) -> None:
+        nonlocal pred
+        if restart_interval and unit_count \
+                and unit_count % restart_interval == 0:
+            reader.align()
+            if reader.pos + 1 < len(data) \
+                    and data[reader.pos] == 0xFF \
+                    and 0xD0 <= data[reader.pos + 1] <= 0xD7:
+                reader.pos += 2
+            pred = {cs: 0 for (cs, _, _) in scomps}
+            eobrun[0] = 0
+
+    try:
+        if len(scomps) == 1:
+            # non-interleaved: the component's own block grid
+            cs, td, ta = scomps[0]
+            hs, vs, tq = by_id[cs]
+            bw_full, _, bw, bh, _ = st.grid[cs]
+            coefs = st.coefs[cs]
+            unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    restart_check(unit)
+                    unit += 1
+                    _decode_block(
+                        reader, coefs[by * bw_full + bx],
+                        cs, pred, eobrun, ss, se, ah, al,
+                        huff_dc.get(td), huff_ac.get(ta))
+        else:
+            # interleaved MCU order (baseline full scans, progressive
+            # DC scans)
+            if ss != 0 or (se != 0 and se != 63):
+                raise ValueError(
+                    "jpeg: interleaved AC progressive scan")
+            unit = 0
+            for my in range(st.mcuy):
+                for mx in range(st.mcux):
+                    restart_check(unit)
+                    unit += 1
+                    for (cs, td, ta) in scomps:
+                        hs, vs, tq = by_id[cs]
+                        bw_full = st.grid[cs][0]
+                        coefs = st.coefs[cs]
+                        for byi in range(vs):
+                            for bxi in range(hs):
+                                row = my * vs + byi
+                                col = mx * hs + bxi
+                                _decode_block(
+                                    reader,
+                                    coefs[row * bw_full + col],
+                                    cs, pred, eobrun, ss, se, ah, al,
+                                    huff_dc.get(td), huff_ac.get(ta))
+    except _RestartMarker:
+        raise ValueError("jpeg: unexpected restart marker")
+
+
+def _decode_block(reader, coef, cs, pred, eobrun, ss, se, ah, al,
+                  dc_table, ac_table) -> None:
+    """One 8x8 block's contribution for the current scan (T.81 F.2.2
+    sequential; G.1.2 progressive first/refinement passes). ``coef``
+    is the block's 64-entry zigzag coefficient row."""
+    if ss == 0:
+        if ah == 0:  # DC first (or baseline)
+            t = reader.decode_symbol(dc_table)
+            if t > 16:
+                raise ValueError("jpeg: bad DC category")
+            diff = _extend(reader.read_bits(t), t)
+            pred[cs] += diff
+            coef[0] = pred[cs] << al
+        else:  # DC refinement: one bit
+            if reader.read_bit():
+                coef[0] |= 1 << al
+        k = 1
+        if se == 0:
+            return
+    else:
+        k = ss
+
+    if ah == 0:  # AC first pass (covers baseline: al == 0)
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        while k <= se:
+            rs = reader.decode_symbol(ac_table)
+            r, sz = rs >> 4, rs & 0x0F
+            if sz == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC index overflow")
+            coef[k] = _extend(reader.read_bits(sz), sz) << al
+            k += 1
+        return
+
+    # AC refinement (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine)
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def refine_existing(idx: int) -> None:
+        if reader.read_bit():
+            if (coef[idx] & p1) == 0:
+                coef[idx] += p1 if coef[idx] >= 0 else m1
+
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        while k <= se:
+            if coef[k] != 0:
+                refine_existing(k)
+            k += 1
+        return
+    while k <= se:
+        rs = reader.decode_symbol(ac_table)
+        r, sz = rs >> 4, rs & 0x0F
+        newval = 0
+        if sz == 0:
+            if r < 15:
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += reader.read_bits(r)
+                # refine the rest of the band, then done
+                while k <= se:
+                    if coef[k] != 0:
+                        refine_existing(k)
+                    k += 1
+                return
+            # r == 15: ZRL — skip 16 zero-history positions
+        else:
+            if sz != 1:
+                raise ValueError("jpeg: bad AC refinement size")
+            newval = p1 if reader.read_bit() else m1
+        # advance past r zero-history coefficients, refining nonzeros
+        while k <= se:
+            if coef[k] != 0:
+                refine_existing(k)
+            else:
+                if r == 0:
+                    if newval:
+                        coef[k] = newval
+                    k += 1
+                    break
+                r -= 1
+            k += 1
 
 
 # ------------------------------------------------------------ encoder
@@ -799,3 +963,216 @@ def to_gray(img: np.ndarray) -> np.ndarray:
     g = img[:, :, 1].astype(np.uint32)
     b = img[:, :, 2].astype(np.uint32)
     return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive encoder
+
+
+def _quantized_block_grid(img: np.ndarray, qt: np.ndarray):
+    """(per-component list of (n_blocks_y, n_blocks_x, zz int arrays
+    [by*bw+bx, 64]), h, w, nc) — shared FDCT/quant front half of both
+    encoders."""
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        comps = [arr.astype(np.float64) - 128.0]
+    else:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b,
+            0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    qt_zz = qt.reshape(64)[_ZIGZAG].astype(np.float64)
+    grids = []
+    for p in comps:
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1:h, :]
+        pp[:, w:] = pp[:, w - 1:w]
+        zz = np.empty((ph // 8 * (pw // 8), 64), dtype=np.int64)
+        i = 0
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                zz[i] = np.round(
+                    _fdct2(block).reshape(64)[_ZIGZAG] / qt_zz
+                ).astype(np.int64)
+                i += 1
+        grids.append((ph // 8, pw // 8, zz))
+    return grids, h, w, len(comps)
+
+
+def _sos_segment(comp_tables: list[tuple[int, int, int]],
+                 ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(comp_tables)])
+    for (cid, td, ta) in comp_tables:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+
+def _shift_toward_zero(v: int, al: int) -> int:
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def encode_jpeg_progressive(img: np.ndarray,
+                            quant: np.ndarray | None = None) -> bytes:
+    """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> PROGRESSIVE (SOF2)
+    JPEG with a libjpeg-like scan script exercising every progressive
+    decode path: interleaved DC first at Al=1, per-component spectral
+    AC bands at Al=1, per-component AC refinement to Al=0, and a DC
+    refinement scan. All components share the Annex-K luminance
+    Huffman tables. EOB runs never span blocks (EOBRUN is flushed per
+    block — legal, simpler; a hand-built multi-block EOBRUN fixture
+    covers the decoder's span path in tests)."""
+    if quant is None:
+        quant = STD_LUMA_QUANT
+    qt = np.asarray(quant, dtype=np.int32).reshape(8, 8)
+    grids, h, w, nc = _quantized_block_grid(img, qt)
+
+    dc = _HuffTable(_STD_DC_BITS, _STD_DC_VALS)
+    ac = _HuffTable(_STD_AC_BITS, _STD_AC_VALS)
+    qt_zz = qt.reshape(64)[_ZIGZAG]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" \
+        + bytes(int(v) for v in qt_zz)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _STD_DC_BITS, _STD_DC_VALS)
+    out += _dht_segment(1, 0, _STD_AC_BITS, _STD_AC_VALS)
+
+    def emit_scan(comp_tables, ss, se, ah, al, writer_fn) -> None:
+        nonlocal out
+        out += _sos_segment(comp_tables, ss, se, ah, al)
+        bw = _BitWriter()
+        writer_fn(bw)
+        bw.flush()
+        out += bw.out
+
+    # --- scan 1: interleaved DC first, Al=1 (point transform >> 1,
+    # arithmetic shift per T.81 / libjpeg forward_DCT semantics)
+    def dc_first(bw: _BitWriter) -> None:
+        preds = [0] * nc
+        n_blocks = grids[0][0] * grids[0][1]
+        for bi in range(n_blocks):
+            for ci in range(nc):
+                v = int(grids[ci][2][bi, 0]) >> 1  # arithmetic
+                diff = v - preds[ci]
+                preds[ci] = v
+                t = _category(diff)
+                code, length = dc.enc[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(diff if diff >= 0
+                             else diff + (1 << t) - 1, t)
+
+    emit_scan([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 0, 1,
+              dc_first)
+
+    # --- per-component AC first passes at Al=1, two spectral bands
+    def ac_first(ci: int, ss: int, se: int, al: int):
+        def run(bw: _BitWriter) -> None:
+            zz = grids[ci][2]
+            for bi in range(zz.shape[0]):
+                vals = [_shift_toward_zero(int(zz[bi, k]), al)
+                        for k in range(ss, se + 1)]
+                last = -1
+                for i, v in enumerate(vals):
+                    if v:
+                        last = i
+                r = 0
+                for i in range(last + 1):
+                    v = vals[i]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, length = ac.enc[0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                    s_ = _category(v)
+                    code, length = ac.enc[(r << 4) | s_]
+                    bw.write(code, length)
+                    bw.write(v if v >= 0 else v + (1 << s_) - 1, s_)
+                    r = 0
+                if last < len(vals) - 1:
+                    code, length = ac.enc[0x00]  # EOB (run of 1)
+                    bw.write(code, length)
+        return run
+
+    for ci in range(nc):
+        for (ss, se) in ((1, 5), (6, 63)):
+            emit_scan([(ci + 1, 0, 0)], ss, se, 0, 1, ac_first(ci, ss, se, 1))
+
+    # --- per-component AC refinement Ah=1 -> Al=0
+    def ac_refine(ci: int, ss: int, se: int, ah: int, al: int):
+        def run(bw: _BitWriter) -> None:
+            zz = grids[ci][2]
+            for bi in range(zz.shape[0]):
+                absv = [abs(int(zz[bi, k])) >> al
+                        for k in range(ss, se + 1)]
+                signs = [int(zz[bi, k]) > 0 for k in range(ss, se + 1)]
+                eob = -1
+                for i, v in enumerate(absv):
+                    if v == 1:
+                        eob = i
+                r = 0
+                br: list[int] = []
+                for i, v in enumerate(absv):
+                    if i > eob:
+                        break
+                    if v == 0:
+                        r += 1
+                        continue
+                    if v > 1:  # previously nonzero: correction bit
+                        br.append(v & 1)
+                        continue
+                    while r > 15:
+                        code, length = ac.enc[0xF0]
+                        bw.write(code, length)
+                        for bit in br:
+                            bw.write(bit, 1)
+                        br = []
+                        r -= 16
+                    code, length = ac.enc[(r << 4) | 1]
+                    bw.write(code, length)
+                    bw.write(1 if signs[i] else 0, 1)
+                    for bit in br:
+                        bw.write(bit, 1)
+                    br = []
+                    r = 0
+                # trailing corrections ride on a per-block EOB
+                tail_bits = [absv[i] & 1
+                             for i in range(eob + 1, len(absv))
+                             if absv[i] > 1]
+                if eob < len(absv) - 1:
+                    code, length = ac.enc[0x00]
+                    bw.write(code, length)
+                    for bit in tail_bits:
+                        bw.write(bit, 1)
+        return run
+
+    for ci in range(nc):
+        emit_scan([(ci + 1, 0, 0)], 1, 63, 1, 0,
+                  ac_refine(ci, 1, 63, 1, 0))
+
+    # --- final DC refinement: Ah=1, Al=0 — one raw bit per block
+    def dc_refine(bw: _BitWriter) -> None:
+        n_blocks = grids[0][0] * grids[0][1]
+        for bi in range(n_blocks):
+            for ci in range(nc):
+                bw.write(int(grids[ci][2][bi, 0]) & 1, 1)
+
+    emit_scan([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 1, 0,
+              dc_refine)
+
+    out += b"\xff\xd9"
+    return bytes(out)

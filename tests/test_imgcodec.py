@@ -235,13 +235,23 @@ class TestJPEG:
         assert out.shape == (8, 24)
         assert (out == v).all()
 
-    def test_progressive_rejected(self):
+    def test_sof2_with_full_band_scan_decodes(self):
+        # a full Ss=0..63 Ah=Al=0 scan under SOF2 is valid progressive
+        # and must decode identically to the baseline stream
         img = np.full((8, 8), 10, dtype=np.uint8)
         blob = bytearray(ic.encode_jpeg(img, quant=Q1))
         i = blob.find(b"\xff\xc0")
-        blob[i + 1] = 0xC2  # SOF2 progressive
-        with pytest.raises(ValueError, match="baseline"):
-            ic.decode_jpeg(bytes(blob))
+        blob[i + 1] = 0xC2
+        assert (ic.decode_jpeg(bytes(blob)) == 10).all()
+
+    def test_arithmetic_and_lossless_rejected(self):
+        img = np.full((8, 8), 10, dtype=np.uint8)
+        for sof in (0xC3, 0xC9, 0xCA):  # lossless, arith seq/prog
+            blob = bytearray(ic.encode_jpeg(img, quant=Q1))
+            i = blob.find(b"\xff\xc0")
+            blob[i + 1] = sof
+            with pytest.raises(ValueError, match="huffman"):
+                ic.decode_jpeg(bytes(blob))
 
     def test_truncated_entropy_raises(self):
         img = RNG.randint(0, 256, (16, 16), dtype=np.uint8)
@@ -377,3 +387,107 @@ class TestDecodeFuzz:
                         else b"\xff\xd8" + blob)
                 except ValueError:
                     pass
+
+
+class TestProgressiveJPEG:
+    """SOF2 progressive: DC/AC successive approximation + spectral
+    selection must reconstruct the SAME quantized coefficients as the
+    baseline encoding of the same image (so decodes are identical)."""
+
+    def _pair(self, img, quant=None):
+        return (ic.decode_jpeg(ic.encode_jpeg(img, quant=quant)),
+                ic.decode_jpeg(ic.encode_jpeg_progressive(
+                    img, quant=quant)))
+
+    def test_flat_bit_exact(self):
+        for v in (0, 77, 128, 255):
+            img = np.full((12, 20), v, dtype=np.uint8)
+            out = ic.decode_jpeg(ic.encode_jpeg_progressive(
+                img, quant=Q1))
+            assert (out == v).all(), v
+
+    def test_gray_equals_baseline(self):
+        img = RNG.randint(0, 256, (24, 17), dtype=np.uint8)
+        b, p = self._pair(img, Q1)
+        assert (b == p).all()
+
+    def test_color_equals_baseline(self):
+        img = RNG.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+        b, p = self._pair(img, Q1)
+        assert (b == p).all()
+
+    def test_std_quant_equals_baseline(self):
+        xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+        img = ((xx * 2 + yy * 3) % 200 + 20).astype(np.uint8)
+        b, p = self._pair(img)
+        assert (b == p).all()
+
+    def test_multiblock_eobrun_span(self):
+        # hand-build an AC first scan whose EOBRUN covers 4 blocks at
+        # once (our encoder flushes per block, so build the span by
+        # hand): 4 flat 8x8 blocks -> all AC zero
+        v = 60
+        img = np.full((8, 32), v, dtype=np.uint8)
+        blob = bytearray(ic.encode_jpeg_progressive(img, quant=Q1))
+        # EOBn symbols (r>0, s=0) are absent from the Annex-K baseline
+        # AC table — progressive encoders ship custom tables for them.
+        # Build a 1-symbol table {0x20 -> code '0'} as AC table id 1.
+        eob_bits = [1] + [0] * 15
+        eob_vals = [0x20]
+        dht = ic._dht_segment(1, 1, eob_bits, eob_vals)
+        tbl = ic._HuffTable(eob_bits, eob_vals)
+        code, length = tbl.enc[0x20]
+        bw = ic._BitWriter()
+        bw.write(code, length)  # RS=0x20: r=2
+        bw.write(1, 1)          # 2 extra bits... r=2 -> read_bits(2)
+        bw.write(1, 1)          # EOBRUN = (1<<2)-1 + 0b11 = 6 >= 4
+        bw.flush()
+        # find SOS with Ss=1,Se=5 header and splice
+        i = 0
+        while True:
+            i = blob.index(b"\xff\xda", i)
+            seglen = int.from_bytes(blob[i + 2:i + 4], "big")
+            ns = blob[i + 4]
+            ss = blob[i + 5 + 2 * ns]
+            data_start = i + 2 + seglen
+            if ss == 1:
+                break
+            i = data_start
+        # entropy data of this scan ends at the next 0xFF marker that
+        # is not stuffing
+        j = data_start
+        while True:
+            j = blob.index(b"\xff", j)
+            if blob[j + 1] != 0x00:
+                break
+            j += 2
+        blob[i + 6] = (blob[i + 6] & 0xF0) | 0x01  # scan uses AC tbl 1
+        blob[data_start:j] = bytes(bw.out)
+        blob[i:i] = dht  # insert the DHT right before the SOS
+        out = ic.decode_jpeg(bytes(blob))
+        assert (out == v).all()
+
+    def test_progressive_mutation_fuzz(self):
+        import random
+
+        rnd = random.Random(777)
+        base = ic.encode_jpeg_progressive(
+            RNG.randint(0, 256, (16, 16), dtype=np.uint8), quant=Q1)
+        for _ in range(200):
+            blob = bytearray(base)
+            for _ in range(rnd.randint(1, 8)):
+                blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+            try:
+                out = ic.decode_jpeg(bytes(blob))
+                assert out.nbytes <= ic.MAX_PIXELS * 4
+            except ValueError:
+                pass
+
+    def test_truncated_scans_partial_or_error(self):
+        img = RNG.randint(0, 256, (16, 16), dtype=np.uint8)
+        blob = ic.encode_jpeg_progressive(img, quant=Q1)
+        for cut in range(2, len(blob), 11):
+            try:
+                ic.decode_jpeg(blob[:cut])
+            except ValueError:
+                pass
