@@ -491,3 +491,91 @@ class TestProgressiveJPEG:
                 ic.decode_jpeg(blob[:cut])
             except ValueError:
                 pass
+
+
+class TestSubsampledJPEG:
+    def test_420_flat_color_exact(self):
+        """Hand-built 4:2:0 stream: Y at 2x2 sampling (4 blocks/MCU),
+        Cb/Cr at 1x1 — a flat color decodes exactly (DC-only blocks),
+        pinning the interleaved multi-block MCU path and the chroma
+        upsample."""
+        h = w = 16  # one MCU of 16x16
+        y_val, cb_val, cr_val = 90, 20, -30  # level-shifted chroma
+
+        dc = ic._HuffTable(ic._STD_DC_BITS, ic._STD_DC_VALS)
+        ac = ic._HuffTable(ic._STD_AC_BITS, ic._STD_AC_VALS)
+        bw = ic._BitWriter()
+        preds = {1: 0, 2: 0, 3: 0}
+
+        def put_block(cid, dcval):
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = dcval
+            preds[cid] = ic._encode_block(bw, zz, preds[cid], dc, ac)
+
+        # MCU order: 4 Y blocks, then Cb, then Cr
+        for _ in range(4):
+            put_block(1, 8 * (y_val - 128))
+        put_block(2, 8 * cb_val)
+        put_block(3, 8 * cr_val)
+        bw.flush()
+
+        qt_zz = np.ones(64, dtype=np.int64)
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" \
+            + bytes(int(v) for v in qt_zz)
+        sof = struct.pack(">BHHB", 8, h, w, 3)
+        sof += bytes([1, 0x22, 0])  # Y: hs=2, vs=2
+        sof += bytes([2, 0x11, 0])
+        sof += bytes([3, 0x11, 0])
+        out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        out += ic._dht_segment(0, 0, ic._STD_DC_BITS, ic._STD_DC_VALS)
+        out += ic._dht_segment(1, 0, ic._STD_AC_BITS, ic._STD_AC_VALS)
+        sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += bw.out + b"\xff\xd9"
+
+        img = ic.decode_jpeg(bytes(out))
+        assert img.shape == (16, 16, 3)
+        # expected JFIF conversion of the flat YCbCr triple
+        r = round(y_val + 1.402 * cr_val)
+        g = round(y_val - 0.344136 * cb_val - 0.714136 * cr_val)
+        b = round(y_val + 1.772 * cb_val)
+        want = [max(0, min(255, c)) for c in (r, g, b)]
+        assert img[0, 0].tolist() == want
+        assert (img == img[0, 0]).all()
+
+    def test_420_cropping_non_mcu_multiple(self):
+        # 12x10 frame with 2x2 Y sampling: MCU grid pads to 16x16;
+        # decode must crop back to exactly (10, 12)
+        h, w = 10, 12
+        dc = ic._HuffTable(ic._STD_DC_BITS, ic._STD_DC_VALS)
+        ac = ic._HuffTable(ic._STD_AC_BITS, ic._STD_AC_VALS)
+        bw = ic._BitWriter()
+        preds = {1: 0, 2: 0, 3: 0}
+
+        def put_block(cid, dcval):
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = dcval
+            preds[cid] = ic._encode_block(bw, zz, preds[cid], dc, ac)
+
+        for _ in range(4):
+            put_block(1, 8 * (140 - 128))
+        put_block(2, 0)
+        put_block(3, 0)
+        bw.flush()
+        qt_zz = np.ones(64, dtype=np.int64)
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" \
+            + bytes(int(v) for v in qt_zz)
+        sof = struct.pack(">BHHB", 8, h, w, 3)
+        sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) \
+            + bytes([3, 0x11, 0])
+        out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        out += ic._dht_segment(0, 0, ic._STD_DC_BITS, ic._STD_DC_VALS)
+        out += ic._dht_segment(1, 0, ic._STD_AC_BITS, ic._STD_AC_VALS)
+        sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += bw.out + b"\xff\xd9"
+        img = ic.decode_jpeg(bytes(out))
+        assert img.shape == (10, 12, 3)
+        assert (img == 140).all()  # gray: Cb=Cr=0
