@@ -485,3 +485,50 @@ def test_duplicated_span_text_never_shuffles(spark):
     for frag in plan.split("Exchange")[1:]:
         head = frag.split("+-", 2)[:2]
         assert "text#" not in frag.split("\n")[0], frag[:200]
+
+
+def test_domain_stats_etld_and_majority(spark):
+    from pdf_to_text_extraction_service_spark.operators.domains import (
+        domain_stats,
+        registered_domain_col,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("https://www.bbc.co.uk/news/1", "en", 100),
+        ("https://cdn.bbc.co.uk/x", "en", 200),
+        ("https://news.bbc.co.uk/y", "fr", 300),
+        ("https://example.com/a", "de", 50),
+        ("https://www.example.com:8080/b?q=1#f", "de", 150),
+        ("https://localhost/c", "en", 10),       # single label
+        ("https://sub.deep.example.org/d", "es", 75),
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string, n_chars long")
+    doms = {r["url"]: r["d"] for r in df.select(
+        "url", registered_domain_col("url").alias("d")).collect()}
+    assert doms["https://www.bbc.co.uk/news/1"] == "bbc.co.uk"
+    assert doms["https://example.com/a"] == "example.com"
+    assert doms["https://localhost/c"] == "localhost"
+    assert doms["https://sub.deep.example.org/d"] == "example.org"
+    # port stripped? host regex keeps ':8080' out of the host
+    assert doms["https://www.example.com:8080/b?q=1#f"] == "example.com"
+
+    out = {r["domain"]: r for r in domain_stats(df).collect()}
+    bbc = out["bbc.co.uk"]
+    assert bbc["n_docs"] == 3 and bbc["n_hosts"] == 3
+    assert bbc["top_lang"] == "en"
+    assert abs(bbc["avg_chars"] - 200.0) < 1e-9
+    ex = out["example.com"]
+    assert ex["n_docs"] == 2 and ex["n_hosts"] == 2
+    assert ex["top_lang"] == "de"
+
+
+def test_domain_stats_tie_breaks_to_largest_lang(spark):
+    from pdf_to_text_extraction_service_spark.operators.domains import (
+        domain_stats,
+    )
+
+    rows = [("https://a.test/1", "en", 1), ("https://a.test/2", "fr", 1)]
+    df = spark.createDataFrame(rows, "url string, lang string, n_chars long")
+    out = domain_stats(df).collect()
+    assert out[0]["top_lang"] == "fr"  # max_by struct(cnt, lang) tie rule
