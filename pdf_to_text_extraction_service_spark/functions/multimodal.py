@@ -265,7 +265,9 @@ def dedup_image_dhash(df: DataFrame, max_hamming: int = 3,
     (spacers, tracking pixels) ALL hash to 0 and would otherwise make
     one bucket quadratic; the cap bounds it to max_bucket² candidate
     rows, the same guard operators/neardup.py applies to boilerplate
-    floods."""
+    floods. NOTE the cap qualifies the recall guarantee above: a pair
+    whose every shared band bucket exceeds max_bucket is dropped
+    (deterministically — each bucket keeps the ascending-id prefix)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 

@@ -441,6 +441,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     saw_scan = False
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
+            if saw_scan:
+                # trailing garbage after a decoded scan: accept what
+                # we have (crawl files often lack a clean EOI)
+                break
             raise ValueError("jpeg: marker expected")
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1  # fill bytes before a marker are legal
@@ -478,6 +482,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("jpeg: truncated SOF components")
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"jpeg: unsupported component count {nc}")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(
@@ -1132,9 +1139,10 @@ def encode_jpeg_progressive(img: np.ndarray,
                     if v == 0:
                         r += 1
                         continue
-                    if v > 1:  # previously nonzero: correction bit
-                        br.append(v & 1)
-                        continue
+                    # libjpeg order: pending ZRLs flush BEFORE this
+                    # coefficient is handled — a correction bit
+                    # buffered first would ride a ZRL whose 16-zero
+                    # span doesn't cover its position
                     while r > 15:
                         code, length = ac.enc[0xF0]
                         bw.write(code, length)
@@ -1142,6 +1150,9 @@ def encode_jpeg_progressive(img: np.ndarray,
                             bw.write(bit, 1)
                         br = []
                         r -= 16
+                    if v > 1:  # previously nonzero: correction bit
+                        br.append(v & 1)
+                        continue
                     code, length = ac.enc[(r << 4) | 1]
                     bw.write(code, length)
                     bw.write(1 if signs[i] else 0, 1)

@@ -40,9 +40,12 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
     pos)``) wins. Returns one row per input doc:
     ``(id_col, text_out, n_paras, n_kept)`` — empty docs keep an
     empty string."""
+    # \Q…\E so the separator is a LITERAL: F.split takes a Java
+    # regex, and a sep like '. ' would otherwise fragment on any char
+    sep_re = "\\Q" + sep + "\\E"
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1))
+        F.posexplode(F.split(F.col(text_col), F.lit(sep_re), -1))
         .alias("pos", "para"),
     ).select(id_col, "pos", F.xxhash64("para").alias("h"))
 
@@ -54,7 +57,7 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
         .agg(F.sort_array(F.collect_list("pos")).alias("keep_pos"))
     )
 
-    arr = F.split(F.col(text_col), F.lit(sep), -1)
+    arr = F.split(F.col(text_col), F.lit(sep_re), -1)
     reassembled = F.array_join(
         F.transform(
             F.filter(

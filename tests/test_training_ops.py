@@ -482,9 +482,17 @@ def test_duplicated_span_text_never_shuffles(spark):
         "doc_id long, text string")
     plan = duplicated_span_stats(docs)._jdf.queryExecution() \
         .executedPlan().toString()
+    import re
+
     for frag in plan.split("Exchange")[1:]:
-        head = frag.split("+-", 2)[:2]
-        assert "text#" not in frag.split("\n")[0], frag[:200]
+        # partitioning keys must be scalars, and the operator feeding
+        # the Exchange must not PASS THROUGH the text column (an
+        # expression may consume text#N to compute a scalar — that is
+        # fine; a bare `text#N` list entry crossing the shuffle is not)
+        lines = frag.split("\n")
+        assert "text#" not in lines[0], lines[0]
+        feeding = lines[1] if len(lines) > 1 else ""
+        assert not re.search(r"[\[ ]text#\d+[,\]]", feeding), feeding
 
 
 def test_domain_stats_etld_and_majority(spark):
