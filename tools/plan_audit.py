@@ -127,6 +127,40 @@ def main() -> None:
         "Exact rerank runs inside the probed clusters only.",
     ))
 
+    q = entry_mod.queries()["paragraph_dedup"]
+    sections.append((
+        "Paragraph dedup (text crosses exactly one Exchange)",
+        _plan(q(spark, SF)),
+        "Paragraphs posexplode in-partition and only (doc_id, pos, "
+        "xxhash64) scalars cross the keeper window's Exchange (which "
+        "gets WindowGroupLimit pushdown for the rank<=1 filter); "
+        "kept positions roll up per doc as a scalar list, and the "
+        "document text appears in exactly ONE Exchange input — the "
+        "reassembly join on doc_id, the same budget as the salt "
+        "repartition.",
+    ))
+
+    q = entry_mod.queries()["dup_span_stats"]
+    sections.append((
+        "Duplicated-span audit (text never shuffles)",
+        _plan(q(spark, SF)),
+        "Window occurrences explode to dual-hash scalars inside the "
+        "document partition; corpus-wide counts and the per-doc "
+        "rollup shuffle only (hash, hash) / (doc_id, count) pairs — "
+        "no Exchange input carries the text column (asserted by "
+        "tests/test_training_ops.py plan audit).",
+    ))
+
+    q = entry_mod.queries()["domain_stats"]
+    sections.append((
+        "Registered-domain rollup (two scalar aggregations)",
+        _plan(q(spark, SF)),
+        "Host/domain extraction is a JVM projection inside "
+        "whole-stage codegen; the (domain, lang) pre-aggregation and "
+        "the per-domain argmax/stats both partially aggregate "
+        "map-side; urls/text never pass an Exchange.",
+    ))
+
     q = entry_mod.queries()["decontam_benchmark"]
     sections.append((
         "Benchmark decontamination (broadcast n-gram set)",
