@@ -102,3 +102,98 @@ def duplicated_span_stats(docs: DataFrame, n: int = 13,
             .alias("dup_heavy"),
         )
     )
+
+
+def remove_duplicated_spans(docs: DataFrame, n: int = 13,
+                            min_count: int = 2,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup: rewrite each document
+    dropping every token covered by a duplicated window occurrence
+    that is not the window's corpus-wide FIRST occurrence (canonical
+    = min (doc_id, pos)). Returns
+    ``(id_col, text_out, n_tokens, n_removed)``.
+
+    Exact rule (mirrored by the oracle): token t of doc d is removed
+    iff some occurrence (d, pos) of a window with corpus count >=
+    min_count covers it (pos <= t < pos+n) AND (d, pos) is not that
+    window's canonical occurrence. A canonical occurrence's tokens
+    can still be removed when another, non-canonical window overlaps
+    them — the "keep the first copy, drop the rest" approximation at
+    fixed window size.
+
+    Scale shape: same as duplicated_span_stats — only (doc_id, pos,
+    h1, h2) scalars shuffle; removal positions roll up per doc as a
+    sorted int array, and the text crosses exactly one Exchange at
+    the rewrite join, where interval-merge + token filtering run
+    in-row as JVM array expressions."""
+    occurrences = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.expr(
+                f"transform(case when size(split({text_col}, ' ')) >= {n} "
+                f"then sequence(0, size(split({text_col}, ' ')) - {n}) "
+                f"else array() end, "
+                f"i -> struct("
+                f"xxhash64(array_join(slice(split({text_col}, ' '), "
+                f"i + 1, {n}), ' ')) as h1, "
+                f"xxhash64(array_join(slice(split({text_col}, ' '), "
+                f"i + 1, {n}), ' '), 's2') as h2))"
+            )).alias("pos", "_g"),
+        )
+        .select(id_col, "pos", "_g.h1", "_g.h2")
+    )
+    dup_canon = (
+        occurrences.groupBy("h1", "h2")
+        .agg(F.count("*").alias("_c"),
+             F.min(F.struct(F.col(id_col).alias("d"),
+                            F.col("pos").alias("p"))).alias("canon"))
+        .filter(F.col("_c") >= min_count)
+        .select("h1", "h2", "canon")
+    )
+    removals = (
+        occurrences.join(dup_canon, ["h1", "h2"])
+        .filter(~((F.col(id_col) == F.col("canon.d"))
+                  & (F.col("pos") == F.col("canon.p"))))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("rm_pos"))
+    )
+    toks = F.split(F.col(text_col), " ")
+    # merge [pos, pos+n) intervals, then keep tokens outside them all
+    intervals = F.expr(
+        f"aggregate(rm_pos, cast(array() as array<struct<s:int,e:int>>), "
+        f"(acc, p) -> "
+        f"case when size(acc) > 0 "
+        f"and element_at(acc, -1).e >= p "
+        f"then concat(slice(acc, 1, size(acc) - 1), array(named_struct("
+        f"'s', element_at(acc, -1).s, "
+        f"'e', greatest(element_at(acc, -1).e, p + {n})))) "
+        f"else concat(acc, array(named_struct('s', p, 'e', p + {n}))) "
+        f"end)"
+    )
+    kept = F.transform(
+        F.filter(
+            F.transform(toks, lambda x, i: F.struct(
+                i.alias("i"), x.alias("x"))),
+            lambda s: ~F.exists(
+                F.col("_iv"),
+                lambda iv: (s["i"] >= iv["s"]) & (s["i"] < iv["e"]),
+            ),
+        ),
+        lambda s: s["x"],
+    )
+    return (
+        docs.join(removals, id_col, "left")
+        .withColumn("_iv", F.coalesce(
+            intervals,
+            F.expr("cast(array() as array<struct<s:int,e:int>>)")))
+        .select(
+            F.col(id_col),
+            F.when(F.col("rm_pos").isNull(), F.col(text_col))
+            .otherwise(F.array_join(kept, " ")).alias("text_out"),
+            F.size(toks).cast("int").alias("n_tokens"),
+            F.coalesce(
+                F.expr("aggregate(_iv, 0, (a, iv) -> a + iv.e - iv.s)"),
+                F.lit(0)).cast("int").alias("n_removed"),
+        )
+    )

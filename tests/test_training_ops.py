@@ -540,3 +540,47 @@ def test_domain_stats_tie_breaks_to_largest_lang(spark):
     df = spark.createDataFrame(rows, "url string, lang string, n_chars long")
     out = domain_stats(df).collect()
     assert out[0]["top_lang"] == "fr"  # max_by struct(cnt, lang) tie rule
+
+
+def test_remove_duplicated_spans(spark):
+    from pdf_to_text_extraction_service_spark.operators.dupspans import (
+        remove_duplicated_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " tail0"),          # canonical copy: kept
+            (1, "head1 " + shared),          # later copy removed
+            (2, "unique tokens only here"),
+            (3, shared + " " + shared),      # fully duplicated
+            (4, "short text"),               # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in remove_duplicated_spans(docs).collect()}
+    assert out[0]["text_out"] == shared + " tail0"
+    assert out[0]["n_removed"] == 0
+    assert out[1]["text_out"] == "head1" and out[1]["n_removed"] == 13
+    assert out[2]["text_out"] == "unique tokens only here"
+    assert out[3]["text_out"] == "" and out[3]["n_removed"] == 26
+    assert out[4]["text_out"] == "short text"
+    assert out[4]["n_removed"] == 0
+
+
+def test_remove_spans_overlap_merge(spark):
+    from pdf_to_text_extraction_service_spark.operators.dupspans import (
+        remove_duplicated_spans,
+    )
+
+    # overlapping duplicated windows must merge, not double-count
+    block = " ".join(f"b{i}" for i in range(14))  # 2 windows, overlap
+    docs = spark.createDataFrame(
+        [(0, block), (1, "x " + block + " y")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in remove_duplicated_spans(docs).collect()}
+    assert out[1]["text_out"] == "x y"
+    assert out[1]["n_removed"] == 14  # merged interval, not 26
+    assert out[0]["n_removed"] == 0
