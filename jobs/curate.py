@@ -1,0 +1,182 @@
+"""spark-submit training-data CURATION pipeline: extracted pages →
+filtered, deduplicated, decontaminated, packed training corpus.
+
+    spark-submit --driver-memory 8g --py-files engine.zip \
+        jobs/curate.py \
+        --input  /data/extracted 'bucket=*/*.parquet' style dir \
+        --output /data/curated \
+        --langs en,de --min-words 20 --seq-len 1024 \
+        [--benchmark /data/benchmarks.parquet] [--no-span-removal]
+
+Chains the engine's training-pipeline operators end-to-end, the way a
+100 TB curation run composes them:
+
+1. gate     — success rows with non-empty text
+2. language — engine stopword language ID (lang_id), keep --langs
+3. quality  — kernel quality scorer (quality.go parity); drop
+              needs_ocr and below --min-quality / --min-words
+4. exact    — corpus-wide exact dedup (sha2 groupBy, min-id wins)
+5. paras    — paragraph dedup (first corpus-wide occurrence wins)
+6. spans    — ExactSubstr removal of duplicated 13-gram windows
+7. decontam — drop docs sharing any 13-gram with --benchmark
+8. pack     — concat-and-chunk into --seq-len sequences
+
+Every stage is declarative DataFrame work over the same operators the
+driver queries gate (operators/neardup, paradedup, dupspans,
+decontam, packing, textstats) — text crosses one Exchange per
+rewrite-stage join, scalar keys do everything else. Stage row counts
+print as one JSON line; at the 100 TB target you would sample or use
+accumulators instead of exact counts (--no-stats skips them).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from pyspark.sql import functions as F
+
+from pdf_to_text_extraction_service_spark.operators.dupspans import (
+    remove_duplicated_spans,
+)
+from pdf_to_text_extraction_service_spark.operators.neardup import (
+    exact_dedup,
+)
+from pdf_to_text_extraction_service_spark.operators.packing import (
+    pack_sequences,
+)
+from pdf_to_text_extraction_service_spark.operators.paradedup import (
+    paragraph_dedup,
+)
+from pdf_to_text_extraction_service_spark.operators.textstats import (
+    lang_id,
+    quality_scores,
+)
+from pdf_to_text_extraction_service_spark.plans.session import (
+    build_session,
+)
+
+
+def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
+           seq_len=1024, benchmark=None, span_removal=True,
+           stats=True):
+    """Run the curation chain over ``docs(url, text, ...)``; returns
+    (packed DataFrame, stage-stats dict)."""
+    st: dict[str, int] = {}
+
+    def note(name, df):
+        if stats:
+            st[name] = df.count()
+        return df
+
+    has_lang = "lang" in docs.columns
+    base = docs.filter(
+        (F.col("success") if "success" in docs.columns else F.lit(True))
+        & F.col("text").isNotNull() & (F.col("text") != "")
+    ).select(
+        F.xxhash64("url").alias("doc_id"), "url", "text",
+        *([F.col("lang").alias("_lang_meta")] if has_lang else []),
+    )
+    base = note("gated", base)
+
+    if langs:
+        # prefer upstream metadata (crawl header / source label);
+        # fall back to the engine's stopword detector per row
+        guessed = lang_id(base)
+        lang_col = F.coalesce(
+            F.col("_lang_meta") if has_lang else F.lit(None),
+            F.col("lang_guess"))
+        base = note("language", guessed.filter(
+            lang_col.isin(*langs)).drop("lang_guess"))
+    if has_lang:
+        base = base.drop("_lang_meta")
+
+    q = quality_scores(base, min_words=min_words)
+    keep_q = q.filter(
+        (~F.col("needs_ocr")) & (F.col("quality") >= min_quality)
+        & (F.col("word_count") >= min_words)
+    ).select("doc_id")
+    base = note("quality", base.join(keep_q, "doc_id"))
+
+    keep_e = exact_dedup(base).select("doc_id")
+    base = note("exact_dedup", base.join(keep_e, "doc_id"))
+
+    paras = paragraph_dedup(base)
+    base = note("paragraph_dedup", base.drop("text").join(
+        paras.filter(F.col("text_out") != "")
+        .select("doc_id", F.col("text_out").alias("text")),
+        "doc_id"))
+
+    if span_removal:
+        spans = remove_duplicated_spans(base)
+        base = note("span_removal", base.drop("text").join(
+            spans.filter(F.col("text_out") != "")
+            .select("doc_id", F.col("text_out").alias("text")),
+            "doc_id"))
+
+    if benchmark is not None:
+        from pdf_to_text_extraction_service_spark.operators.decontam \
+            import benchmark_overlap
+
+        flags = benchmark_overlap(base, benchmark)
+        clean = flags.filter(~F.col("contaminated")).select("doc_id")
+        base = note("decontam", base.join(clean, "doc_id"))
+
+    packed = pack_sequences(base, budget=seq_len)
+    out = (
+        base.join(packed.select("doc_id", "n_tokens", "seq_id",
+                                "seq_offset"), "doc_id")
+        .select("seq_id", "seq_offset", "url", "doc_id",
+                "n_tokens", "text")
+    )
+    if stats:
+        st["sequences"] = out.agg(
+            F.countDistinct("seq_id")).collect()[0][0]
+    return out, st
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated language allowlist")
+    ap.add_argument("--min-words", type=int, default=20)
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--seq-len", type=int, default=1024)
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet with a text column to decontaminate "
+                         "against")
+    ap.add_argument("--no-span-removal", action="store_true")
+    ap.add_argument("--no-stats", action="store_true")
+    args = ap.parse_args()
+
+    spark = build_session(app_name="curate-job")
+    docs = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark \
+        else None
+    out, st = curate(
+        spark, docs,
+        langs=args.langs.split(",") if args.langs else None,
+        min_words=args.min_words, min_quality=args.min_quality,
+        seq_len=args.seq_len, benchmark=bench,
+        span_removal=not args.no_span_removal,
+        stats=not args.no_stats,
+    )
+    out.repartition("seq_id").sortWithinPartitions(
+        "seq_id", "seq_offset").write.mode("overwrite") \
+        .parquet(args.output)
+    st["written"] = spark.read.parquet(args.output).count()
+    print(json.dumps({"stages": st, "output": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

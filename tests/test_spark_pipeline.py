@@ -294,3 +294,49 @@ def test_tune_arrow_batch_sizing(spark, tmp_path):
     rows = tune_arrow_batch(spark, empty)
     assert rows == ARROW_MAX_RECORDS_PER_BATCH
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+
+
+def test_curate_pipeline_stages(spark, tmp_path):
+    """jobs/curate.py chain: gating, language, quality, exact dedup,
+    paragraph dedup, span removal, decontamination, packing."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from jobs.curate import curate
+
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "the dog chases the fox around the quiet green meadow "
+             "until both animals rest under the old oak tree")
+    shared13 = ("alpha bravo charlie delta echo foxtrot golf hotel "
+                "india juliet kilo lima mike")
+    rows = [
+        ("https://a.test/1", True, prose + " one", "en"),
+        ("https://a.test/2", True, prose + " one", "en"),   # exact dup
+        ("https://a.test/3", True, prose + " three " + shared13, "en"),
+        ("https://a.test/4", True, prose + " four " + shared13, "en"),
+        ("https://a.test/5", True, "zu kurz", "de"),        # min-words
+        ("https://a.test/6", False, prose, "en"),           # failed
+        ("https://a.test/7", True, prose + " sept", "fr"),  # lang drop
+        ("https://a.test/8", True,
+         "contaminated " + " ".join(f"b{i}" for i in range(13)), "en"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, success boolean, text string, lang string")
+    bench = spark.createDataFrame(
+        [(" ".join(f"b{i}" for i in range(13)),)], "text string")
+    out, st = curate(spark, docs, langs=["en"], min_words=5,
+                     seq_len=64, benchmark=bench, stats=True)
+    got = out.collect()
+    urls = {r["url"] for r in got}
+    assert st["gated"] == 7            # success gate
+    assert st["language"] == 5         # de + fr dropped
+    assert st["quality"] == 5          # nothing else below the gate
+    assert st["exact_dedup"] == 4      # /1 vs /2: min doc_id wins
+    assert st["decontam"] == 3         # /8 dropped
+    # span removal stripped the shared 13-gram from the later of /3,/4
+    texts = {r["url"]: r["text"] for r in got}
+    assert sum(shared13 in t for t in texts.values()) == 1
+    assert "https://a.test/8" not in urls
+    assert all(r["seq_id"] >= 0 and r["seq_offset"] >= 0 for r in got)
