@@ -1230,10 +1230,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (pdfk.py + pdfcrypt.py), the preview gate, and the OCR/audio
     # assembly INSIDE the first 50; the displaced xml/yaml/latex/notebook
     # kernel probes (pytest-parity-covered) live at the tail.
-    # Round-4 rotation: the YAML kernel and the two new multimodal
-    # operators changed THIS round, so they sit inside the checked 50;
-    # the displaced markdown/json/code probes (stable, pytest-parity-
-    # covered) move to the tail.
+    # Round-4 rotation: queries modified THIS round (yaml, the
+    # multimodal operators, the new dedup/domain ops) sit inside the
+    # checked 50; the displaced kernel probes (xml/yaml-siblings,
+    # markdown/json/code/rtf/csv/epub/odt — all stable and
+    # pytest-parity-covered) move to the tail. After ANY insertion,
+    # re-check list(queries())[49].
     "extract_yaml_docs": _q_extract_yaml,
     "multimodal_resize_thumbs": _q_multimodal_resize,
     "dedup_image_dhash": _q_dedup_image_dhash,

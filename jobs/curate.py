@@ -69,9 +69,15 @@ def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
     """Run the curation chain over ``docs(url, text, ...)``; returns
     (packed DataFrame, stage-stats dict)."""
     st: dict[str, int] = {}
+    _persisted = []
 
     def note(name, df):
         if stats:
+            # persist before counting so each stage count (and the
+            # final write) reuses the computed prefix instead of
+            # re-running the whole upstream chain per action
+            df = df.persist()
+            _persisted.append(df)
             st[name] = df.count()
         return df
 
@@ -82,7 +88,12 @@ def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
     ).select(
         F.xxhash64("url").alias("doc_id"), "url", "text",
         *([F.col("lang").alias("_lang_meta")] if has_lang else []),
-    )
+    ).dropDuplicates(["doc_id"])
+    # dropDuplicates guards every downstream doc_id equi-join against
+    # multiplicative blowup from repeated urls (e.g. extract runs with
+    # --no-dedup, or unions of runs) and from 64-bit id collisions;
+    # a collision conflates two docs (~2^-64/pair) rather than
+    # exploding the join
     base = note("gated", base)
 
     if langs:
@@ -136,6 +147,7 @@ def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
                 "n_tokens", "text")
     )
     if stats:
+        out = out.persist()
         st["sequences"] = out.agg(
             F.countDistinct("seq_id")).collect()[0][0]
     return out, st

@@ -29,6 +29,34 @@ from pyspark.sql import functions as F
 from .decontam import _gram_struct
 
 
+def _window_occurrences(docs: DataFrame, n: int, id_col: str,
+                        text_col: str, with_pos: bool) -> DataFrame:
+    """(id, [pos,] h1, h2) for EVERY window occurrence. The token
+    array is materialized ONCE per row (`_toks` projection) and
+    referenced inside the per-window lambda — re-splitting the text
+    inside the lambda would be O(tokens²) per document (the same
+    hoist neardup.shingles_from_tokens documents)."""
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    expr = (
+        f"transform(case when size(_toks) >= {n} "
+        f"then sequence(0, size(_toks) - {n}) else array() end, "
+        f"i -> struct("
+        f"xxhash64(array_join(slice(_toks, i + 1, {n}), ' ')) as h1, "
+        f"xxhash64(array_join(slice(_toks, i + 1, {n}), ' '), 's2') "
+        f"as h2))"
+    )
+    if with_pos:
+        return toks.select(
+            F.col(id_col),
+            F.posexplode(F.expr(expr)).alias("pos", "_g"),
+        ).select(id_col, "pos", "_g.h1", "_g.h2")
+    return toks.select(
+        F.col(id_col), F.explode(F.expr(expr)).alias("_g"),
+    ).select(id_col, "_g.h1", "_g.h2")
+
+
+
 def duplicated_span_stats(docs: DataFrame, n: int = 13,
                           min_count: int = 2,
                           id_col: str = "doc_id",
@@ -43,22 +71,8 @@ def duplicated_span_stats(docs: DataFrame, n: int = 13,
     with dup_frac >= 0.5 (the common drop threshold)."""
     # every occurrence (NOT distinct-per-doc) so within-doc repetition
     # counts toward min_count, like a suffix array would see it
-    occurrences = (
-        docs.select(
-            F.col(id_col),
-            F.explode(F.expr(
-                f"transform(case when size(split({text_col}, ' ')) >= {n} "
-                f"then sequence(0, size(split({text_col}, ' ')) - {n}) "
-                f"else array() end, "
-                f"i -> struct("
-                f"xxhash64(array_join(slice(split({text_col}, ' '), "
-                f"i + 1, {n}), ' ')) as h1, "
-                f"xxhash64(array_join(slice(split({text_col}, ' '), "
-                f"i + 1, {n}), ' '), 's2') as h2))"
-            )).alias("_g"),
-        )
-        .select(id_col, "_g.h1", "_g.h2")
-    )
+    occurrences = _window_occurrences(docs, n, id_col, text_col,
+                                      with_pos=False)
     dup_keys = (
         occurrences.groupBy("h1", "h2")
         .agg(F.count("*").alias("_c"))
@@ -66,11 +80,11 @@ def duplicated_span_stats(docs: DataFrame, n: int = 13,
         .select("h1", "h2")
     )
     doc_distinct = (
-        docs.select(
+        docs.select(F.col(id_col),
+                    F.split(F.col(text_col), " ").alias("_toks"))
+        .select(
             F.col(id_col),
-            F.explode(F.expr(
-                _gram_struct(f"split({text_col}, ' ')", n)
-            )).alias("_g"),
+            F.explode(F.expr(_gram_struct("_toks", n))).alias("_g"),
         )
         .select(id_col, "_g.h1", "_g.h2")
     )
@@ -127,22 +141,8 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 13,
     sorted int array, and the text crosses exactly one Exchange at
     the rewrite join, where interval-merge + token filtering run
     in-row as JVM array expressions."""
-    occurrences = (
-        docs.select(
-            F.col(id_col),
-            F.posexplode(F.expr(
-                f"transform(case when size(split({text_col}, ' ')) >= {n} "
-                f"then sequence(0, size(split({text_col}, ' ')) - {n}) "
-                f"else array() end, "
-                f"i -> struct("
-                f"xxhash64(array_join(slice(split({text_col}, ' '), "
-                f"i + 1, {n}), ' ')) as h1, "
-                f"xxhash64(array_join(slice(split({text_col}, ' '), "
-                f"i + 1, {n}), ' '), 's2') as h2))"
-            )).alias("pos", "_g"),
-        )
-        .select(id_col, "pos", "_g.h1", "_g.h2")
-    )
+    occurrences = _window_occurrences(docs, n, id_col, text_col,
+                                      with_pos=True)
     dup_canon = (
         occurrences.groupBy("h1", "h2")
         .agg(F.count("*").alias("_c"),
