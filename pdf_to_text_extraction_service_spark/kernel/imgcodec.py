@@ -171,6 +171,7 @@ def _decode_png(data: bytes) -> np.ndarray:
     ihdr = None
     idat = bytearray()
     palette: bytes | None = None
+    trns: bytes | None = None
     while pos + 8 <= len(data):
         length, ctype = struct.unpack_from(">I4s", data, pos)
         pos += 8
@@ -182,6 +183,8 @@ def _decode_png(data: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             palette = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -240,8 +243,19 @@ def _decode_png(data: bytes) -> np.ndarray:
             img[y0::dy, x0::dx] = sub
     else:
         raise ValueError(f"png: bad interlace method {interlace}")
-    return _scale_to_8bit(img, bitdepth, palette if colortype == 3
-                          else None)
+    out = _scale_to_8bit(img, bitdepth, palette if colortype == 3
+                         else None)
+    if trns is not None and colortype == 3:
+        # palette transparency: expand to RGBA (entries past the tRNS
+        # table default to opaque, per spec)
+        alpha_tbl = np.full(len(palette) // 3, 255, dtype=np.uint8)
+        alpha_tbl[:len(trns)] = np.frombuffer(
+            trns[:len(alpha_tbl)], dtype=np.uint8)
+        a = alpha_tbl[img[:, :, 0]]
+        out = np.concatenate([out, a[:, :, None]], axis=2)
+    # tRNS on gray/RGB marks a single transparent sample value; the
+    # feature pipeline is alpha-agnostic, so it is ignored there
+    return out
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:

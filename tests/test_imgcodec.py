@@ -579,3 +579,30 @@ class TestSubsampledJPEG:
         img = ic.decode_jpeg(bytes(out))
         assert img.shape == (10, 12, 3)
         assert (img == 140).all()  # gray: Cb=Cr=0
+
+
+class TestPngTrns:
+    def test_palette_trns_expands_to_rgba(self):
+        pal = bytes(range(12))  # 4 colors
+        trns = bytes([0, 128])  # first two entries translucent
+        idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+        raw = _forward_filter(idx, [0], bpp=1)
+        data = _png((2, 2, 8, 3, 0, 0, 0),
+                    [(b"PLTE", pal), (b"tRNS", trns),
+                     (b"IDAT", zlib.compress(raw))])
+        out = ic.decode_png(data)
+        assert out.shape == (2, 2, 4)
+        assert out[0, 0, 3] == 0 and out[0, 1, 3] == 128
+        assert out[1, 0, 3] == 255 and out[1, 1, 3] == 255  # default
+        # RGB part unchanged
+        want = np.frombuffer(pal, np.uint8).reshape(4, 3)[idx]
+        assert (out[:, :, :3] == want).all()
+
+    def test_gray_trns_ignored_cleanly(self):
+        img = RNG.randint(0, 256, (4, 4), dtype=np.uint8)
+        raw = _forward_filter(img, [0], bpp=1)
+        data = _png((4, 4, 8, 0, 0, 0, 0),
+                    [(b"tRNS", struct.pack(">H", 7)),
+                     (b"IDAT", zlib.compress(raw))])
+        out = ic.decode_png(data)
+        assert (out[:, :, 0] == img).all()
