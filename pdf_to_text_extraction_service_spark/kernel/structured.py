@@ -494,7 +494,9 @@ def _yaml_roundtrip(raw: str) -> str | None:
     return "\n".join(out) + "\n"
 
 
-_PLAIN_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9 _./@-]*$")
+# apostrophes are plain-safe mid-scalar (the emitter keeps "it's"
+# plain, so the parser must accept it back — fixed-point property)
+_PLAIN_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9 _./@'-]*$")
 # Scalars yaml.v3 re-emits byte-identically: booleans, null, and
 # canonical base-10 ints (no leading +/0 — '0042' is 1.1-octal
 # territory and '+1' re-marshals as '1', both outside the subset).

@@ -665,3 +665,62 @@ class TestYamlScalarStyles:
         # extract_yaml trims the final newline like the other kernels
         assert r.text == ('body: |\n    line one\n    line two\n'
                           'count: "42"\nnote: \'x: y\'')
+
+
+class TestYamlCanonicalFixedPoint:
+    """Canonical output must be a FIXED POINT: re-canonicalizing the
+    emitted document reproduces it byte-for-byte (otherwise the
+    'canonical' form isn't), across every scalar style."""
+
+    def test_hypothesis_fixed_point(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pdf_to_text_extraction_service_spark.kernel.structured import (
+            _yaml_roundtrip,
+        )
+
+        plain = st.from_regex(r"[A-Za-z][A-Za-z0-9 _.-]{0,18}",
+                              fullmatch=True)
+        tricky = st.sampled_from(
+            ["123", "true", "yes", "0x1f", "x: y", " lead", "trail ",
+             "#h", "it's", "", "1.50", "a\nb", "a\nb\n", "v1.2-rc"])
+        value = st.one_of(plain, tricky)
+
+        def render(v: str) -> str:
+            # quote every value: quoted scalars are always in-grammar
+            return "'" + v.replace("'", "''").replace("\n", "\\n") + "'" \
+                if "\n" not in v else None
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.dictionaries(
+            st.from_regex(r"[a-z][a-z0-9]{0,6}", fullmatch=True),
+            value, min_size=1, max_size=5))
+        def run(d):
+            lines = []
+            for k, v in d.items():
+                if "\n" in v:
+                    if not v.endswith("\n"):
+                        body, hdr = v, "|-"
+                    elif v.endswith("\n\n"):
+                        return  # |+ territory: out of subset by design
+                    else:
+                        body, hdr = v[:-1], "|"
+                    if any(ln != ln.strip() or "\t" in ln
+                           for ln in body.split("\n")) \
+                            or body.startswith(" "):
+                        return
+                    lines.append(f"{k}: {hdr}")
+                    lines.extend("  " + ln if ln else ""
+                                 for ln in body.split("\n"))
+                else:
+                    esc = v.replace("'", "''")
+                    lines.append(f"{k}: '{esc}'")
+            doc = "\n".join(lines) + "\n"
+            once = _yaml_roundtrip(doc)
+            if once is None:
+                return  # out of subset: raw passthrough, fine
+            twice = _yaml_roundtrip(once)
+            assert twice == once, (doc, once, twice)
+
+        run()
