@@ -1160,6 +1160,29 @@ def _q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_image_dhash(media, max_hamming=3)
 
 
+def _q_dedup_video_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video dedup by frame-content signature (per-frame dHash + mean
+    luma folded into one key). Fixture: FAKEVID payloads whose seed
+    cycles mod 20 while dims cycle mod 3/8/4 — ids congruent mod 120
+    are byte-identical videos, giving deterministic duplicate groups.
+    The oracle recomputes every signature with the INDEPENDENT numpy
+    mirror (prefix-sum dHash) and groups in SQL."""
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        dedup_video_signature,
+        make_fake_video,
+    )
+
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+    ids = [r["doc_id"] for r in docs.collect()]
+    media = spark.createDataFrame(
+        [(i, make_fake_video(2 + i % 3, 8 + i % 8, 8 + i % 4,
+                             seed=i % 20)) for i in ids],
+        "media_id long, payload binary",
+    )
+    return dedup_video_signature(media)
+
+
 def _q_ocr_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processOCROnly post-processing (image.go:218-263) over sidecar
     OCR page markdown built from documents: page 1 is the doc text
@@ -1287,6 +1310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_csv_docs": _q_extract_csv,
     "extract_epub_docs": _q_extract_epub,
     "extract_odt_docs": _q_extract_odt,
+    "dedup_video_signature": _q_dedup_video_sig,
 }
 
 # DuckDB mirror of the language-ID stopword scores (same formula as
@@ -1461,6 +1485,46 @@ _SIMHASH_SQL = f"""
 # strictly left-to-right in both (Spark `aggregate`, DuckDB
 # list_reduce over a 0.0-prepended product list), so the sign bits —
 # and hence the bucket — agree bit-for-bit.
+
+
+_VIDEO_SIG_CACHE: str | None = None
+
+
+def _video_sig_mirror(i: int) -> int:
+    import numpy as np
+
+    frames, w, hgt, seed = 2 + i % 3, 8 + i % 8, 8 + i % 4, i % 20
+    M = 1 << 61
+    sig = 0
+    for f in range(frames):
+        body = ((np.arange(w * hgt, dtype=np.int64) * 31
+                 + (seed + f) * 7 + 13) % 256).astype(np.uint8)
+        dh = _dhash_mirror(body.reshape(hgt, w))
+        mean = int(body.sum()) // body.size
+        sig = (sig * 1099511628211 + (dh % M)) % M
+        sig = (sig * 1099511628211 + mean) % M
+    return sig
+
+
+def _video_sig_oracle_sql() -> str:
+    global _VIDEO_SIG_CACHE
+    if _VIDEO_SIG_CACHE is not None:
+        return _VIDEO_SIG_CACHE
+    vals = ", ".join(f"({i}, {_video_sig_mirror(i)})"
+                     for i in range(200))
+    _VIDEO_SIG_CACHE = f"""
+        WITH sv(media_id, sig) AS (VALUES {vals}),
+        m AS (
+            SELECT sv.media_id, sv.sig
+            FROM sv JOIN documents d ON d.doc_id = sv.media_id
+            WHERE d.doc_id < 200
+        )
+        SELECT CAST(sig AS BIGINT) AS sig,
+               CAST(MIN(media_id) AS BIGINT) AS keeper,
+               COUNT(*) AS dup_count
+        FROM m GROUP BY sig HAVING COUNT(*) >= 2
+    """
+    return _VIDEO_SIG_CACHE
 
 
 def _media_pixels_mirror(i: int):
@@ -2354,6 +2418,7 @@ def oracle_sql() -> dict[str, str]:
         # never the engine's decoders — embedded as VALUES lookups.
         "multimodal_resize_thumbs": _resize_oracle_sql(),
         "dedup_image_dhash": _dhash_oracle_sql(),
+        "dedup_video_signature": _video_sig_oracle_sql(),
         "ann_cosine_topk": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(

@@ -306,6 +306,97 @@ def dedup_image_dhash(df: DataFrame, max_hamming: int = 3,
                         F.col("rid").alias("b"), "hamming")
 
 
+VIDEO_SIG_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_frames", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("sig", LongType()),
+    StructField("error", StringType()),
+])
+
+
+def video_signatures(df: DataFrame, every_n: int = 1,
+                     id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Content signature per video: fold (dhash64, integer mean luma)
+    of every ``every_n``-th frame into one 63-bit polyhash. Two videos
+    share a signature iff their sampled frames agree on perceptual
+    structure (dHash) and brightness (mean) — the encoding-robust
+    exact-dup key a crawl video dedup groups on. FAKEVID container
+    only (real containers need codecs this environment lacks); other
+    payloads surface as error rows."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from ..kernel import imgcodec
+
+        M = 1 << 61
+        for batch in batches:
+            out = {k: [] for k in ("media_id", "n_frames", "width",
+                                   "height", "sig", "error")}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                try:
+                    if not payload.startswith(FAKE_VID_MAGIC):
+                        raise ValueError("unsupported video container")
+                    frames, w, h = struct.unpack(">III", payload[8:20])
+                    if w * h == 0 or frames == 0:
+                        raise ValueError("video: bad dimensions")
+                    sig = 0
+                    # each FAKEVID frame record = 8-byte WH prefix
+                    # (the fake-image header sans magic) + w*h pixels
+                    rec = 8 + w * h
+                    for fi in range(0, frames, every_n):
+                        off = 20 + fi * rec + 8
+                        body = np.frombuffer(
+                            payload[off:off + w * h], dtype=np.uint8)
+                        if body.size != w * h:
+                            raise ValueError("video: truncated frame")
+                        gray = body.reshape(h, w)
+                        dh = imgcodec.dhash64(gray)
+                        mean = int(body.sum()) // body.size
+                        sig = (sig * 1099511628211 + (dh % M)) % M
+                        sig = (sig * 1099511628211 + mean) % M
+                    out["n_frames"].append(frames)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sig"].append(sig)
+                    out["error"].append(None)
+                except Exception as exc:
+                    out["n_frames"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["sig"].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=VIDEO_SIG_SCHEMA)
+
+
+def dedup_video_signature(df: DataFrame, every_n: int = 1,
+                          id_col: str = "media_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """Exact video dedup on the content signature: one row per
+    duplicate GROUP — (sig, keeper=min id, dup_count). One scalar
+    groupBy with map-side partial aggregation; payloads never leave
+    the signature projection."""
+    from pyspark.sql import functions as F
+
+    sigs = video_signatures(df, every_n, id_col, payload_col) \
+        .filter(F.col("error").isNull())
+    return (
+        sigs.groupBy("sig")
+        .agg(F.min(id_col).alias("keeper"),
+             F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") >= 2)
+    )
+
+
 def sample_frames(df: DataFrame, every_n: int = 2,
                   id_col: str = "media_id",
                   payload_col: str = "payload") -> DataFrame:

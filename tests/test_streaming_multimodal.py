@@ -174,3 +174,27 @@ def test_dhash_bucket_cap_bounds_floods(spark):
     assert len(pairs) == 6              # C(4,2), not C(12,2)=66
     uncapped = dedup_image_dhash(df).collect()
     assert len(uncapped) == 66
+
+
+def test_video_signature_dedup(spark):
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        dedup_video_signature,
+        video_signatures,
+    )
+
+    rows = [
+        (1, make_fake_video(3, 8, 8, seed=5)),
+        (2, make_fake_video(3, 8, 8, seed=5)),   # identical content
+        (3, make_fake_video(3, 8, 8, seed=9)),   # different seed
+        (4, make_fake_video(2, 8, 8, seed=5)),   # fewer frames
+        (5, b"not a video"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    sigs = {r["media_id"]: r for r in video_signatures(df).collect()}
+    assert sigs[1]["sig"] == sigs[2]["sig"]
+    assert sigs[1]["sig"] != sigs[3]["sig"]
+    assert sigs[1]["sig"] != sigs[4]["sig"]
+    assert sigs[5]["error"] is not None and sigs[5]["sig"] is None
+    groups = dedup_video_signature(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper"] == 1 and groups[0]["dup_count"] == 2
