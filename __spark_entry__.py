@@ -1183,6 +1183,42 @@ def _q_dedup_video_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_video_signature(media)
 
 
+def _q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV/PCM decode over square-wave fixtures whose stats are
+    CLOSED FORM: amplitude A(i), half-period H(i) and frame count
+    F(i) give mean_abs = A, zero_cross = (F-1) // H, duration =
+    F*1000//rate — the oracle computes them arithmetically, never
+    touching the codec."""
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        audio_features,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import audiocodec
+
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+    ids = [r["doc_id"] for r in docs.collect()]
+
+    def payload(i: int) -> bytes:
+        frames = 400 + i % 50
+        half = 2 + i % 5
+        amp = 500 + i * 3
+        rate = 8000 + (i % 4) * 4000
+        t = np.arange(frames)
+        wave = np.where((t // half) % 2 == 0, amp, -amp).astype(
+            np.int16)
+        if i % 2:  # stereo: duplicated channel, mono mean identical
+            wave = np.stack([wave, wave], axis=1)
+        return audiocodec.encode_wav(wave, rate)
+
+    media = spark.createDataFrame(
+        [(i, payload(i)) for i in ids], "media_id long, payload binary")
+    return audio_features(media).select(
+        "media_id", "sample_rate", "channels", "duration_ms",
+        "mean_abs", "zero_cross")
+
+
 def _q_ocr_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processOCROnly post-processing (image.go:218-263) over sidecar
     OCR page markdown built from documents: page 1 is the doc text
@@ -1311,6 +1347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_epub_docs": _q_extract_epub,
     "extract_odt_docs": _q_extract_odt,
     "dedup_video_signature": _q_dedup_video_sig,
+    "audio_wav_features": _q_audio_wav_features,
 }
 
 # DuckDB mirror of the language-ID stopword scores (same formula as
@@ -2419,6 +2456,23 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize_thumbs": _resize_oracle_sql(),
         "dedup_image_dhash": _dhash_oracle_sql(),
         "dedup_video_signature": _video_sig_oracle_sql(),
+        # WAV stats oracle: pure arithmetic from the square-wave
+        # parameters — duration F*1000//rate, mean |.|=A, crossings
+        # (F-1)//H — never touches the codec.
+        "audio_wav_features": """
+            SELECT doc_id AS media_id,
+                   CAST(8000 + (doc_id % 4) * 4000 AS INTEGER)
+                       AS sample_rate,
+                   CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END
+                        AS INTEGER) AS channels,
+                   CAST((400 + doc_id % 50) * 1000
+                        // (8000 + (doc_id % 4) * 4000) AS BIGINT)
+                       AS duration_ms,
+                   CAST(500 + doc_id * 3 AS BIGINT) AS mean_abs,
+                   CAST((400 + doc_id % 50 - 1) // (2 + doc_id % 5)
+                        AS BIGINT) AS zero_cross
+            FROM documents WHERE doc_id < 200
+        """,
         "ann_cosine_topk": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(

@@ -397,6 +397,56 @@ def dedup_video_signature(df: DataFrame, every_n: int = 1,
     )
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("duration_ms", LongType()),
+    StructField("mean_abs", LongType()),
+    StructField("zero_cross", LongType()),
+    StructField("error", StringType()),
+])
+
+
+def audio_features(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Real WAV/PCM decode (kernel/audiocodec.py, from-spec) →
+    curation signals: duration, mean absolute amplitude, zero
+    crossings. The audio analog of image_features; unsupported or
+    malformed payloads surface as error rows."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import audiocodec
+
+        for batch in batches:
+            out = {k: [] for k in ("media_id", "sample_rate",
+                                   "channels", "duration_ms",
+                                   "mean_abs", "zero_cross", "error")}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                try:
+                    rate, ch, samples = audiocodec.decode_wav(payload)
+                    st = audiocodec.audio_stats(samples, rate, ch)
+                    out["sample_rate"].append(rate)
+                    out["channels"].append(ch)
+                    out["duration_ms"].append(st["duration_ms"])
+                    out["mean_abs"].append(st["mean_abs"])
+                    out["zero_cross"].append(st["zero_cross"])
+                    out["error"].append(None)
+                except Exception as exc:
+                    for k in ("sample_rate", "channels", "duration_ms",
+                              "mean_abs", "zero_cross"):
+                        out[k].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 2,
                   id_col: str = "media_id",
                   payload_col: str = "payload") -> DataFrame:

@@ -198,3 +198,67 @@ def test_video_signature_dedup(spark):
     groups = dedup_video_signature(df).collect()
     assert len(groups) == 1
     assert groups[0]["keeper"] == 1 and groups[0]["dup_count"] == 2
+
+
+def test_audio_wav_features(spark):
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        audio_features,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import audiocodec
+
+    t = np.arange(1000)
+    square = np.where((t // 10) % 2 == 0, 2000, -2000).astype(np.int16)
+    stereo = np.stack([square, square], axis=1)
+    rows = [
+        (1, audiocodec.encode_wav(square, 8000)),
+        (2, audiocodec.encode_wav(stereo, 16000)),
+        (3, audiocodec.encode_wav(np.zeros(100, np.int16), 8000)),
+        (4, b"RIFFxxxxNOPE"),        # bad container
+        (5, b"not audio at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert got[1]["duration_ms"] == 125      # 1000/8000 s
+    assert got[1]["mean_abs"] == 2000
+    assert got[1]["zero_cross"] == 99        # (1000-1)//10
+    assert got[2]["channels"] == 2 and got[2]["duration_ms"] == 62
+    assert got[3]["mean_abs"] == 0 and got[3]["zero_cross"] == 0
+    assert got[4]["error"] is not None and got[5]["error"] is not None
+
+
+def test_wav_roundtrip_and_guards(spark):
+    import numpy as np
+    import pytest
+
+    from pdf_to_text_extraction_service_spark.kernel import audiocodec
+
+    rng = np.random.RandomState(2)
+    wave = rng.randint(-30000, 30000, (257, 2)).astype(np.int16)
+    rate, ch, out = audiocodec.decode_wav(
+        audiocodec.encode_wav(wave, 22050))
+    assert (rate, ch) == (22050, 2) and (out == wave).all()
+    # 8-bit widening
+    import struct as st
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    raw = bytes([0, 128, 255])
+    body = (b"WAVEfmt " + st.pack("<I", 16) + fmt
+            + b"data" + st.pack("<I", 3) + raw)
+    blob = b"RIFF" + st.pack("<I", len(body)) + body
+    _, _, s8 = audiocodec.decode_wav(blob)
+    assert s8[:, 0].tolist() == [-32768, 0, 32512]
+    with pytest.raises(ValueError):
+        audiocodec.decode_wav(b"RIFF\x00\x00\x00\x00WAVE")
+    # mutation fuzz: ValueError or success, never anything else
+    base = audiocodec.encode_wav(wave, 22050)
+    import random
+    rnd = random.Random(5)
+    for _ in range(150):
+        b2 = bytearray(base)
+        for _ in range(rnd.randint(1, 6)):
+            b2[rnd.randrange(len(b2))] = rnd.randrange(256)
+        try:
+            audiocodec.decode_wav(bytes(b2))
+        except ValueError:
+            pass
