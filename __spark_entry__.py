@@ -420,10 +420,14 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered-domain rollup over synthesized crawl URLs: the TLD
-    cycles com/org/co.uk by doc_id (co.uk exercises the multi-part
-    public-suffix path) and the subdomain cycles www/cdn, so each
-    source maps to one registered domain with two hosts."""
+    """Registered-domain rollup over synthesized crawl URLs.  The
+    suffix cycles by doc_id through com / org / co.uk / co.nz /
+    com.sg / k12.ca.us / foo.ck — exercising the PSL snapshot's
+    2-label rules, 3-label rules, and wildcard-TLD path — and the
+    subdomain cycles www/cdn, so each (source, suffix) maps to one
+    registered domain with two hosts.  Every doc_id % 11 == 0 URL is
+    emitted SCHEME-LESS (no extractable host) and must be dropped by
+    the operator, mirrored by the oracle's WHERE clause."""
     from pdf_to_text_extraction_service_spark.operators.domains import (
         domain_stats,
     )
@@ -431,17 +435,24 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir) \
         .select("doc_id", "lang", "source", "n_chars") \
         .filter(F.col("doc_id") < 500)
+    suffix = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("org"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("co.uk"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("co.nz"))
+        .when(F.col("doc_id") % 7 == 4, F.lit("com.sg"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("k12.ca.us"))
+        .otherwise(F.lit("foo.ck"))
+    )
+    hostpath = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www"))
+        .otherwise(F.lit("cdn")),
+        F.lit("."), F.col("source"), F.lit("."), suffix,
+        F.lit("/page/"), F.col("doc_id").cast("string"),
+    )
     built = docs.select(
-        F.concat(
-            F.lit("https://"),
-            F.when(F.col("doc_id") % 2 == 0, F.lit("www"))
-            .otherwise(F.lit("cdn")),
-            F.lit("."), F.col("source"), F.lit("."),
-            F.when(F.col("doc_id") % 3 == 0, F.lit("com"))
-            .when(F.col("doc_id") % 3 == 1, F.lit("org"))
-            .otherwise(F.lit("co.uk")),
-            F.lit("/page/"), F.col("doc_id").cast("string"),
-        ).alias("url"),
+        F.when(F.col("doc_id") % 11 == 0, hostpath)  # scheme-less
+        .otherwise(F.concat(F.lit("https://"), hostpath)).alias("url"),
         "lang", "n_chars",
     )
     return domain_stats(built)
@@ -2103,13 +2114,20 @@ _KERNEL_PROBE_ORACLES = {
         WITH d AS (
             SELECT doc_id, lang, n_chars,
                    source || '.' ||
-                   CASE doc_id % 3 WHEN 0 THEN 'com'
-                        WHEN 1 THEN 'org' ELSE 'co.uk' END AS domain,
+                   CASE doc_id % 7 WHEN 0 THEN 'com'
+                        WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+                        WHEN 3 THEN 'co.nz' WHEN 4 THEN 'com.sg'
+                        WHEN 5 THEN 'k12.ca.us'
+                        ELSE 'foo.ck' END AS domain,
                    (CASE WHEN doc_id % 2 = 0 THEN 'www' ELSE 'cdn' END)
                    || '.' || source || '.' ||
-                   CASE doc_id % 3 WHEN 0 THEN 'com'
-                        WHEN 1 THEN 'org' ELSE 'co.uk' END AS host
-            FROM documents WHERE doc_id < 500
+                   CASE doc_id % 7 WHEN 0 THEN 'com'
+                        WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+                        WHEN 3 THEN 'co.nz' WHEN 4 THEN 'com.sg'
+                        WHEN 5 THEN 'k12.ca.us'
+                        ELSE 'foo.ck' END AS host
+            FROM documents
+            WHERE doc_id < 500 AND doc_id % 11 != 0
         ),
         pl AS (
             SELECT domain, lang, COUNT(*) AS cnt,

@@ -104,16 +104,11 @@ def audio_stats(samples: np.ndarray, rate: int,
     duration_ms = frames * 1000 // rate
     mean_abs = int(np.abs(mono).sum()) // frames
     sign = np.sign(mono)
-    # zeros inherit the previous nonzero sign
-    prev = 0
-    zc = 0
-    for v in sign:
-        v = int(v)
-        if v == 0:
-            continue
-        if prev != 0 and v != prev:
-            zc += 1
-        prev = v
+    # zeros inherit the previous nonzero sign: drop them, then count
+    # adjacent sign flips — vectorized (a per-sample Python loop at
+    # MAX_SAMPLES=67M stalls an executor task for minutes)
+    nz = sign[sign != 0]
+    zc = int((nz[1:] != nz[:-1]).sum()) if nz.size else 0
     return {"duration_ms": int(duration_ms), "mean_abs": mean_abs,
             "zero_cross": zc, "frames": frames,
             "sample_rate": rate, "channels": channels}

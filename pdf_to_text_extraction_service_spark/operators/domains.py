@@ -3,10 +3,14 @@
 Web-scale pipelines score and filter at the REGISTERED-DOMAIN level
 (spam/SEO domains get blocklisted wholesale; quality priors are
 per-domain): this operator extracts each URL's host, reduces it to
-its registered domain (eTLD+1 with a public-suffix subset — the
-multi-part suffixes a crawl actually hits; anything unknown falls
-back to the last two labels, documented divergence from a full PSL),
-and aggregates per-domain statistics.
+its registered domain (eTLD+1 against the inlined PSL ICANN-section
+snapshot in operators/psl_snapshot.py — 2-label and 3-label suffix
+rules, wildcard TLDs, exception rules; anything unknown falls back
+to the last two labels, the standard PSL-consumer fallback), and
+aggregates per-domain statistics.  URLs with no extractable host
+(scheme-less strings, relative links) are DROPPED before
+aggregation — otherwise they all collapse into one bogus
+empty-string domain that silently skews the rollup.
 
 Scale shape: host/domain extraction is a pure JVM projection
 (regexp + array ops inside whole-stage codegen); the rollup is two
@@ -20,29 +24,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# multi-part public suffixes handled by the subset (lowercase)
-MULTI_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
-    "org.au", "co.jp", "ne.jp", "or.jp", "com.br", "com.cn",
-    "com.mx", "co.in", "co.kr", "com.tr", "com.ar",
+from pdf_to_text_extraction_service_spark.operators.psl_snapshot import (
+    PSL_EXCEPTIONS,
+    PSL_THREE_LABEL,
+    PSL_TWO_LABEL,
+    PSL_WILDCARD_TLDS,
 )
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
 
 
 def registered_domain_col(url_col: str):
-    """Registered domain (eTLD+1 subset) of a URL column, as a JVM
-    expression column."""
+    """Registered domain (eTLD+1 per the PSL snapshot) of a URL
+    column, as a JVM expression column.  The suffix tables compile to
+    ``InSet`` membership tests inside whole-stage codegen (hash-set
+    lookups, no broadcast join, no Python).  Rule precedence follows
+    the PSL algorithm: exception > longest matching rule > wildcard >
+    last-two-labels fallback."""
     host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
     parts = F.split(host, r"\.")
     n = F.size(parts)
+    last1 = F.element_at(parts, -1)
     last2 = F.concat_ws(".", F.slice(parts, n - 1, 2))
     last3 = F.concat_ws(".", F.slice(parts, n - 2, 3))
-    suffix_hit = last2.isin(*MULTI_SUFFIXES)
+    last4 = F.concat_ws(".", F.slice(parts, n - 3, 4))
     return (
-        F.when(n <= 2, host)
-        .when(suffix_hit & (n >= 3), last3)
-        .otherwise(last2)
+        F.when(n <= 1, host)
+        .when(last2.isin(*PSL_EXCEPTIONS), last2)
+        .when((n >= 4) & last3.isin(*PSL_THREE_LABEL), last4)
+        .when((n >= 3) & last2.isin(*PSL_TWO_LABEL), last3)
+        .when((n >= 3) & last1.isin(*PSL_WILDCARD_TLDS), last3)
+        .otherwise(F.when(n <= 2, host).otherwise(last2))
     )
 
 
@@ -61,7 +73,7 @@ def domain_stats(docs: DataFrame, url_col: str = "url",
         host.alias("host"),
         F.col(lang_col).alias("lang"),
         F.col(chars_col).alias("chars"),
-    )
+    ).filter(F.col("host") != "")  # drop hostless URLs (see module doc)
     per_lang = (
         base.groupBy("domain", "lang")
         .agg(F.count("*").alias("cnt"),

@@ -10,8 +10,15 @@ Scale shape (the part that matters at 100 TB):
 1. ``posexplode(split(text))`` runs inside the document's partition —
    no shuffle, and the paragraph TEXT never leaves it: only
    ``(doc_id, pos, xxhash64(para))`` scalars continue.
-2. The keeper decision is a window over ``partitionBy(hash)`` ordered
-   by ``(doc_id, pos)`` — one shuffle of three scalar columns.
+2. The keeper decision is ``groupBy(hash).agg(min(struct(doc_id,
+   pos)))`` — a partial (map-side combinable) aggregation, so a
+   boilerplate paragraph repeated 10^8 times contributes ONE row per
+   map partition to the shuffle instead of 10^8 rows on a single
+   reducer key.  (A ``row_number() over partitionBy(hash)`` window
+   CANNOT partially aggregate: every occurrence of a hot hash lands
+   on one task — the exact skew magnet this operator's motivating
+   workload produces.  Same argument as docs/PLANS.md makes for the
+   url dedup.)
 3. Kept positions roll up per doc (``sort_array(collect_list)``) —
    second scalar shuffle — and join back to the ORIGINAL docs table,
    where reassembly happens in-row with JVM array expressions
@@ -27,7 +34,7 @@ surface as a gate failure rather than hide.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PARA_SEP = "\n\n"
@@ -49,11 +56,20 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
         .alias("pos", "para"),
     ).select(id_col, "pos", F.xxhash64("para").alias("h"))
 
-    win = Window.partitionBy("h").orderBy(id_col, "pos")
+    # First corpus-wide occurrence = min (doc_id, pos) per hash.
+    # struct-min is map-side combinable (partial_min below the
+    # Exchange), so hot paragraph hashes never concentrate on one
+    # reducer — semantics identical to rank-1 of a (doc_id, pos)
+    # ordered window, without the window's skew.
+    first = (
+        paras.groupBy("h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos")))
+             .alias("w"))
+        .select(F.col("w")[id_col].alias(id_col),
+                F.col("w")["pos"].alias("pos"))
+    )
     keepers = (
-        paras.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .groupBy(id_col)
+        first.groupBy(id_col)
         .agg(F.sort_array(F.collect_list("pos")).alias("keep_pos"))
     )
 

@@ -438,6 +438,40 @@ def test_paragraph_dedup_deterministic_across_parallelism(spark):
     assert all(rows[i]["n_kept"] == 1 for i in range(3, 60))
 
 
+def test_paragraph_dedup_hotkey_skew_partial_agg(spark):
+    """One paragraph repeated 10^5 times must NOT concentrate on a
+    single reducer: the keeper decision is a groupBy min(struct),
+    which partial-aggregates map-side (asserted on the physical
+    plan), unlike a row_number window on the paragraph hash."""
+    from pdf_to_text_extraction_service_spark.operators.paradedup import (
+        paragraph_dedup,
+    )
+
+    n = 100_000
+    docs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("unique "), F.col("id").cast("string"),
+                     F.lit("\n\nHOT BOILERPLATE")).alias("text"),
+        )
+        .repartition(16)
+    )
+    out = paragraph_dedup(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # keeper decision must be a partial-aggregable HashAggregate,
+    # not a window over the paragraph hash
+    assert "partial_min" in plan
+    assert "row_number" not in plan
+    rows = out.agg(
+        F.sum("n_kept").alias("kept"),
+        F.sum(F.when(F.col("text_out").contains("HOT"), 1)
+              .otherwise(0)).alias("hot_survivors"),
+    ).collect()[0]
+    assert rows["kept"] == n + 1  # every unique para + one HOT
+    assert rows["hot_survivors"] == 1
+
+
 def test_duplicated_span_stats(spark):
     from pdf_to_text_extraction_service_spark.operators.dupspans import (
         duplicated_span_stats,
@@ -529,6 +563,43 @@ def test_domain_stats_etld_and_majority(spark):
     ex = out["example.com"]
     assert ex["n_docs"] == 2 and ex["n_hosts"] == 2
     assert ex["top_lang"] == "de"
+
+
+def test_registered_domain_psl_snapshot_rules(spark):
+    """PSL snapshot: 2-label / 3-label rules, wildcard TLDs,
+    exception rules, and the hostless-URL drop."""
+    from pdf_to_text_extraction_service_spark.operators.domains import (
+        domain_stats,
+        registered_domain_col,
+    )
+
+    cases = {
+        "https://shop.trademe.co.nz/a": "trademe.co.nz",
+        "https://www.straitstimes.com.sg/b": "straitstimes.com.sg",
+        "https://portal.smmusd.k12.ca.us/c": "smmusd.k12.ca.us",
+        "https://web.mit.edu/d": "mit.edu",          # unknown 2-label TLD
+        "https://x.y.gov.za/e": "y.gov.za",
+        # wildcard *.ck: any 2nd-level label is a suffix
+        "https://www.cockatoo.bird.ck/f": "cockatoo.bird.ck",
+        # exception !www.ck: registrable at 2 labels
+        "https://pages.www.ck/g": "www.ck",
+        "https://WWW.BBC.CO.UK/h": "bbc.co.uk",      # case folding
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["d"] for r in df.select(
+        "url", registered_domain_col("url").alias("d")).collect()}
+    for url, want in cases.items():
+        assert got[url] == want, (url, got[url], want)
+
+    # hostless inputs never reach the rollup
+    rows = [("https://a.example.com/x", "en", 10),
+            ("a.example.com/no-scheme", "en", 99),
+            ("/relative/link", "fr", 99)]
+    df2 = spark.createDataFrame(
+        rows, "url string, lang string, n_chars long")
+    out = domain_stats(df2).collect()
+    assert len(out) == 1 and out[0]["domain"] == "example.com"
+    assert out[0]["n_docs"] == 1
 
 
 def test_domain_stats_tie_breaks_to_largest_lang(spark):
