@@ -1055,6 +1055,46 @@ def _q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_page_stats(extract(df))
 
 
+def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-driven OCR decision over PDFs with REAL embedded JPEG
+    XObjects (kernel/imgcodec.py decodes them; kernel/pdfk prunes
+    blank image-only pages from the OCR queue).  Each doc has one
+    text page plus one image-only page whose flat gray JPEG cycles
+    white-255 (blank -> pruned) / dark-64 baseline / dark-32
+    PROGRESSIVE by doc_id%3; dims cycle by doc_id too.  Flat images
+    under an all-ones quant table decode bit-exactly (DC-only
+    blocks), so every stat is closed-form doc_id arithmetic for the
+    DuckDB oracle."""
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.kernel import imgcodec
+    from pdf_to_text_extraction_service_spark.operators.pagestats import (
+        pdf_image_ocr_stats,
+    )
+    from pdf_to_text_extraction_service_spark.sources import pdfgen
+
+    ids = [r["doc_id"] for r in load_documents(spark, sf_dir)
+           .select("doc_id").filter(F.col("doc_id") < 100).collect()]
+    good = ["The quick brown fox jumps over the lazy dog near the river.",
+            "Morning light settles across the quiet valley while birds sing."]
+    ones = np.ones(64, dtype=np.int64)
+    rows = []
+    for i in ids:
+        v = 255 if i % 3 == 0 else (64 if i % 3 == 1 else 32)
+        w = 8 * (1 + i % 3)
+        h = 8 * (1 + i % 2)
+        enc = imgcodec.encode_jpeg_progressive if i % 3 == 2 \
+            else imgcodec.encode_jpeg
+        jpeg = enc(np.full((h, w), v, np.uint8), quant=ones)
+        payload = pdfgen.build_pdf_jpeg_pages([
+            (pdfgen.single_column_page(good), []),
+            ([], [jpeg]),
+        ])
+        rows.append((f"https://corpus.example/pdfimg/{i}.pdf", payload))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    return pdf_image_ocr_stats(df)
+
+
 def _multimodal_payload(i: int) -> bytes:
     """Deterministic payload for media id i, cycling through the three
     supported kinds: i%3==0 FAKEIMG container, i%3==1 a REAL grayscale
@@ -1317,6 +1357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_epub_docs": _q_extract_epub,          # unchecked r4
     "extract_odt_docs": _q_extract_odt,            # unchecked r4
     "pdf_page_stats": _q_pdf_page_stats,
+    "pdf_image_ocr": _q_pdf_image_ocr,             # NEW r5
     "preview_truncation": _q_preview_truncation,
     "ocr_clean_docs": _q_ocr_clean_docs,
     "audio_transcripts": _q_audio_transcripts,
@@ -1348,8 +1389,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores_docs": _q_quality_scores,
     "streaming_extract_docs": _q_streaming_extract,
     "streaming_bitemporal_dedup": _q_streaming_bitemporal,
-    "extract_yaml_docs": _q_extract_yaml,
     # --- TAIL: r4 hash-green, stable, pytest-parity-covered ---
+    "extract_yaml_docs": _q_extract_yaml,
     "extract_doc_docs": _q_extract_doc,
     "extract_xls_docs": _q_extract_xls,
     "extract_ppt_docs": _q_extract_ppt,
@@ -2611,6 +2652,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(22 * (1 + doc_id % 3)
                         + CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END
                         AS INTEGER) AS sum_page_words
+            FROM documents WHERE doc_id < 100
+        """,
+        # Flat JPEGs under an all-ones quant table decode bit-exactly
+        # (DC-only blocks), so every image stat is doc_id arithmetic:
+        # v cycles 255 (blank, pruned) / 64 / 32, dims cycle
+        # 8*(1+id%3) x 8*(1+id%2).  Page 1 is always text-layer.
+        "pdf_image_ocr": """
+            SELECT 'https://corpus.example/pdfimg/' ||
+                       CAST(doc_id AS VARCHAR) || '.pdf' AS url,
+                   CAST(2 AS INTEGER) AS total_pages,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END
+                        AS INTEGER) AS needs_ocr_pages,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS blank_pages,
+                   CAST(1 AS INTEGER) AS n_images,
+                   CAST(64 * (1 + doc_id % 3) * (1 + doc_id % 2)
+                        AS BIGINT) AS img_pixels,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                        ELSE 64 * (1 + doc_id % 3) * (1 + doc_id % 2)
+                        END AS BIGINT) AS ink_samples,
+                   CAST((CASE doc_id % 3 WHEN 0 THEN 255
+                         WHEN 1 THEN 64 ELSE 32 END)
+                        * 64 * (1 + doc_id % 3) * (1 + doc_id % 2)
+                        AS BIGINT) AS sum_luma
             FROM documents WHERE doc_id < 100
         """,
         "canonical_urls": _CANONICAL_URLS_SQL,

@@ -48,6 +48,18 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # crawl image; callers surface the ValueError as an error row.
 MAX_PIXELS = 1 << 26
 
+# JPEG coefficient-buffer budget in CELLS (64 per 8x8 block), summed
+# over ALL components including MCU padding.  MAX_PIXELS alone is not
+# enough for JPEG: a 64 MP 3-component 4:4:4 frame passes the pixel
+# cap yet needs pixel-count coefficient cells PER COMPONENT — with
+# int64 cells plus float64 IDCT copies that peaked at several GB,
+# enough for the OS to OOM-kill the executor (bypassing the
+# MemoryError -> error-row mapping) under concurrent tasks.  The cap
+# scales with component count and subsampling, cells are int32, and
+# the IDCT runs in bounded chunks, so peak decode memory is
+# ~(4 bytes x cap) + O(chunk) regardless of payload claims.
+MAX_COEF_CELLS = 1 << 26
+
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # Adam7 pass layout: (x_start, y_start, x_step, y_step)
@@ -571,9 +583,16 @@ class _JpegState:
         self.mcuy = (fh + 8 * self.vmax - 1) // (8 * self.vmax)
         self.coefs: dict[int, np.ndarray] = {}
         self.grid: dict[int, tuple[int, int, int, int, int]] = {}
+        total_cells = 0
         for (cid, hs, vs, tq) in comps:
             if hs == 0 or vs == 0:
                 raise ValueError("jpeg: bad sampling factors")
+            bw_full = self.mcux * hs
+            bh_full = self.mcuy * vs
+            total_cells += bh_full * bw_full * 64
+        if total_cells > MAX_COEF_CELLS:
+            raise ValueError("jpeg: dimensions exceed decode budget")
+        for (cid, hs, vs, tq) in comps:
             bw_full = self.mcux * hs
             bh_full = self.mcuy * vs
             # non-interleaved scans cover only the component's own
@@ -582,8 +601,11 @@ class _JpegState:
             ch = (fh * vs + self.vmax - 1) // self.vmax
             self.grid[cid] = (bw_full, bh_full,
                               (cw + 7) // 8, (ch + 7) // 8, tq)
+            # int32: decoded coefficients fit (12-bit magnitudes
+            # shifted by Al <= 15, clamped at assignment for
+            # adversarial streams); halves the dominant buffer
             self.coefs[cid] = np.zeros((bh_full * bw_full, 64),
-                                       dtype=np.int64)
+                                       dtype=np.int32)
 
     def assemble(self, quant: dict[int, np.ndarray]) -> np.ndarray:
         planes = []
@@ -591,15 +613,28 @@ class _JpegState:
             if tq not in quant:
                 raise ValueError("jpeg: missing quant table")
             bw_full, bh_full, _, _, _ = self.grid[cid]
-            zz = self.coefs[cid] * quant[tq]  # dequant in zigzag order
-            nat = np.zeros_like(zz)
-            nat[:, _ZIGZAG] = zz
-            blocks = nat.reshape(-1, 8, 8).astype(np.float64)
-            # IDCT over all blocks at once: out = M.T @ B @ M
-            sp = np.einsum("ux,nuv,vy->nxy", _DCT_M, blocks, _DCT_M)
-            plane = sp.reshape(bh_full, bw_full, 8, 8) \
-                .transpose(0, 2, 1, 3) \
-                .reshape(bh_full * 8, bw_full * 8)
+            coefs = self.coefs[cid]
+            q = quant[tq]
+            plane = np.empty((bh_full * 8, bw_full * 8),
+                             dtype=np.float64)
+            # IDCT in block-row chunks (~2M cells of temporaries per
+            # chunk) — per-block independent, so chunking is
+            # bit-exact vs the all-at-once einsum
+            step = max(1, (1 << 21) // max(1, bw_full * 64))
+            for r0 in range(0, bh_full, step):
+                r1 = min(bh_full, r0 + step)
+                zz = coefs[r0 * bw_full:r1 * bw_full] \
+                    .astype(np.int64) * q  # dequant in zigzag order
+                nat = np.zeros_like(zz)
+                nat[:, _ZIGZAG] = zz
+                blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+                # IDCT: out = M.T @ B @ M
+                sp = np.einsum("ux,nuv,vy->nxy",
+                               _DCT_M, blocks, _DCT_M)
+                plane[r0 * 8:r1 * 8] = (
+                    sp.reshape(r1 - r0, bw_full, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape((r1 - r0) * 8, bw_full * 8))
             if hs < self.hmax or vs < self.vmax:
                 plane = np.repeat(
                     np.repeat(plane, self.vmax // vs, axis=0),
@@ -609,13 +644,21 @@ class _JpegState:
             y = np.clip(np.round(planes[0] + 128), 0, 255)
             return y.astype(np.uint8)
         if len(planes) == 3:
-            y = planes[0] + 128
-            cb, cr = planes[1], planes[2]
-            r = y + 1.402 * cr
-            g = y - 0.344136 * cb - 0.714136 * cr
-            b = y + 1.772 * cb
-            rgb = np.stack([r, g, b], axis=2)
-            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            # row-chunked colorspace conversion into a preallocated
+            # uint8 output (element-wise, so chunking is bit-exact)
+            out = np.empty((self.fh, self.fw, 3), dtype=np.uint8)
+            step = max(1, (1 << 22) // max(1, self.fw))
+            for r0 in range(0, self.fh, step):
+                y = planes[0][r0:r0 + step] + 128
+                cb = planes[1][r0:r0 + step]
+                cr = planes[2][r0:r0 + step]
+                r = y + 1.402 * cr
+                g = y - 0.344136 * cb - 0.714136 * cr
+                b = y + 1.772 * cb
+                rgb = np.stack([r, g, b], axis=2)
+                out[r0:r0 + step] = np.clip(
+                    np.round(rgb), 0, 255).astype(np.uint8)
+            return out
         raise ValueError(
             f"jpeg: unsupported component count {len(planes)}")
 
@@ -691,6 +734,20 @@ def _decode_scan(reader, st: _JpegState, scomps, ss, se, ah, al,
         raise ValueError("jpeg: unexpected restart marker")
 
 
+_I32_MIN, _I32_MAX = -1 << 31, (1 << 31) - 1
+
+
+def _c32(v: int) -> int:
+    """Clamp a Python int into int32 before assigning into the
+    coefficient buffer.  Only reachable on adversarial streams
+    (conforming JPEG DC/AC magnitudes fit 12 bits shifted by
+    Al <= 15); without the clamp numpy raises OverflowError on
+    out-of-range scalar assignment, escaping the ValueError
+    contract."""
+    return _I32_MIN if v < _I32_MIN else (
+        _I32_MAX if v > _I32_MAX else v)
+
+
 def _decode_block(reader, coef, cs, pred, eobrun, ss, se, ah, al,
                   dc_table, ac_table) -> None:
     """One 8x8 block's contribution for the current scan (T.81 F.2.2
@@ -703,7 +760,7 @@ def _decode_block(reader, coef, cs, pred, eobrun, ss, se, ah, al,
                 raise ValueError("jpeg: bad DC category")
             diff = _extend(reader.read_bits(t), t)
             pred[cs] += diff
-            coef[0] = pred[cs] << al
+            coef[0] = _c32(pred[cs] << al)
         else:  # DC refinement: one bit
             if reader.read_bit():
                 coef[0] |= 1 << al
@@ -731,7 +788,7 @@ def _decode_block(reader, coef, cs, pred, eobrun, ss, se, ah, al,
             k += r
             if k > se:
                 raise ValueError("jpeg: AC index overflow")
-            coef[k] = _extend(reader.read_bits(sz), sz) << al
+            coef[k] = _c32(_extend(reader.read_bits(sz), sz) << al)
             k += 1
         return
 

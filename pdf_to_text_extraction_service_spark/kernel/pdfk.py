@@ -563,6 +563,89 @@ class PDFDoc:
         return text
 
 
+    def page_images(self, page_num: int) -> list["ImageStats"]:
+        """Per-page embedded-image statistics: image XObjects from the
+        page's /Resources (DCTDecode via the from-spec JPEG decoder,
+        filter-chained raw gray/RGB samples otherwise) plus BI/ID/EI
+        inline images from the content stream.  Undecodable images
+        (JPX/CCITT, corrupt payloads) yield a size-only entry with
+        ``decoded=False`` — never an exception."""
+        if page_num < 1 or page_num > len(self.kids):
+            raise PDFError(f"page {page_num} out of range")
+        page_body = self.objs.get(self.kids[page_num - 1])
+        if page_body is None:
+            return []
+        out: list[ImageStats] = []
+        # --- XObjects via /Resources
+        res = page_body
+        rm = _RES_REF_RE.search(page_body)
+        if rm:
+            res = self.objs.get(int(rm.group(1)), b"")
+        xm = _XOBJ_DICT_RE.search(res)
+        if xm is None:
+            xr = _XOBJ_REF_RE.search(res)
+            xm = _XOBJ_DICT_RE.search(
+                b"/XObject <<" + self.objs.get(
+                    int(xr.group(1)), b"") + b">>") if xr else None
+        if xm is not None:
+            for ref in _FONT_REF_RE.finditer(xm.group(1)):
+                body = self.objs.get(int(ref.group(2)))
+                if body is None:
+                    continue
+                marker = body.find(b"stream")
+                head = body[:marker] if marker >= 0 else body
+                if not re.search(rb"/Subtype\s*/Image", head):
+                    continue
+                raw = _raw_stream_bytes(body, self.objs)
+                w = _img_int(head, b"Width", b"W") or 0
+                h = _img_int(head, b"Height", b"H") or 0
+                try:
+                    if raw is None:
+                        raise PDFError("image: missing stream")
+                    out.append(_decode_image_payload(
+                        "xobject", head, raw, _img_filters(head)))
+                except (PDFError, ValueError, OverflowError,
+                        MemoryError):
+                    out.append(ImageStats("xobject", w, h))
+        # --- inline images from the content stream
+        contents_ref = None
+        for ref in _REF_RE.finditer(page_body):
+            if ref.group(1) == b"Contents":
+                contents_ref = int(ref.group(2))
+                break
+        if contents_ref is not None:
+            content_body = self.objs.get(contents_ref)
+            if content_body is not None:
+                try:
+                    stream = _stream_bytes(content_body, self.objs)
+                except (PDFError, ValueError):
+                    stream = None
+                if stream:
+                    for head, data in _iter_inline_images(stream):
+                        w = _img_int(head, b"Width", b"W") or 0
+                        h = _img_int(head, b"Height", b"H") or 0
+                        try:
+                            out.append(_decode_image_payload(
+                                "inline", head, data,
+                                _img_filters(head)))
+                        except (PDFError, ValueError, OverflowError,
+                                MemoryError):
+                            out.append(ImageStats("inline", w, h))
+        return out
+
+    def page_image_stats(self, page_num: int) -> dict:
+        """Aggregate of :meth:`page_images` — integer-only so fixture
+        oracles stay closed-form."""
+        imgs = self.page_images(page_num)
+        return {
+            "n_images": len(imgs),
+            "n_decoded": sum(1 for s in imgs if s.decoded),
+            "pixels": sum(s.width * s.height for s in imgs),
+            "n_samples": sum(s.n_samples for s in imgs),
+            "ink_samples": sum(s.ink_samples for s in imgs),
+            "sum_luma": sum(s.sum_luma for s in imgs),
+        }
+
     def _page_fonts(self, page_body: bytes) \
             -> dict[str, tuple[int, dict[int, str]]]:
         """Resolve the page's /Resources /Font entries to their
@@ -610,6 +693,142 @@ _FONT_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
 _TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
 
 
+# --- embedded images -------------------------------------------------
+#
+# The reference's hybrid escalation (hybrid.go:113-123) OCRs pages
+# whose text layer is absent — keyed purely on absence-of-text because
+# poppler gives it no pixel access.  With a from-spec JPEG/raw decoder
+# (kernel/imgcodec.py) we can do better: decode each page's image
+# XObjects (DCTDecode baseline AND progressive) and BI/ID/EI inline
+# images, and drive the needs-ocr decision for IMAGE-ONLY pages from
+# real pixel content — a page whose images are uniformly blank paper
+# is pruned from the OCR queue (the countOCRPages/savings metric),
+# while pages with real ink keep escalating.  Undecodable images
+# (JPX/CCITT, corrupt streams) conservatively keep the reference
+# behavior (needs-ocr).
+
+INK_LUMA_THRESHOLD = 250   # samples strictly below this are "ink"
+_IMG_INT_RE = rb"/%s\s+(\d+)"
+_XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
+_XOBJ_REF_RE = re.compile(rb"/XObject\s+(\d+)\s+0\s+R")
+_BI_ID_RE = re.compile(rb"(?<![A-Za-z0-9])ID[\x00\t\n\f\r ]")
+
+
+def _img_int(head: bytes, *names: bytes) -> int | None:
+    for nm in names:
+        m = re.search(_IMG_INT_RE % nm, head)
+        if m is not None:
+            return int(m.group(1))
+    return None
+
+
+def _img_name(head: bytes, *names: bytes) -> str | None:
+    for nm in names:
+        m = re.search(rb"/%s\s*/(\w+)" % nm, head)
+        if m is not None:
+            return m.group(1).decode("latin-1")
+    return None
+
+
+def _img_filters(head: bytes) -> list[str]:
+    m = re.search(rb"/(?:Filter|F)\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))",
+                  head)
+    if m is None:
+        return []
+    if m.group(2) is not None:
+        return [m.group(2).decode("latin-1")]
+    return [n.group(1).decode("latin-1")
+            for n in _FILTER_NAME_RE.finditer(m.group(1))]
+
+
+class ImageStats:
+    """Decoded (or size-only) statistics for one embedded image."""
+
+    __slots__ = ("kind", "width", "height", "decoded",
+                 "n_samples", "ink_samples", "sum_luma")
+
+    def __init__(self, kind: str, width: int, height: int,
+                 decoded: bool = False, n_samples: int = 0,
+                 ink_samples: int = 0, sum_luma: int = 0):
+        self.kind = kind
+        self.width = width
+        self.height = height
+        self.decoded = decoded
+        self.n_samples = n_samples
+        self.ink_samples = ink_samples
+        self.sum_luma = sum_luma
+
+
+def _stats_from_array(kind: str, arr) -> ImageStats:
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    return ImageStats(
+        kind, w, h, decoded=True, n_samples=int(a.size),
+        ink_samples=int((a < INK_LUMA_THRESHOLD).sum()),
+        sum_luma=int(a.astype(np.int64).sum()),
+    )
+
+
+def _decode_image_payload(kind: str, head: bytes, raw: bytes,
+                          filters: list[str]) -> ImageStats:
+    """Decode one image stream into pixel stats.  Integer-only stats
+    (counts and sums) so a fixture oracle is closed-form.  Raises
+    PDFError/ValueError on anything undecodable; callers downgrade to
+    a size-only ImageStats."""
+    from . import imgcodec
+
+    w = _img_int(head, b"Width", b"W")
+    h = _img_int(head, b"Height", b"H")
+    if w is None or h is None or w <= 0 or h <= 0 \
+            or w * h > imgcodec.MAX_PIXELS:
+        raise PDFError("image: bad dimensions")
+    for i, name in enumerate(filters):
+        if name in ("DCTDecode", "DCT"):
+            if i != len(filters) - 1:
+                raise PDFError("image: DCTDecode not last in chain")
+            arr = imgcodec.decode_jpeg(raw)
+            return _stats_from_array(kind, arr)
+        if name in ("JPXDecode", "CCITTFaxDecode", "CCF", "JBIG2Decode"):
+            raise PDFError(f"image: unsupported codec /{name}")
+        raw = _apply_filter(name, raw)
+    # no image codec: raw samples (8-bit gray or RGB only)
+    bpc = _img_int(head, b"BitsPerComponent", b"BPC")
+    cs = _img_name(head, b"ColorSpace", b"CS")
+    ncomp = {"DeviceGray": 1, "G": 1, "DeviceRGB": 3, "RGB": 3,
+             None: 1}.get(cs)
+    if bpc != 8 or ncomp is None:
+        raise PDFError("image: unsupported raw sample format")
+    need = w * h * ncomp
+    if len(raw) < need:
+        raise PDFError("image: truncated samples")
+    import numpy as np
+
+    arr = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w * ncomp)
+    return _stats_from_array(kind, arr)
+
+
+def _iter_inline_images(stream: bytes):
+    """Yield ``(params_head, data)`` for each BI…ID…EI inline image,
+    using the same delimiter conventions as ``_skip_inline_image``."""
+    i, n = 0, len(stream)
+    while i < n:
+        m = re.search(rb"(?<![A-Za-z0-9])BI(?![A-Za-z0-9])", stream[i:])
+        if m is None:
+            return
+        start = i + m.end()
+        mid = _BI_ID_RE.search(stream, start)
+        if mid is None:
+            return
+        data_start = mid.end()
+        m2 = _EI_RE.search(stream, data_start)
+        if m2 is None:
+            return
+        yield stream[start:mid.start()], stream[data_start:m2.start()]
+        i = m2.end()
+
+
 def extract_page_text(data: bytes, page_num: int) -> str:
     """Text of 1-indexed page page_num (the pdftotext-per-page analog)."""
     return PDFDoc(data).page_text(page_num)
@@ -639,6 +858,19 @@ def _stream_bytes(content_body: bytes,
     compressed data may contain 'endstream' bytes), resolving an
     indirect '/Length N 0 R' through ``objs``, falling back to the
     endstream delimiter; FlateDecode via zlib."""
+    raw = _raw_stream_bytes(content_body, objs)
+    if raw is None:
+        return None
+    for name in _filter_chain(content_body[:content_body.find(b"stream")]):
+        raw = _apply_filter(name, raw)
+    return raw
+
+
+def _raw_stream_bytes(content_body: bytes,
+                      objs: dict[int, bytes] | None = None) \
+        -> bytes | None:
+    """Stream payload bytes with NO filters applied (image XObject
+    streams keep their encoded form for the image decoders)."""
     marker = content_body.find(b"stream")
     if marker < 0:
         return None
@@ -649,15 +881,11 @@ def _stream_bytes(content_body: bytes,
         start += 1
     length = _declared_length(content_body[:marker], objs)
     if length is not None:
-        raw = content_body[start:start + length]
-    else:
-        sm = _STREAM_RE.search(content_body)
-        if sm is None:
-            return None
-        raw = sm.group(1)
-    for name in _filter_chain(content_body[:marker]):
-        raw = _apply_filter(name, raw)
-    return raw
+        return content_body[start:start + length]
+    sm = _STREAM_RE.search(content_body)
+    if sm is None:
+        return None
+    return sm.group(1)
 
 
 # --- stream filters ------------------------------------------------------
@@ -1155,6 +1383,20 @@ def assemble_reading_order(spans: list[tuple[float, float, str]]) -> str:
 # --- hybrid pipeline --------------------------------------------------
 
 
+def self_blank_page(doc: "PDFDoc", page_num: int) -> bool:
+    """True when the page's embedded images ALL decoded and contain
+    zero ink samples — a textless page that is genuinely blank paper,
+    safe to prune from the OCR queue.  Any decode failure or absence
+    of images returns False (conservative: keep needs-ocr)."""
+    try:
+        st = doc.page_image_stats(page_num)
+    except (PDFError, ValueError, OverflowError, MemoryError):
+        return False
+    return (st["n_images"] > 0
+            and st["n_decoded"] == st["n_images"]
+            and st["ink_samples"] == 0)
+
+
 def extract_pdf(b: bytes, mime: str,
                 page_list: list[int] | None = None,
                 page_separator: str = PAGE_SEPARATOR,
@@ -1198,7 +1440,16 @@ def extract_pdf(b: bytes, mime: str,
         if decision.needs_ocr:
             pr.method = "needs-ocr"
             pr.text = ""
-            needs_ocr_pages.append(page_num)
+            if not text and self_blank_page(doc, page_num):
+                # image-only refinement: every embedded image decoded
+                # and contained zero ink — blank paper, pruned from
+                # the OCR queue (content-keyed escalation; see the
+                # "embedded images" section).  Pages with real pixel
+                # content, undecodable images, or garbage TEXT keep
+                # the reference's needs-ocr behavior.
+                pr.method = "blank"
+            else:
+                needs_ocr_pages.append(page_num)
         pages.append(pr)
 
     # hybrid.go:113-132 — the OCR escalation decision is preserved but

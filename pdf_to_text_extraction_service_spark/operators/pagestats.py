@@ -8,6 +8,8 @@ array<struct> column — no Python, no explode, no shuffle.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,3 +40,72 @@ def pdf_page_stats(extracted: DataFrame) -> DataFrame:
             lambda acc, w: acc + w,
         ).alias("sum_page_words"),
     )
+
+
+PDF_IMAGE_STATS_SCHEMA = (
+    "url string, total_pages int, needs_ocr_pages int, "
+    "blank_pages int, n_images int, img_pixels bigint, "
+    "ink_samples bigint, sum_luma bigint"
+)
+
+
+def pdf_image_ocr_stats(pages_df: DataFrame,
+                        url_col: str = "url",
+                        payload_col: str = "html") -> DataFrame:
+    """Per-document embedded-image statistics + the pixel-driven OCR
+    decision (kernel/pdfk.page_image_stats / self_blank_page): for
+    each PDF payload, decode every image XObject (DCTDecode baseline
+    and progressive via kernel/imgcodec.py) and inline image, and
+    tally which textless pages escalate to OCR vs prune as blank
+    paper.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` hop (the same
+    budget as extract()); only the two input columns reach the
+    Python worker and only eight scalar columns come back —
+    map-only, no shuffle."""
+
+    def _batches(batches: Iterator["pd.DataFrame"]) \
+            -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from pdf_to_text_extraction_service_spark.kernel import pdfk
+
+        for batch in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "url", "total_pages", "needs_ocr_pages",
+                "blank_pages", "n_images", "img_pixels",
+                "ink_samples", "sum_luma")}
+            for url, payload in zip(batch[url_col].tolist(),
+                                    batch[payload_col].tolist()):
+                if payload is not None and not isinstance(payload, bytes):
+                    payload = bytes(payload)
+                total = needs = blank = n_img = 0
+                pixels = ink = luma = 0
+                try:
+                    res = pdfk.extract_pdf(payload, "application/pdf")
+                    doc = pdfk.PDFDoc(payload)
+                    for p in (res.pages or []):
+                        total += 1
+                        if p.method == "needs-ocr":
+                            needs += 1
+                        elif p.method == "blank":
+                            blank += 1
+                        st = doc.page_image_stats(p.page_number)
+                        n_img += st["n_images"]
+                        pixels += st["pixels"]
+                        ink += st["ink_samples"]
+                        luma += st["sum_luma"]
+                except (pdfk.PDFError, ValueError, OverflowError):
+                    pass  # error docs report zeros, never raise
+                out["url"].append(url)
+                out["total_pages"].append(total)
+                out["needs_ocr_pages"].append(needs)
+                out["blank_pages"].append(blank)
+                out["n_images"].append(n_img)
+                out["img_pixels"].append(pixels)
+                out["ink_samples"].append(ink)
+                out["sum_luma"].append(luma)
+            yield pd.DataFrame(out)
+
+    return pages_df.select(url_col, payload_col).mapInPandas(
+        _batches, PDF_IMAGE_STATS_SCHEMA)

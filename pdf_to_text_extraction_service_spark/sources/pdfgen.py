@@ -278,6 +278,75 @@ def build_pdf_with_images(pages: list[list[Span]]) -> bytes:
     return bytes(out)
 
 
+def build_pdf_jpeg_pages(
+        pages: list[tuple[list[Span], list[bytes]]]) -> bytes:
+    """Classic-layout PDF where each page carries optional text spans
+    plus zero or more REAL JPEG image XObjects (DCTDecode streams the
+    from-spec decoder in kernel/imgcodec.py can decode).  Image-only
+    pages (no spans) exercise the pixel-driven needs-ocr/blank
+    decision in kernel/pdfk.extract_pdf."""
+    n_pages = len(pages)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    font_num = 3 + 2 * n_pages
+    img_num = font_num + 1
+    img_objs: list[bytes] = []
+    for i, (spans, jpegs) in enumerate(pages):
+        page_num = 3 + 2 * i
+        names = []
+        xrefs = []
+        for j, payload in enumerate(jpegs):
+            num = img_num + len(img_objs)
+            name = f"Im{num}"
+            names.append(name)
+            xrefs.append(f"/{name} {num} 0 R")
+            # width/height from the SOF header so the dict agrees
+            # with the stream (decoder trusts the stream)
+            import struct as _s
+            k = payload.find(b"\xff\xc0")
+            if k < 0:
+                k = payload.find(b"\xff\xc2")
+            fh, fw = _s.unpack(">HH", payload[k + 5:k + 9])
+            img_objs.append(
+                b"<< /Type /XObject /Subtype /Image /Width %d "
+                b"/Height %d /BitsPerComponent 8 "
+                b"/ColorSpace /DeviceGray /Filter /DCTDecode "
+                b"/Length %d >>\nstream\n%s\nendstream"
+                % (fw, fh, len(payload), payload))
+        content = page_content(spans) if spans else b""
+        for name in names:
+            content += b"\nq /%s Do Q" % name.encode()
+        res = f"/Font << /F1 {font_num} 0 R >>"
+        if xrefs:
+            res += " /XObject << " + " ".join(xrefs) + " >>"
+        objs.append(
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             f"/Resources << {res} >> "
+             f"/Contents {page_num + 1} 0 R >>").encode())
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(content), content))
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objs.extend(img_objs)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_pos))
+    return bytes(out)
+
+
 def simple_pdf(page_lines: list[list[str]], modern: bool = False) -> bytes:
     """One single-column page per entry of page_lines; ``modern``
     emits the PDF 1.5 xref-stream + object-stream layout."""

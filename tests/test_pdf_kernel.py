@@ -637,3 +637,86 @@ class TestInlineImages:
                 pdfk.extract_page_text(bytes(blob), 1)
             except pdfk.PDFError:
                 pass  # failure envelope is fine; crashes are not
+
+
+class TestEmbeddedImageStats:
+    """Pixel-driven needs-ocr: DCTDecode XObjects and inline images
+    decode through kernel/imgcodec.py; flat all-ones-quant JPEGs
+    round-trip exactly, so the stats are closed-form."""
+
+    def _flat_jpeg(self, w, h, v):
+        import numpy as np
+        from pdf_to_text_extraction_service_spark.kernel import imgcodec
+        return imgcodec.encode_jpeg(
+            np.full((h, w), v, np.uint8),
+            quant=np.ones(64, dtype=np.int64))
+
+    def test_flat_jpeg_xobject_stats_closed_form(self):
+        spans = pdfgen.single_column_page(GOOD_LINES)
+        pdf = pdfgen.build_pdf_jpeg_pages([
+            (spans, []),
+            ([], [self._flat_jpeg(16, 16, 64)]),
+            ([], [self._flat_jpeg(32, 24, 255)]),
+        ])
+        doc = pdfk.PDFDoc(pdf)
+        assert doc.page_image_stats(1) == {
+            "n_images": 0, "n_decoded": 0, "pixels": 0,
+            "n_samples": 0, "ink_samples": 0, "sum_luma": 0}
+        dark = doc.page_image_stats(2)
+        assert dark["n_images"] == dark["n_decoded"] == 1
+        assert dark["n_samples"] == 256
+        assert dark["ink_samples"] == 256          # 64 < 250
+        assert dark["sum_luma"] == 64 * 256
+        blank = doc.page_image_stats(3)
+        assert blank["ink_samples"] == 0           # 255 >= 250
+        assert blank["sum_luma"] == 255 * 32 * 24
+
+    def test_blank_image_page_pruned_from_ocr_queue(self):
+        spans = pdfgen.single_column_page(GOOD_LINES)
+        pdf = pdfgen.build_pdf_jpeg_pages([
+            (spans, []),
+            ([], [self._flat_jpeg(16, 16, 64)]),    # inked
+            ([], [self._flat_jpeg(32, 24, 255)]),   # blank paper
+            ([], []),                                # no text, no images
+        ])
+        res = pdfk.extract_pdf(pdf, "application/pdf")
+        methods = {p.page_number: p.method for p in res.pages}
+        assert methods == {1: "text-layer", 2: "needs-ocr",
+                           3: "blank", 4: "needs-ocr"}
+
+    def test_progressive_jpeg_xobject_decodes(self):
+        import numpy as np
+        from pdf_to_text_extraction_service_spark.kernel import imgcodec
+        img = np.full((8, 8), 200, np.uint8)
+        prog = imgcodec.encode_jpeg_progressive(
+            img, quant=np.ones(64, dtype=np.int64))
+        pdf = pdfgen.build_pdf_jpeg_pages([([], [prog])])
+        st = pdfk.PDFDoc(pdf).page_image_stats(1)
+        assert st["n_decoded"] == 1 and st["sum_luma"] == 200 * 64
+
+    def test_inline_and_garbage_dct_images(self):
+        spans = pdfgen.single_column_page(GOOD_LINES)
+        pdf = pdfgen.build_pdf_with_images([spans])
+        imgs = pdfk.PDFDoc(pdf).page_images(1)
+        by_kind = sorted((s.kind, s.decoded) for s in imgs)
+        # garbage DCT XObject -> size-only; both inline images decode
+        assert by_kind == [("inline", True), ("inline", True),
+                           ("xobject", False)]
+        # text extraction is unaffected (r4 behavior preserved)
+        res = pdfk.extract_pdf(pdf, "application/pdf")
+        assert res.pages[0].method == "text-layer"
+
+    def test_image_mutation_fuzz_never_raises(self):
+        import random
+        rnd = random.Random(1234)
+        base = pdfgen.build_pdf_jpeg_pages([
+            ([], [self._flat_jpeg(16, 16, 64)])])
+        for _ in range(80):
+            blob = bytearray(base)
+            for _ in range(rnd.randint(1, 8)):
+                blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+            try:
+                doc = pdfk.PDFDoc(bytes(blob))
+                doc.page_image_stats(1)
+            except pdfk.PDFError:
+                pass  # failure envelope fine; other exceptions are not
