@@ -1270,6 +1270,45 @@ def _q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_abs", "zero_cross")
 
 
+def _q_audio_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header walk over synthetic MPEG-1 Layer III streams
+    whose signals are CLOSED FORM: n = 20 + i%10 frames, rate cycles
+    44100/48000/32000 by i%3, mono when i%2, CBR-128 when i%4 < 2
+    else alternating 96/160 VBR (mean = (96*ceil(n/2) + 160*floor(n/2))
+    // n), ID3v2 prefix of (i%3)*7 bytes, every 9th payload garbage ->
+    the parser's exact error string.  The oracle is pure doc_id
+    arithmetic — it never touches the parser."""
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        mp3_features,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import audiocodec
+
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+    ids = [r["doc_id"] for r in docs.collect()]
+
+    def payload(i: int) -> bytes:
+        if i % 9 == 0:
+            return b"not an mp3"
+        n = 20 + i % 10
+        rate = audiocodec.MP3_RATES_V1[i % 3]
+        if i % 4 < 2:
+            kbps = [128] * n
+        else:
+            kbps = [96 if j % 2 == 0 else 160 for j in range(n)]
+        return audiocodec.encode_mp3_frames(
+            kbps, rate=rate, mono=bool(i % 2),
+            pad_every=3 if i % 6 >= 3 else 0,
+            id3_bytes=(i % 3) * 7)
+
+    media = spark.createDataFrame(
+        [(i, payload(i)) for i in ids], "media_id long, payload binary")
+    return mp3_features(media).select(
+        "media_id", "sample_rate", "channels", "n_frames",
+        "duration_ms", "mean_bitrate_kbps",
+        F.col("vbr").cast("int").alias("vbr"), "error")
+
+
 def _q_ocr_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processOCROnly post-processing (image.go:218-263) over sidecar
     OCR page markdown built from documents: page 1 is the doc text
@@ -1361,6 +1400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "preview_truncation": _q_preview_truncation,
     "ocr_clean_docs": _q_ocr_clean_docs,
     "audio_transcripts": _q_audio_transcripts,
+    "audio_mp3_features": _q_audio_mp3_features,   # NEW r5
     "multimodal_image_features": _q_multimodal_features,
     "dedup_image_dhash": _q_dedup_image_dhash,
     "decontam_benchmark": _q_decontam_benchmark,
@@ -1388,8 +1428,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": _q_doc_fingerprint,
     "quality_scores_docs": _q_quality_scores,
     "streaming_extract_docs": _q_streaming_extract,
-    "streaming_bitemporal_dedup": _q_streaming_bitemporal,
     # --- TAIL: r4 hash-green, stable, pytest-parity-covered ---
+    "streaming_bitemporal_dedup": _q_streaming_bitemporal,
     "extract_yaml_docs": _q_extract_yaml,
     "extract_doc_docs": _q_extract_doc,
     "extract_xls_docs": _q_extract_xls,
@@ -2653,6 +2693,44 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END
                         AS INTEGER) AS sum_page_words
             FROM documents WHERE doc_id < 100
+        """,
+        # MP3 oracle: pure doc_id arithmetic mirroring the fixture
+        # parameters (n frames, rate cycle, CBR/VBR pattern) — never
+        # touches the parser.  Every 9th payload is garbage and must
+        # reproduce the parser's exact error string.
+        "audio_mp3_features": """
+            WITH p AS (
+                SELECT doc_id AS media_id,
+                       20 + doc_id % 10 AS n,
+                       (CASE doc_id % 3 WHEN 0 THEN 44100
+                            WHEN 1 THEN 48000 ELSE 32000 END) AS rate,
+                       doc_id % 9 = 0 AS bad,
+                       doc_id % 4 >= 2 AS is_vbr,
+                       doc_id % 2 = 1 AS mono
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT media_id,
+                   CASE WHEN bad THEN NULL ELSE rate END
+                       ::INTEGER AS sample_rate,
+                   CASE WHEN bad THEN NULL
+                        WHEN mono THEN 1 ELSE 2 END
+                       ::INTEGER AS channels,
+                   CASE WHEN bad THEN NULL ELSE n END
+                       ::BIGINT AS n_frames,
+                   CASE WHEN bad THEN NULL
+                        ELSE n * 1152 * 1000 // rate END
+                       ::BIGINT AS duration_ms,
+                   CASE WHEN bad THEN NULL
+                        WHEN is_vbr THEN
+                          (96 * ((n + 1) // 2) + 160 * (n // 2)) // n
+                        ELSE 128 END
+                       ::BIGINT AS mean_bitrate_kbps,
+                   CASE WHEN bad THEN NULL
+                        WHEN is_vbr THEN 1 ELSE 0 END
+                       ::INTEGER AS vbr,
+                   CASE WHEN bad THEN 'mp3: bad sync at 0'
+                        ELSE NULL END AS error
+            FROM p
         """,
         # Flat JPEGs under an all-ones quant table decode bit-exactly
         # (DC-only blocks), so every image stat is doc_id arithmetic:

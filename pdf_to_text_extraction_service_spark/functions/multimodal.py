@@ -21,6 +21,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -445,6 +446,60 @@ def audio_features(df: DataFrame, id_col: str = "media_id",
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+MP3_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_frames", LongType()),
+    StructField("duration_ms", LongType()),
+    StructField("mean_bitrate_kbps", LongType()),
+    StructField("vbr", BooleanType()),
+    StructField("error", StringType()),
+])
+
+
+def mp3_features(df: DataFrame, id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """MPEG-1 Layer III frame-header walk (kernel/audiocodec.parse_mp3)
+    -> duration / bitrate / CBR-VBR curation signals.  Headers only —
+    no audio decode — so the walk is O(frames) byte jumps per payload;
+    malformed streams surface as error rows, never exceptions."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import audiocodec
+
+        for batch in batches:
+            out = {k: [] for k in ("media_id", "sample_rate",
+                                   "channels", "n_frames",
+                                   "duration_ms", "mean_bitrate_kbps",
+                                   "vbr", "error")}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                try:
+                    st = audiocodec.parse_mp3(payload)
+                    out["sample_rate"].append(st["sample_rate"])
+                    out["channels"].append(st["channels"])
+                    out["n_frames"].append(st["n_frames"])
+                    out["duration_ms"].append(st["duration_ms"])
+                    out["mean_bitrate_kbps"].append(
+                        st["mean_bitrate_kbps"])
+                    out["vbr"].append(st["vbr"])
+                    out["error"].append(None)
+                except Exception as exc:
+                    for k in ("sample_rate", "channels", "n_frames",
+                              "duration_ms", "mean_bitrate_kbps",
+                              "vbr"):
+                        out[k].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=MP3_FEATURES_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 2,

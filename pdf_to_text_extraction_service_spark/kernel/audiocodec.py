@@ -112,3 +112,124 @@ def audio_stats(samples: np.ndarray, rate: int,
     return {"duration_ms": int(duration_ms), "mean_abs": mean_abs,
             "zero_cross": zc, "frames": frames,
             "sample_rate": rate, "channels": channels}
+
+
+# --- MP3 (MPEG-1 Layer III) frame-header walk ------------------------
+#
+# The most common crawl audio type (the reference lists .mp3 first in
+# internal/extractors/audio/transcribe.go:29-38).  Full audio decode
+# is out of scope; the frame HEADERS alone give the curation signals a
+# training pipeline gates on — duration, bitrate (CBR/VBR), sample
+# rate, channel count — with closed-form oracles over synthetic
+# frames.  ISO/IEC 11172-3 header layout (32 bits):
+# sync(11) version(2) layer(2) prot(1) bitrate_idx(4) rate_idx(2)
+# padding(1) private(1) channel_mode(2) ...
+
+MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                     192, 224, 256, 320)  # kbps; idx 0 = free, 15 bad
+MP3_RATES_V1 = (44100, 48000, 32000)      # idx 3 reserved
+MP3_SAMPLES_PER_FRAME = 1152
+MAX_MP3_FRAMES = 1 << 20   # ~7 h at 44.1 kHz — walk bomb cap
+
+
+def _skip_id3v2(data: bytes) -> int:
+    """Return the offset past an ID3v2 tag (syncsafe 28-bit size),
+    or 0 when no tag is present."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return 0
+    sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    return 10 + sz
+
+
+def parse_mp3(data: bytes) -> dict:
+    """Walk MPEG-1 Layer III frame headers -> curation signals.
+
+    Integer-only outputs (closed-form for synthetic-frame oracles):
+    duration_ms = n_frames * 1152 * 1000 // rate,
+    mean_bitrate_kbps = sum(per-frame kbps) // n_frames,
+    vbr = more than one distinct bitrate index seen.
+
+    Contract: raises ValueError on anything that is not a clean
+    MPEG-1 Layer III stream (no frames, version/layer mismatch,
+    mid-stream sample-rate change, trailing garbage that is not a
+    frame header).  Truncated FINAL frame is tolerated (common for
+    range-fetched crawl payloads) and still counted.
+    """
+    pos = _skip_id3v2(data)
+    n = len(data)
+    n_frames = 0
+    rate = None
+    channels = None
+    sum_kbps = 0
+    rates_seen: set[int] = set()
+    kbps_seen: set[int] = set()
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = data[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"mp3: bad sync at {pos}")
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version != 3 or layer != 1:   # MPEG-1, Layer III
+            raise ValueError("mp3: not MPEG-1 Layer III")
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        mode = (b3 >> 6) & 0x3
+        if br_idx == 0 or br_idx == 15 or sr_idx == 3:
+            raise ValueError("mp3: bad bitrate/rate index")
+        kbps = MP3_BITRATES_V1L3[br_idx]
+        sr = MP3_RATES_V1[sr_idx]
+        if rate is None:
+            rate = sr
+            channels = 1 if mode == 3 else 2
+        elif sr != rate:
+            raise ValueError("mp3: sample-rate change mid-stream")
+        n_frames += 1
+        if n_frames > MAX_MP3_FRAMES:
+            raise ValueError("mp3: too many frames")
+        sum_kbps += kbps
+        kbps_seen.add(kbps)
+        rates_seen.add(sr)
+        frame_len = 144000 * kbps // sr + padding
+        if frame_len <= 4:
+            raise ValueError("mp3: degenerate frame length")
+        pos += frame_len   # truncated final frame still counts
+    if n_frames == 0 or rate is None:
+        raise ValueError("mp3: no frames")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * MP3_SAMPLES_PER_FRAME * 1000 // rate,
+        "mean_bitrate_kbps": sum_kbps // n_frames,
+        "vbr": len(kbps_seen) > 1,
+    }
+
+
+def encode_mp3_frames(frame_kbps: list[int], rate: int = 44100,
+                      mono: bool = False, pad_every: int = 0,
+                      id3_bytes: int = 0) -> bytes:
+    """Synthetic MPEG-1 Layer III stream: valid headers, zeroed
+    payloads — every parse_mp3 output is closed-form from the
+    arguments (the fixture analog of encode_wav)."""
+    sr_idx = MP3_RATES_V1.index(rate)
+    out = bytearray()
+    if id3_bytes:
+        sz = id3_bytes
+        out += b"ID3\x04\x00\x00" + bytes([
+            (sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+            (sz >> 7) & 0x7F, sz & 0x7F]) + b"\x00" * sz
+    for i, kbps in enumerate(frame_kbps):
+        br_idx = MP3_BITRATES_V1L3.index(kbps)
+        padding = 1 if pad_every and (i % pad_every == 0) else 0
+        mode = 3 if mono else 0
+        hdr = bytes([
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1) | 1,       # MPEG-1 L3, no CRC
+            (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+            mode << 6,
+        ])
+        frame_len = 144000 * kbps // rate + padding
+        out += hdr + b"\x00" * (frame_len - 4)
+    return bytes(out)

@@ -262,3 +262,51 @@ def test_wav_roundtrip_and_guards(spark):
             audiocodec.decode_wav(bytes(b2))
         except ValueError:
             pass
+
+
+def test_mp3_frame_walk_closed_form():
+    from pdf_to_text_extraction_service_spark.kernel import audiocodec as ac
+
+    st = ac.parse_mp3(ac.encode_mp3_frames([128] * 40))
+    assert st == {"sample_rate": 44100, "channels": 2, "n_frames": 40,
+                  "duration_ms": 40 * 1152 * 1000 // 44100,
+                  "mean_bitrate_kbps": 128, "vbr": False}
+    # VBR, mono, ID3 prefix, padding bits
+    kbps = [96 if j % 2 == 0 else 160 for j in range(25)]
+    st = ac.parse_mp3(ac.encode_mp3_frames(
+        kbps, rate=32000, mono=True, pad_every=3, id3_bytes=57))
+    assert st["channels"] == 1 and st["vbr"] is True
+    assert st["mean_bitrate_kbps"] == (96 * 13 + 160 * 12) // 25
+    assert st["sample_rate"] == 32000
+    # truncated final frame still counts
+    full = ac.encode_mp3_frames([192] * 8)
+    st = ac.parse_mp3(full[:len(full) - 50])
+    assert st["n_frames"] == 8
+
+
+def test_mp3_parser_rejects_malformed():
+    import pytest
+    from pdf_to_text_extraction_service_spark.kernel import audiocodec as ac
+
+    for bad in (b"", b"\x00" * 64, b"ID3\x04\x00\x00\x00\x00\x00\x00",
+                b"\xff\xfb\x00\x00",       # bitrate idx 0 (free)
+                b"\xff\xf3\x90\x00"):      # MPEG-2 version bits
+        with pytest.raises(ValueError):
+            ac.parse_mp3(bad)
+
+
+def test_mp3_mutation_fuzz_never_raises_wrong_type():
+    import random
+    from pdf_to_text_extraction_service_spark.kernel import audiocodec as ac
+
+    rnd = random.Random(77)
+    base = ac.encode_mp3_frames([128, 160, 96, 128] * 6, pad_every=2)
+    for _ in range(200):
+        blob = bytearray(base)
+        for _ in range(rnd.randint(1, 6)):
+            blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+        try:
+            st = ac.parse_mp3(bytes(blob))
+            assert st["n_frames"] >= 1
+        except ValueError:
+            pass  # error envelope; any other exception type fails
