@@ -75,10 +75,15 @@ def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
         if stats:
             # persist before counting so each stage count (and the
             # final write) reuses the computed prefix instead of
-            # re-running the whole upstream chain per action
+            # re-running the whole upstream chain per action; once
+            # THIS stage is materialized its cache covers the prefix,
+            # so the previous stage's cache is released immediately
+            # instead of accumulating for the session lifetime
             df = df.persist()
-            _persisted.append(df)
             st[name] = df.count()
+            while _persisted:
+                _persisted.pop().unpersist()
+            _persisted.append(df)
         return df
 
     has_lang = "lang" in docs.columns
@@ -147,9 +152,14 @@ def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
                 "n_tokens", "text")
     )
     if stats:
+        # `out` stays persisted for the caller's write (caller may
+        # unpersist after consuming); every intermediate stage cache
+        # is released here
         out = out.persist()
         st["sequences"] = out.agg(
             F.countDistinct("seq_id")).collect()[0][0]
+        while _persisted:
+            _persisted.pop().unpersist()
     return out, st
 
 

@@ -302,9 +302,16 @@ def dedup_image_dhash(df: DataFrame, max_hamming: int = 3,
         .withColumn("hamming",
                     F.expr("bit_count(dhash ^ rhash)").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
+        .select(F.col(id_col).alias("a"),
+                F.col("rid").alias("b"), "hamming")
     )
-    return pairs.select(F.col(id_col).alias("a"),
-                        F.col("rid").alias("b"), "hamming")
+    # materialize the (small) pair set eagerly so the decoded-hash
+    # cache can be RELEASED before returning — without this the
+    # persisted partitions pin executor memory for the session
+    # lifetime across repeated calls
+    pairs = pairs.localCheckpoint(eager=True)
+    hashes.unpersist()
+    return pairs
 
 
 VIDEO_SIG_SCHEMA = StructType([

@@ -76,20 +76,27 @@ _TABLE_ALLOWED = frozenset((
 ))
 
 # Implied-end-tag (names, scope-barrier) constants for _close_up_to.
+# WHATWG puts <template> in EVERY "has element in ... scope" barrier
+# list (13.2.4.2), so implied end tags and end-tag matching never
+# cross a template boundary — the core of the template insertion
+# modes for tree-shape purposes.
 _ONLY_P = frozenset(("p",))
-_P_SCOPE = _TABLE_CTX | frozenset(("td", "th", "caption"))
+_P_SCOPE = _TABLE_CTX | frozenset(("td", "th", "caption", "template"))
 _ONLY_LI = frozenset(("li",))
-_LIST_SCOPE = frozenset(("ul", "ol"))
+_LIST_SCOPE = frozenset(("ul", "ol", "template"))
 _DD_DT = frozenset(("dd", "dt"))
-_DL_SCOPE = frozenset(("dl",))
+_DL_SCOPE = frozenset(("dl", "template"))
 _CELLS = frozenset(("td", "th"))
-_ROW_SCOPE = frozenset(("tr", "table", "thead", "tbody", "tfoot"))
+_ROW_SCOPE = frozenset(("tr", "table", "thead", "tbody", "tfoot",
+                        "template"))
 _ONLY_TR = frozenset(("tr",))
-_SECTION_SCOPE = frozenset(("table", "thead", "tbody", "tfoot"))
+_SECTION_SCOPE = frozenset(("table", "thead", "tbody", "tfoot",
+                            "template"))
 _SECTIONS = frozenset(("thead", "tbody", "tfoot"))
-_TABLE_SCOPE = frozenset(("table",))
+_TABLE_SCOPE = frozenset(("table", "template"))
 _ONLY_TABLE = frozenset(("table",))
 _EMPTY = frozenset()
+_TEMPLATE_BARRIER = frozenset(("template",))
 
 _RAW_CLOSE = {
     t: re.compile(r"</" + t + r"\s*>", re.IGNORECASE)
@@ -110,8 +117,10 @@ _FORMATTING = frozenset((
 ))
 # table-boundary tags that insert a marker into the AFE list (spec:
 # "clear the list of active formatting elements up to the last
-# marker" when the cell/caption closes)
-_MARKER_TAGS = frozenset(("td", "th", "caption", "table"))
+# marker" when the cell/caption closes).  template is in the spec's
+# marker set too (13.2.6.4.4/"in template"): formatting elements are
+# never reconstructed across a template boundary.
+_MARKER_TAGS = frozenset(("td", "th", "caption", "table", "template"))
 _AFE_MARKER = object()
 
 _TAG_RE = re.compile(
@@ -317,14 +326,24 @@ def parse(data: bytes | str) -> Node:
             if tag in _FORMATTING:
                 _adoption(tag)
                 continue
-            if tag in open_tags:
-                while open_tags:
+            # end tags never match across a template boundary
+            # (WHATWG: template is in every scope barrier list);
+            # </template> itself pops everything up to the template
+            # ("generate all implied end tags thoroughly")
+            idx = None
+            for j in range(len(open_tags) - 1, -1, -1):
+                t = open_tags[j]
+                if t == tag:
+                    idx = j
+                    break
+                if t == "template" and tag != "template":
+                    break
+            if idx is not None:
+                while len(open_tags) > idx:
                     t = open_tags.pop()
                     stack.pop()
                     if t in _MARKER_TAGS:
                         _afe_clear_to_marker()
-                    if t == tag:
-                        break
             continue
 
         tag = m.group("start").lower()
@@ -348,8 +367,9 @@ def parse(data: bytes | str) -> Node:
             _close_up_to(_SECTIONS, _TABLE_SCOPE)
         elif tag == "table" and "table" in open_tags:
             # a table start inside an open table closes it (the spec
-            # reprocesses the token in the enclosing mode)
-            _close_up_to(_ONLY_TABLE, _EMPTY)
+            # reprocesses the token in the enclosing mode) — but never
+            # across a template boundary
+            _close_up_to(_ONLY_TABLE, _TEMPLATE_BARRIER)
 
         if tag == "a" and any(
                 e is not _AFE_MARKER and e[0] == "a" for e in afe):
@@ -411,6 +431,16 @@ def _skip_foreign(s: str, i: int, root: str) -> int:
         lt = s.find("<", i)
         if lt < 0:
             return n
+        if s.startswith("<![CDATA[", lt):
+            # CDATA sections are legal (and common, <svg><style>) in
+            # foreign content: consume to the matching ']]>' so a
+            # breakout lookalike like '<div' INSIDE the CDATA text
+            # cannot falsely terminate the foreign skip
+            end = s.find("]]>", lt + 9)
+            if end < 0:
+                return n
+            i = end + 3
+            continue
         m = _TAG_RE.match(s, lt)
         if m is None:
             i = lt + 1
