@@ -76,6 +76,16 @@ def _warmup(spark, ctx: dict) -> None:
 
 
 def _run_suite(spark, sf_dir: str, ctx: dict):
+    from pyspark.sql import functions as F
+
+    def F_concat_url():
+        return F.concat(
+            F.lit("https://corpus.example/"), F.col("source"),
+            F.lit("/doc"), F.col("doc_id").cast("string"),
+        ).alias("url")
+
+    F_col, F_lit = F.col, F.lit
+
     import __spark_entry__ as entry_mod
     from pdf_to_text_extraction_service_spark.plans.pipeline import (
         extract_pipeline,
@@ -115,6 +125,24 @@ def _run_suite(spark, sf_dir: str, ctx: dict):
                           + timings["extract_mixed_all_kernels"])
     extras["docs_extracted"] = total_docs
     extras["extraction_docs_per_sec"] = total_docs / total_extract_time
+
+    # Composed curation chain (jobs/curate.py): gate -> quality ->
+    # exact/paragraph/span dedup -> pack, stats off so the timing is
+    # the one-pass pipeline, not per-stage counts.
+    from jobs.curate import curate
+    from pdf_to_text_extraction_service_spark.sources.corpus import (
+        load_documents,
+    )
+
+    cdocs = load_documents(spark, sf_dir).select(
+        F_concat_url(), F_col("text"), F_lit(True).alias("success"),
+        F_col("lang"),
+    )
+    t0 = time.perf_counter()
+    out, _ = curate(spark, cdocs, seq_len=1024, stats=False)
+    n_curated = out.count()
+    timings["curate_chain"] = time.perf_counter() - t0
+    extras["curate_rows_out"] = n_curated
 
     for name in ("q1_lineitem_agg", "join_topk_customers",
                  "dedup_window_events", "anti_join_manifest",
