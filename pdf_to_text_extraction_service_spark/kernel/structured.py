@@ -235,15 +235,30 @@ def _parse_quoted(val: str) -> str | None:
     out: list[str] = []
     i = 0
     esc = {"n": "\n", "t": "\t", '"': '"', "\\": "\\", "0": "\x00",
-           "r": "\r"}
+           "r": "\r", "a": "\a", "b": "\b", "v": "\v", "f": "\f",
+           "e": "\x1b", "/": "/", " ": " ", "N": "\x85", "_": "\xa0",
+           "L": " ", "P": " "}
+    hexlen = {"x": 2, "u": 4, "U": 8}
     while i < len(body):
         c = body[i]
         if c == "\\":
             if i + 1 >= len(body):
                 return None
             e = body[i + 1]
+            if e in hexlen:
+                k = hexlen[e]
+                hexs = body[i + 2:i + 2 + k]
+                if len(hexs) < k or not all(
+                        h in "0123456789abcdefABCDEF" for h in hexs):
+                    return None
+                cp = int(hexs, 16)
+                if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                    return None
+                out.append(chr(cp))
+                i += 2 + k
+                continue
             if e not in esc:
-                return None  # \u/\x escapes: outside the subset
+                return None  # unknown escape: outside the subset
             out.append(esc[e])
             i += 2
         elif c == '"':
@@ -258,16 +273,23 @@ def _parse_block_scalar(lines: list[str], idx: int, indent: int,
                         header: str) -> tuple[str, int] | None:
     """Parse a literal (|) or folded (>) block scalar whose header
     token is ``header`` on line ``idx``; content lines are indented
-    more than ``indent``. Returns (string value, next line index)."""
-    m = re.match(r"^([|>])(-?)$", header)
+    more than ``indent``. Handles chomping indicators (strip ``-``,
+    clip, keep ``+``) and explicit indentation indicators (``|2`` —
+    either modifier order, per c-b-block-header). Returns (string
+    value, next line index)."""
+    m = re.match(r"^([|>])(?:([1-9])([+-]?)|([+-]?)([1-9])?)$", header)
     if m is None:
-        # explicit indent indicators and '+' keep-chomping (whose kept
-        # trailing newlines the emitter can't represent): not subset
         return None
-    style, chomp = m.group(1), m.group(2)
+    style = m.group(1)
+    digit = m.group(2) or m.group(5)
+    chomp = m.group(3) if m.group(3) is not None else (m.group(4) or "")
+    if style == ">" and chomp == "+":
+        # folded + keep interacts with trailing-blank folding rules
+        # this emitter can't reproduce: outside the subset
+        return None
     body: list[str] = []
     j = idx + 1
-    content_indent: int | None = None
+    content_indent: int | None = int(digit) + indent if digit else None
     while j < len(lines):
         ln = lines[j]
         if runes.trim_space(ln) == "":
@@ -287,9 +309,10 @@ def _parse_block_scalar(lines: list[str], idx: int, indent: int,
             return None
         body.append(ln[content_indent:])
         j += 1
-    while body and body[-1] == "":
-        body.pop()
-    if content_indent is None:
+    if chomp != "+":
+        while body and body[-1] == "":
+            body.pop()
+    if not body or all(ln == "" for ln in body):
         return None
     if style == "|":
         s = "\n".join(body)
@@ -322,13 +345,48 @@ _RESOLVES_NONSTR_RE = re.compile(
     r"[-+]?[0-9][0-9_]*(:[0-5]?[0-9])+(\.[0-9_]*)?|"
     r"[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}([Tt ].*)?)$")
 
-_ASCII_PRINTABLE_RE = re.compile(r"^[\x20-\x7e]*$")
+def _line_printable(ln: str) -> bool:
+    """Emitter-printable line: every char printable in the libyaml
+    sense (str.isprintable is the proxy: excludes controls, NEL/LS/PS
+    and other separators — those take the double-quoted escape
+    path)."""
+    return ln == "" or ln.isprintable()
+
+
+# libyaml write_double_quoted_scalar shorthand escapes; everything
+# else below 0x20 (and DEL) becomes \xXX with uppercase hex.
+_DQ_SHORT = {
+    "\x00": "\\0", "\a": "\\a", "\b": "\\b", "\t": "\\t",
+    "\n": "\\n", "\v": "\\v", "\f": "\\f", "\r": "\\r",
+    "\x1b": "\\e", '"': '\\"', "\\": "\\\\", "\x85": "\\N",
+    "\xa0": "\\_", " ": "\\L", " ": "\\P",
+}
+
+
+def _dq_escape(s: str) -> str | None:
+    """Double-quoted emission with libyaml's escape choices — the
+    fallback style for scalars no other style can carry (controls,
+    tabs, space-break multilines)."""
+    out: list[str] = []
+    for ch in s:
+        o = ord(ch)
+        if ch in _DQ_SHORT:
+            out.append(_DQ_SHORT[ch])
+        elif o < 0x20 or o == 0x7F:
+            out.append("\\x%02X" % o)
+        elif ch.isprintable():
+            out.append(ch)
+        else:
+            return None  # exotic non-printables: outside the subset
+    return '"' + "".join(out) + '"'
 
 
 def _emit_string_scalar(s: str, indent: int) -> str | None:
     """Re-emit a STRING-typed scalar the way yaml.v3's encoder +
     libyaml emitter choose styles (encode.go stringv →
-    yaml_emitter_analyze_scalar): multiline → literal block, resolves-
+    yaml_emitter_analyze_scalar): multiline → literal block (keep
+    chomping for trailing blank lines), block-unrepresentable or
+    control-bearing → double-quoted with libyaml escapes, resolves-
     to-other-type or empty → double-quoted, plain-unsafe → single-
     quoted, else plain. Returns the emitted fragment (which may span
     lines for literal style) or None outside the subset."""
@@ -337,22 +395,24 @@ def _emit_string_scalar(s: str, indent: int) -> str | None:
         if not s.endswith("\n"):
             body, chomp = s, "-"
         elif s.endswith("\n\n"):
-            return None  # |+ keep-chomping: outside the subset
+            body, chomp = s[:-1], "+"   # keep trailing blank lines
         else:
             body, chomp = s[:-1], ""
         lines = body.split("\n")
         pad = " " * (indent + 4)
-        if lines[0].startswith(" "):
-            return None  # would need an indentation indicator
-        for ln in lines:
-            if ln.endswith(" ") or "\t" in ln:
-                return None  # space-break / tabs: outside the subset
-            if not _ASCII_PRINTABLE_RE.match(ln):
-                return None
+        block_ok = not lines[0].startswith(" ") \
+            and any(ln != "" for ln in lines) \
+            and all(not ln.endswith(" ") and "\t" not in ln
+                    and _line_printable(ln) for ln in lines)
+        if not block_ok:
+            # libyaml: scalars block style can't carry (leading-space
+            # first line, space-break, tabs, controls) fall back to
+            # single-line double-quoted with escaped breaks
+            return _dq_escape(s)
         return "|" + chomp + "\n" + "\n".join(
             (pad + ln) if ln else "" for ln in lines)
-    if "\t" in s or not _ASCII_PRINTABLE_RE.match(s):
-        return None
+    if "\t" in s or not _line_printable(s):
+        return _dq_escape(s)
     if s == "" or _RESOLVES_NONSTR_RE.match(s):
         return '"' + s + '"'  # keep string-typed: double-quoted
     if _plain_unsafe(s):
@@ -394,6 +454,10 @@ def _yaml_roundtrip(raw: str) -> str | None:
     cur_map: list[tuple[str, object]] | None = None
     cur_key: str | None = None
     lines = raw.split("\n")
+    if lines and lines[-1] == "":
+        # final-newline artifact of split — NOT a blank content line
+        # (keep-chomped block scalars would otherwise count it)
+        lines.pop()
     li = 0
     while li < len(lines):
         line = lines[li]
@@ -426,7 +490,7 @@ def _yaml_roundtrip(raw: str) -> str | None:
         if not _plain_scalar_ok(key):
             return None
         parsed: object = val
-        if val in ("|", "|-", "|+", ">", ">-", ">+"):
+        if re.match(r"^[|>][1-9+-]{0,2}$", val):
             blk = _parse_block_scalar(lines, li - 1, indent, val)
             if blk is None:
                 return None
@@ -514,6 +578,14 @@ def _plain_scalar_ok(s: str) -> bool:
         return True
     if _NUMERICISH_RE.match(s):
         return False
+    if any(ord(ch) > 127 for ch in s):
+        # non-ASCII: printable non-space chars are plain-safe in
+        # libyaml (emitted literally, not escaped) — project them to
+        # a letter so the ASCII positional rules still apply
+        if any(ord(ch) > 127 and (not ch.isprintable() or ch.isspace())
+               for ch in s):
+            return False
+        s = "".join("A" if ord(ch) > 127 else ch for ch in s)
     if _PLAIN_RE.match(s) is None:
         return False
     # Values yaml.v3 would quote or retype round-trip differently.

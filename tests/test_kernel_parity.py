@@ -648,12 +648,27 @@ class TestYamlScalarStyles:
         got = self._rt("m:\n  k: '007'\nl:\n  - 'true'\n  - plain\n")
         assert got == 'l:\n    - "true"\n    - plain\nm:\n    k: "007"\n'
 
+    def test_previously_out_of_subset_now_canonical(self):
+        # r5 extensions: tabs/controls -> double-quoted escapes, keep
+        # chomping -> |+, explicit indent indicators parse (and drop
+        # when unnecessary), \x/\u escapes decode, non-ASCII plain
+        assert self._rt('a: "tab\\there"\n') == 'a: "tab\\there"\n'
+        assert self._rt('a: "keep\\n\\n"\n') == "a: |+\n    keep\n\n"
+        # indicator 4 + 6-space line: two spaces are CONTENT, and the
+        # leading-space single-line result single-quotes
+        assert self._rt("a: |4-\n      x\n") == "a: '  x'\n"
+        assert self._rt("a: |2\n  x\n  y\n") == "a: |\n    x\n    y\n"
+        assert self._rt("a: |+\n  x\n\n") == "a: |+\n    x\n\n"
+        assert self._rt('a: "caf\\u00e9 \\x21"\n') == "a: café !\n"
+        assert self._rt("a: café au lait\n") == "a: café au lait\n"
+        assert self._rt('a: "bell\\a"\n') == 'a: "bell\\a"\n'
+
     def test_out_of_subset_returns_none(self):
-        assert self._rt('a: "tab\\there"\n') is None
-        assert self._rt('a: "keep\\n\\n"\n') is None  # |+ chomping
-        assert self._rt("a: |4-\n      x\n") is None  # indent indicator
         assert self._rt("a: 'unterminated\n") is None
         assert self._rt('a: "bad \\q escape"\n') is None
+        assert self._rt('a: "\\uD800"\n') is None   # lone surrogate
+        assert self._rt("a: >+\n  one\n\n") is None  # folded keep
+        assert self._rt("a: |0\n  x\n") is None      # zero indicator
 
     def test_full_extract_path(self):
         from pdf_to_text_extraction_service_spark.kernel import structured
@@ -684,7 +699,11 @@ class TestYamlCanonicalFixedPoint:
                               fullmatch=True)
         tricky = st.sampled_from(
             ["123", "true", "yes", "0x1f", "x: y", " lead", "trail ",
-             "#h", "it's", "", "1.50", "a\nb", "a\nb\n", "v1.2-rc"])
+             "#h", "it's", "", "1.50", "a\nb", "a\nb\n", "v1.2-rc",
+             # r5 extensions: keep-chomping, tabs/controls (double-
+             # quoted escapes), non-ASCII plain, space-break fallback
+             "a\nb\n\n", "keep\n\n\n", "tab\there", "bell\x07",
+             "café", "naïve text", "sp \nx", "\tlead\nnext"])
         value = st.one_of(plain, tricky)
 
         def render(v: str) -> str:
@@ -699,20 +718,25 @@ class TestYamlCanonicalFixedPoint:
         def run(d):
             lines = []
             for k, v in d.items():
-                if "\n" in v:
+                block_ok = "\n" in v and "\t" not in v \
+                    and not v.startswith(" ") \
+                    and all(ln == ln.rstrip() for ln in v.split("\n"))
+                if block_ok:
                     if not v.endswith("\n"):
                         body, hdr = v, "|-"
                     elif v.endswith("\n\n"):
-                        return  # |+ territory: out of subset by design
+                        body, hdr = v[:-1], "|+"   # keep chomping
                     else:
                         body, hdr = v[:-1], "|"
-                    if any(ln != ln.strip() or "\t" in ln
-                           for ln in body.split("\n")) \
-                            or body.startswith(" "):
-                        return
                     lines.append(f"{k}: {hdr}")
                     lines.extend("  " + ln if ln else ""
                                  for ln in body.split("\n"))
+                elif "\n" in v or any(ord(c) < 0x20 for c in v):
+                    # render via double-quoted escapes
+                    dq = v.replace("\\", "\\\\").replace('"', '\\"') \
+                        .replace("\n", "\\n").replace("\t", "\\t") \
+                        .replace("\x07", "\\a")
+                    lines.append(f'{k}: "{dq}"')
                 else:
                     esc = v.replace("'", "''")
                     lines.append(f"{k}: '{esc}'")
