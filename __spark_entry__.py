@@ -1309,6 +1309,45 @@ def _q_audio_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vbr").cast("int").alias("vbr"), "error")
 
 
+def _q_media_mp4_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF box walk over synthetic MP4/M4A containers whose
+    metadata is CLOSED FORM from doc_id: brand/timescale/track layout
+    cycle by i%3 (video+audio / audio-only / two video tracks where
+    the larger wins the dims), mvhd v0/v1 alternate, every 9th payload
+    is garbage -> the walker's exact error string.  Oracle is pure
+    arithmetic."""
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        mp4_features,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import mp4box
+
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+    ids = [r["doc_id"] for r in docs.collect()]
+
+    def payload(i: int) -> bytes:
+        if i % 9 == 0:
+            return b"not a container"
+        ts = (1000, 44100, 90000)[i % 3]
+        dur = ts * (30 + i % 60) + (i % 7) * 13
+        w = 320 + 16 * (i % 10)
+        h = 240 + 16 * (i % 5)
+        if i % 3 == 0:
+            brand, tracks = "isom", [("vide", "avc1", w, h),
+                                     ("soun", "mp4a", 0, 0)]
+        elif i % 3 == 1:
+            brand, tracks = "M4A", [("soun", "mp4a", 0, 0)]
+        else:
+            brand, tracks = "mp42", [("vide", "hvc1", w, h),
+                                     ("vide", "avc1", 64, 48)]
+        return mp4box.encode_mp4(brand, ts, dur, tracks,
+                                 mvhd_v1=bool(i % 2))
+
+    media = spark.createDataFrame(
+        [(i, payload(i)) for i in ids], "media_id long, payload binary")
+    return mp4_features(media)
+
+
 def _q_ocr_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processOCROnly post-processing (image.go:218-263) over sidecar
     OCR page markdown built from documents: page 1 is the doc text
@@ -1401,6 +1440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ocr_clean_docs": _q_ocr_clean_docs,
     "audio_transcripts": _q_audio_transcripts,
     "audio_mp3_features": _q_audio_mp3_features,   # NEW r5
+    "media_mp4_features": _q_media_mp4_features,   # NEW r5
     "multimodal_image_features": _q_multimodal_features,
     "dedup_image_dhash": _q_dedup_image_dhash,
     "decontam_benchmark": _q_decontam_benchmark,
@@ -1427,8 +1467,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_bpe": _q_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
     "quality_scores_docs": _q_quality_scores,
-    "streaming_extract_docs": _q_streaming_extract,
     # --- TAIL: r4 hash-green, stable, pytest-parity-covered ---
+    "streaming_extract_docs": _q_streaming_extract,
     "streaming_bitemporal_dedup": _q_streaming_bitemporal,
     "extract_yaml_docs": _q_extract_yaml,
     "extract_doc_docs": _q_extract_doc,
@@ -2693,6 +2733,52 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END
                         AS INTEGER) AS sum_page_words
             FROM documents WHERE doc_id < 100
+        """,
+        # MP4 oracle: pure doc_id arithmetic mirroring the synthetic
+        # container layout; duration_ms floors at the timescale.
+        "media_mp4_features": """
+            WITH p AS (
+                SELECT doc_id AS media_id,
+                       (CASE doc_id % 3 WHEN 0 THEN 1000
+                            WHEN 1 THEN 44100 ELSE 90000 END) AS ts,
+                       doc_id % 9 = 0 AS bad,
+                       doc_id % 3 AS kind,
+                       320 + 16 * (doc_id % 10) AS w,
+                       240 + 16 * (doc_id % 5) AS h,
+                       30 + doc_id % 60 AS secs,
+                       (doc_id % 7) * 13 AS extra
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT media_id,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 0 THEN 'isom'
+                        WHEN kind = 1 THEN 'M4A'
+                        ELSE 'mp42' END AS brand,
+                   CASE WHEN bad THEN NULL
+                        ELSE (ts * secs + extra) * 1000 // ts END
+                       ::BIGINT AS duration_ms,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 1 THEN 1 ELSE 2 END
+                       ::INTEGER AS n_tracks,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 1 THEN 0 ELSE 1 END
+                       ::INTEGER AS has_video,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 2 THEN 0 ELSE 1 END
+                       ::INTEGER AS has_audio,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 1 THEN 0 ELSE w END
+                       ::INTEGER AS width,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 1 THEN 0 ELSE h END
+                       ::INTEGER AS height,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 0 THEN 'avc1,mp4a'
+                        WHEN kind = 1 THEN 'mp4a'
+                        ELSE 'avc1,hvc1' END AS codecs,
+                   CASE WHEN bad THEN 'mp4: bad box size'
+                        ELSE NULL END AS error
+            FROM p
         """,
         # MP3 oracle: pure doc_id arithmetic mirroring the fixture
         # parameters (n frames, rate cycle, CBR/VBR pattern) — never

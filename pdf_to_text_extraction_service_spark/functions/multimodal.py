@@ -509,6 +509,61 @@ def mp3_features(df: DataFrame, id_col: str = "media_id",
         _run, schema=MP3_FEATURES_SCHEMA)
 
 
+MP4_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("brand", StringType()),
+    StructField("duration_ms", LongType()),
+    StructField("n_tracks", IntegerType()),
+    StructField("has_video", IntegerType()),
+    StructField("has_audio", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("codecs", StringType()),
+    StructField("error", StringType()),
+])
+
+
+def mp4_features(df: DataFrame, id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """ISO-BMFF (MP4/M4A/MOV) box walk (kernel/mp4box.parse_mp4) ->
+    container curation signals: duration, track inventory, video
+    dimensions, codec fourccs.  Headers only, no codec decode;
+    malformed containers surface as error rows, never exceptions."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import mp4box
+
+        cols = ("media_id", "brand", "duration_ms", "n_tracks",
+                "has_video", "has_audio", "width", "height",
+                "codecs", "error")
+        for batch in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                try:
+                    st = mp4box.parse_mp4(payload)
+                    out["brand"].append(st["brand"])
+                    out["duration_ms"].append(st["duration_ms"])
+                    out["n_tracks"].append(st["n_tracks"])
+                    out["has_video"].append(int(st["has_video"]))
+                    out["has_audio"].append(int(st["has_audio"]))
+                    out["width"].append(st["width"])
+                    out["height"].append(st["height"])
+                    out["codecs"].append(st["codecs"])
+                    out["error"].append(None)
+                except Exception as exc:
+                    for k in cols[1:-1]:
+                        out[k].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=MP4_FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 2,
                   id_col: str = "media_id",
                   payload_col: str = "payload") -> DataFrame:

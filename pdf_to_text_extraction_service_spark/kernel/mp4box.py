@@ -1,0 +1,195 @@
+"""ISO-BMFF (MP4/M4A/MOV) box walk — container metadata without codec
+decode.
+
+The reference accepts .mp4/.m4v/.mov video and .m4a/.aac audio purely
+to ship them to external transcription APIs
+(internal/extractors/video/transcribe.go:30-41,
+audio/transcribe.go:29-38 — that leg stays failure-coded offline).
+What a curation pipeline needs BEFORE any model sees the bytes is the
+container metadata: duration, track inventory, video dimensions,
+codec fourccs — all available from the box structure alone
+(ISO/IEC 14496-12, public spec), the same header-walk strategy as
+kernel/audiocodec.parse_mp3.
+
+Subset: top-level box walk + recursion through moov/trak/mdia/minf/
+stbl; mvhd (v0/v1) for timescale+duration, tkhd (v0/v1) for track
+dims, hdlr for track kind, stsd for the sample-entry fourcc.  Bomb
+caps: box count and recursion depth.  Malformed input raises
+ValueError (callers surface error rows).
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAX_BOXES = 4096       # walk bomb cap
+MAX_DEPTH = 8
+
+_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+
+
+class _Walk:
+    __slots__ = ("boxes",)
+
+    def __init__(self) -> None:
+        self.boxes = 0
+
+
+def _iter_boxes(data: bytes, start: int, end: int, walk: _Walk):
+    pos = start
+    while pos + 8 <= end:
+        walk.boxes += 1
+        if walk.boxes > MAX_BOXES:
+            raise ValueError("mp4: too many boxes")
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated largesize")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos   # box extends to end of enclosing scope
+        if size < hdr or pos + size > end:
+            raise ValueError("mp4: bad box size")
+        yield btype, pos + hdr, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("mp4: trailing bytes are not a box")
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Container metadata: ``brand``, ``duration_ms`` (mvhd),
+    ``n_tracks``, ``has_video``/``has_audio``, ``width``/``height``
+    (largest video tkhd, 16.16 fixed -> integer), ``codecs``
+    (sorted unique stsd fourccs, comma-joined).  Integer-only math so
+    synthetic-box oracles are closed-form."""
+    if len(data) < 8:
+        raise ValueError("mp4: too short")
+    walk = _Walk()
+    brand = None
+    timescale = None
+    duration = None
+    n_tracks = 0
+    has_video = False
+    has_audio = False
+    width = height = 0
+    codecs: set[str] = set()
+
+    def walk_trak(s: int, e: int, depth: int) -> None:
+        nonlocal n_tracks, has_video, has_audio, width, height
+        n_tracks += 1
+        kind = None
+        t_w = t_h = 0
+        for btype, bs, be in _iter_boxes(data, s, e, walk):
+            if btype == b"tkhd":
+                ver = data[bs]
+                # v0: c(4) m(4) id(4) res(4) dur(4) ... w/h are the
+                # LAST 8 payload bytes (after reserved+matrix), both
+                # versions
+                if be - bs >= 8:
+                    t_w, t_h = struct.unpack_from(">II", data, be - 8)
+                    t_w >>= 16   # 16.16 fixed point
+                    t_h >>= 16
+                _ = ver
+            elif btype == b"mdia":
+                for b2, s2, e2 in _iter_boxes(data, bs, be, walk):
+                    if b2 == b"hdlr" and e2 - s2 >= 12:
+                        kind = data[s2 + 8:s2 + 12]
+                    elif b2 == b"minf":
+                        for b3, s3, e3 in _iter_boxes(
+                                data, s2, e2, walk):
+                            if b3 != b"stbl":
+                                continue
+                            for b4, s4, e4 in _iter_boxes(
+                                    data, s3, e3, walk):
+                                if b4 == b"stsd" and e4 - s4 >= 16:
+                                    codecs.add(
+                                        data[s4 + 12:s4 + 16]
+                                        .decode("latin-1"))
+        if kind == b"vide":
+            has_video = True
+            if t_w * t_h >= width * height:
+                width, height = t_w, t_h
+        elif kind == b"soun":
+            has_audio = True
+
+    for btype, bs, be in _iter_boxes(data, 0, len(data), walk):
+        if btype == b"ftyp":
+            if be - bs < 4:
+                raise ValueError("mp4: truncated ftyp")
+            brand = data[bs:bs + 4].decode("latin-1").strip()
+        elif btype == b"moov":
+            for b2, s2, e2 in _iter_boxes(data, bs, be, walk):
+                if b2 == b"mvhd":
+                    ver = data[s2]
+                    if ver == 1:
+                        if e2 - s2 < 28:
+                            raise ValueError("mp4: truncated mvhd")
+                        timescale, duration = struct.unpack_from(
+                            ">IQ", data, s2 + 20)
+                    else:
+                        if e2 - s2 < 24:
+                            raise ValueError("mp4: truncated mvhd")
+                        timescale, duration = struct.unpack_from(
+                            ">II", data, s2 + 12)
+                elif b2 == b"trak":
+                    walk_trak(s2, e2, 3)
+    if brand is None or timescale is None:
+        raise ValueError("mp4: missing ftyp/mvhd")
+    if timescale == 0:
+        raise ValueError("mp4: zero timescale")
+    return {
+        "brand": brand,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": n_tracks,
+        "has_video": has_video,
+        "has_audio": has_audio,
+        "width": width,
+        "height": height,
+        "codecs": ",".join(sorted(codecs)),
+    }
+
+
+# --------------------------------------------------------- fixtures
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+
+def _full(btype: bytes, version: int, payload: bytes) -> bytes:
+    return _box(btype, bytes([version, 0, 0, 0]) + payload)
+
+
+def encode_mp4(brand: str = "isom", timescale: int = 1000,
+               duration: int = 0,
+               tracks: list[tuple[str, str, int, int]] | None = None,
+               mvhd_v1: bool = False) -> bytes:
+    """Synthetic ISO-BMFF container: every parse_mp4 output is
+    closed-form from the arguments.  ``tracks`` entries are
+    ``(kind, codec_fourcc, width, height)`` with kind 'vide'/'soun'
+    (the fixture analog of encode_mp3_frames)."""
+    ftyp = _box(b"ftyp", brand.encode("latin-1").ljust(4) + b"\x00" * 8)
+    if mvhd_v1:
+        mvhd = _full(b"mvhd", 1, struct.pack(
+            ">QQIQ", 0, 0, timescale, duration) + b"\x00" * 80)
+    else:
+        mvhd = _full(b"mvhd", 0, struct.pack(
+            ">IIII", 0, 0, timescale, duration) + b"\x00" * 80)
+    traks = b""
+    for kind, codec, w, h in (tracks or []):
+        tkhd = _full(b"tkhd", 0, b"\x00" * 72
+                     + struct.pack(">II", w << 16, h << 16))
+        hdlr = _full(b"hdlr", 0, b"\x00" * 4
+                     + kind.encode("latin-1") + b"\x00" * 12)
+        stsd = _full(b"stsd", 0, struct.pack(">I", 1)
+                     + struct.pack(">I4s", 16,
+                                   codec.encode("latin-1"))
+                     + b"\x00" * 8)
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", hdlr + minf)
+        traks += _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + traks)
+    return ftyp + moov

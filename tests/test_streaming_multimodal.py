@@ -310,3 +310,54 @@ def test_mp3_mutation_fuzz_never_raises_wrong_type():
             assert st["n_frames"] >= 1
         except ValueError:
             pass  # error envelope; any other exception type fails
+
+
+def test_mp4_box_walk_closed_form():
+    from pdf_to_text_extraction_service_spark.kernel import mp4box as m
+
+    st = m.parse_mp4(m.encode_mp4(
+        "isom", 1000, 90500,
+        [("vide", "avc1", 1280, 720), ("soun", "mp4a", 0, 0)]))
+    assert st == {"brand": "isom", "duration_ms": 90500,
+                  "n_tracks": 2, "has_video": True, "has_audio": True,
+                  "width": 1280, "height": 720, "codecs": "avc1,mp4a"}
+    # 64-bit mvhd v1, audio-only M4A
+    st = m.parse_mp4(m.encode_mp4(
+        "M4A", 44100, 44100 * 123, [("soun", "mp4a", 0, 0)],
+        mvhd_v1=True))
+    assert st["duration_ms"] == 123000 and st["has_video"] is False
+    # two video tracks: the larger one wins the dims
+    st = m.parse_mp4(m.encode_mp4(
+        "mp42", 90000, 90000, [("vide", "hvc1", 640, 480),
+                               ("vide", "avc1", 64, 48)]))
+    assert (st["width"], st["height"]) == (640, 480)
+    assert st["codecs"] == "avc1,hvc1"
+
+
+def test_mp4_rejects_malformed():
+    import pytest
+    from pdf_to_text_extraction_service_spark.kernel import mp4box as m
+
+    for bad in (b"", b"abc", b"\x00" * 24,
+                b"\x00\x00\x00\x08ftyp",
+                b"\xff\xff\xff\xffmoov" + b"\x00" * 8):
+        with pytest.raises(ValueError):
+            m.parse_mp4(bad)
+
+
+def test_mp4_mutation_fuzz_never_raises_wrong_type():
+    import random
+    from pdf_to_text_extraction_service_spark.kernel import mp4box as m
+
+    rnd = random.Random(55)
+    base = m.encode_mp4("isom", 1000, 5000,
+                        [("vide", "avc1", 320, 240),
+                         ("soun", "mp4a", 0, 0)])
+    for _ in range(200):
+        blob = bytearray(base)
+        for _ in range(rnd.randint(1, 6)):
+            blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+        try:
+            m.parse_mp4(bytes(blob))
+        except ValueError:
+            pass  # error envelope; other exception types fail
