@@ -1309,6 +1309,45 @@ def _q_audio_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vbr").cast("int").alias("vbr"), "error")
 
 
+def _q_audio_container_features(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO + OGG Vorbis/Opus page walks over synthetic
+    containers whose signals are CLOSED FORM from doc_id: kind cycles
+    flac / ogg-vorbis / ogg-opus by i%3, every 7th payload is garbage
+    -> the dispatcher's exact error string.  Opus durations subtract
+    the pre-skip at 48 kHz per RFC 7845.  Oracle is pure
+    arithmetic."""
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        container_audio_features,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import audiocodec
+
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+    ids = [r["doc_id"] for r in docs.collect()]
+
+    def payload(i: int) -> bytes:
+        if i % 7 == 0:
+            return b"xxjunk audio"
+        ch = 1 + i % 2
+        if i % 3 == 0:
+            rate = 44100 + (i % 5) * 2205
+            total = rate * (10 + i % 20) + i % 13
+            return audiocodec.encode_flac_header(rate, ch, 16, total)
+        if i % 3 == 1:
+            granule = 44100 * (5 + i % 10) + i % 11
+            return audiocodec.encode_ogg("vorbis", 44100, ch,
+                                         granule=granule, pages=3)
+        granule = 48000 * (3 + i % 7) + 312 + i % 9
+        return audiocodec.encode_ogg("opus", 48000, ch,
+                                     granule=granule, pre_skip=312,
+                                     pages=4)
+
+    media = spark.createDataFrame(
+        [(i, payload(i)) for i in ids], "media_id long, payload binary")
+    return container_audio_features(media)
+
+
 def _q_media_mp4_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-BMFF box walk over synthetic MP4/M4A containers whose
     metadata is CLOSED FORM from doc_id: brand/timescale/track layout
@@ -1441,6 +1480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_transcripts": _q_audio_transcripts,
     "audio_mp3_features": _q_audio_mp3_features,   # NEW r5
     "media_mp4_features": _q_media_mp4_features,   # NEW r5
+    "audio_container_features": _q_audio_container_features,  # NEW r5
     "multimodal_image_features": _q_multimodal_features,
     "dedup_image_dhash": _q_dedup_image_dhash,
     "decontam_benchmark": _q_decontam_benchmark,
@@ -1465,12 +1505,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_lang": _q_stratified_sample,
     "lang_id_heuristic": _q_lang_id,
     "token_count_bpe": _q_token_count,
+    "extract_yaml_docs": _q_extract_yaml,  # YAML subset extended r5
+    # --- TAIL: r4 hash-green, stable, pytest-parity-covered ---
     "doc_fingerprint": _q_doc_fingerprint,
     "quality_scores_docs": _q_quality_scores,
-    # --- TAIL: r4 hash-green, stable, pytest-parity-covered ---
     "streaming_extract_docs": _q_streaming_extract,
     "streaming_bitemporal_dedup": _q_streaming_bitemporal,
-    "extract_yaml_docs": _q_extract_yaml,
     "extract_doc_docs": _q_extract_doc,
     "extract_xls_docs": _q_extract_xls,
     "extract_ppt_docs": _q_extract_ppt,
@@ -2733,6 +2773,46 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END
                         AS INTEGER) AS sum_page_words
             FROM documents WHERE doc_id < 100
+        """,
+        # Container-audio oracle (FLAC / OGG Vorbis / Opus): pure
+        # doc_id arithmetic mirroring the synthetic headers; opus
+        # duration = (granule - pre_skip) at 48 kHz per RFC 7845.
+        "audio_container_features": """
+            WITH p AS (
+                SELECT doc_id AS media_id,
+                       doc_id % 7 = 0 AS bad,
+                       doc_id % 3 AS kind,
+                       1 + doc_id % 2 AS ch,
+                       44100 + (doc_id % 5) * 2205 AS frate,
+                       10 + doc_id % 20 AS fsecs,
+                       doc_id % 13 AS fextra,
+                       44100 * (5 + doc_id % 10) + doc_id % 11
+                           AS vgran,
+                       48000 * (3 + doc_id % 7) + doc_id % 9
+                           AS osamp
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT media_id,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 0 THEN 'flac'
+                        WHEN kind = 1 THEN 'vorbis'
+                        ELSE 'opus' END AS codec,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 0 THEN frate
+                        WHEN kind = 1 THEN 44100
+                        ELSE 48000 END
+                       ::INTEGER AS sample_rate,
+                   CASE WHEN bad THEN NULL ELSE ch END
+                       ::INTEGER AS channels,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 0 THEN
+                          (frate * fsecs + fextra) * 1000 // frate
+                        WHEN kind = 1 THEN vgran * 1000 // 44100
+                        ELSE osamp * 1000 // 48000 END
+                       ::BIGINT AS duration_ms,
+                   CASE WHEN bad THEN 'unsupported audio container'
+                        ELSE NULL END AS error
+            FROM p
         """,
         # MP4 oracle: pure doc_id arithmetic mirroring the synthetic
         # container layout; duration_ms floors at the timescale.

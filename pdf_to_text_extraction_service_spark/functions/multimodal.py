@@ -564,6 +564,61 @@ def mp4_features(df: DataFrame, id_col: str = "media_id",
         _run, schema=MP4_FEATURES_SCHEMA)
 
 
+CONTAINER_AUDIO_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("codec", StringType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("duration_ms", LongType()),
+    StructField("error", StringType()),
+])
+
+
+def container_audio_features(df: DataFrame, id_col: str = "media_id",
+                             payload_col: str = "payload") -> DataFrame:
+    """Magic-sniffed container-audio signals: FLAC STREAMINFO
+    (kernel/audiocodec.parse_flac) and OGG Vorbis/Opus page walks
+    (parse_ogg) -> codec / rate / channels / duration.  Together with
+    the WAV decoder and MP3 frame walk this covers the reference's
+    audio extension list header-first; malformed payloads surface as
+    error rows."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import audiocodec
+
+        cols = ("media_id", "codec", "sample_rate", "channels",
+                "duration_ms", "error")
+        for batch in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                try:
+                    if payload.startswith(b"fLaC"):
+                        st = audiocodec.parse_flac(payload)
+                        st = {"codec": "flac", **st}
+                    elif payload.startswith(b"OggS"):
+                        st = audiocodec.parse_ogg(payload)
+                    else:
+                        raise ValueError(
+                            "unsupported audio container")
+                    out["codec"].append(st["codec"])
+                    out["sample_rate"].append(st["sample_rate"])
+                    out["channels"].append(st["channels"])
+                    out["duration_ms"].append(st["duration_ms"])
+                    out["error"].append(None)
+                except Exception as exc:
+                    for k in cols[1:-1]:
+                        out[k].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=CONTAINER_AUDIO_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 2,
                   id_col: str = "media_id",
                   payload_col: str = "payload") -> DataFrame:

@@ -162,7 +162,6 @@ def parse_mp3(data: bytes) -> dict:
     rate = None
     channels = None
     sum_kbps = 0
-    rates_seen: set[int] = set()
     kbps_seen: set[int] = set()
     while pos + 4 <= n:
         b0, b1, b2, b3 = data[pos:pos + 4]
@@ -190,7 +189,6 @@ def parse_mp3(data: bytes) -> dict:
             raise ValueError("mp3: too many frames")
         sum_kbps += kbps
         kbps_seen.add(kbps)
-        rates_seen.add(sr)
         frame_len = 144000 * kbps // sr + padding
         if frame_len <= 4:
             raise ValueError("mp3: degenerate frame length")
@@ -233,3 +231,162 @@ def encode_mp3_frames(frame_kbps: list[int], rate: int = 44100,
         frame_len = 144000 * kbps // rate + padding
         out += hdr + b"\x00" * (frame_len - 4)
     return bytes(out)
+
+
+# --- FLAC STREAMINFO ------------------------------------------------
+#
+# .flac is in the reference's audio extension list (transcribe.go:
+# 29-38).  The mandatory first metadata block (STREAMINFO, RFC 9639
+# §8.2) carries every curation signal without decoding any audio
+# frame: sample rate (20 bits), channels (3 bits + 1), bit depth
+# (5 bits + 1), total samples (36 bits).
+
+def parse_flac(data: bytes) -> dict:
+    """FLAC header -> ``(sample_rate, channels, bits_per_sample,
+    total_samples, duration_ms)``.  Integer-only; raises ValueError
+    on anything that is not a FLAC stream with a valid STREAMINFO."""
+    if len(data) < 4 + 4 + 34 or data[:4] != b"fLaC":
+        raise ValueError("flac: bad magic or truncated")
+    hdr = data[4]
+    if (hdr & 0x7F) != 0:   # block type 0 = STREAMINFO, must be first
+        raise ValueError("flac: first block is not STREAMINFO")
+    size = int.from_bytes(data[5:8], "big")
+    if size < 34:
+        raise ValueError("flac: STREAMINFO too short")
+    b = data[8:8 + 34]
+    # bytes 10..17 pack rate(20) chans(3) bits(5) total(36)
+    packed = int.from_bytes(b[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("flac: zero sample rate")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "total_samples": total,
+        "duration_ms": total * 1000 // rate,
+    }
+
+
+def encode_flac_header(rate: int = 44100, channels: int = 2,
+                       bits: int = 16, total_samples: int = 0) -> bytes:
+    """Synthetic FLAC stream header (STREAMINFO only, marked last
+    block): every parse_flac output is closed-form from the
+    arguments."""
+    packed = (rate << 44) | ((channels - 1) << 41) \
+        | ((bits - 1) << 36) | total_samples
+    streaminfo = (b"\x00" * 10          # block sizes / frame sizes
+                  + packed.to_bytes(8, "big")
+                  + b"\x00" * 16)       # md5
+    return (b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + streaminfo)
+
+
+# --- OGG (Vorbis / Opus) page walk ----------------------------------
+#
+# .ogg and .opus cover the remaining common crawl audio types in the
+# reference's list.  Page headers (RFC 3533) plus the first packet's
+# id header (Vorbis I §4.2.2 / RFC 7845 §5.1) give codec, channels,
+# rate, and — from the LAST page's granule position — duration,
+# without decoding audio.
+
+MAX_OGG_PAGES = 1 << 20
+
+
+def parse_ogg(data: bytes) -> dict:
+    """OGG container -> ``(codec, sample_rate, channels,
+    duration_ms)``.  Granule semantics: Vorbis granule = PCM samples
+    at the stream rate; Opus granule = 48 kHz samples minus pre-skip
+    (RFC 7845 §4).  Raises ValueError on malformed streams."""
+    if len(data) < 28 or data[:4] != b"OggS":
+        raise ValueError("ogg: bad capture pattern")
+    pos = 0
+    n = len(data)
+    pages = 0
+    first_payload = None
+    last_granule = 0
+    while pos + 27 <= n:
+        if data[pos:pos + 4] != b"OggS" or data[pos + 4] != 0:
+            raise ValueError(f"ogg: bad page header at {pos}")
+        pages += 1
+        if pages > MAX_OGG_PAGES:
+            raise ValueError("ogg: too many pages")
+        granule = int.from_bytes(data[pos + 6:pos + 14], "little",
+                                 signed=True)
+        nsegs = data[pos + 26]
+        lacing = data[pos + 27:pos + 27 + nsegs]
+        if len(lacing) < nsegs:
+            raise ValueError("ogg: truncated lacing table")
+        body_len = sum(lacing)
+        body_start = pos + 27 + nsegs
+        if body_start + body_len > n:
+            # truncated final page: keep previous granule, stop
+            break
+        if first_payload is None:
+            first_payload = data[body_start:body_start + body_len]
+        if granule >= 0:
+            last_granule = granule
+        pos = body_start + body_len
+    if first_payload is None:
+        raise ValueError("ogg: no complete pages")
+    if first_payload.startswith(b"\x01vorbis"):
+        if len(first_payload) < 16:
+            raise ValueError("ogg: truncated vorbis id header")
+        channels = first_payload[11]
+        rate = int.from_bytes(first_payload[12:16], "little")
+        if rate == 0 or channels == 0:
+            raise ValueError("ogg: bad vorbis id header")
+        return {"codec": "vorbis", "sample_rate": rate,
+                "channels": channels,
+                "duration_ms": last_granule * 1000 // rate}
+    if first_payload.startswith(b"OpusHead"):
+        if len(first_payload) < 19:
+            raise ValueError("ogg: truncated opus id header")
+        channels = first_payload[9]
+        pre_skip = int.from_bytes(first_payload[10:12], "little")
+        rate = int.from_bytes(first_payload[12:16], "little")
+        if channels == 0:
+            raise ValueError("ogg: bad opus id header")
+        samples = max(0, last_granule - pre_skip)
+        return {"codec": "opus", "sample_rate": rate or 48000,
+                "channels": channels,
+                "duration_ms": samples * 1000 // 48000}
+    raise ValueError("ogg: unknown codec id header")
+
+
+def encode_ogg(codec: str = "vorbis", rate: int = 44100,
+               channels: int = 2, granule: int = 0,
+               pre_skip: int = 312, pages: int = 2) -> bytes:
+    """Synthetic OGG stream: an id-header page plus ``pages - 1``
+    zero-payload data pages, the last carrying ``granule`` — every
+    parse_ogg output is closed-form from the arguments."""
+    def page(seq: int, g: int, body: bytes, htype: int) -> bytes:
+        lacing = []
+        rem = len(body)
+        while True:
+            lacing.append(min(rem, 255))
+            rem -= lacing[-1]
+            if lacing[-1] < 255:
+                break
+        return (b"OggS" + b"\x00" + bytes([htype])
+                + g.to_bytes(8, "little", signed=True)
+                + (1).to_bytes(4, "little")
+                + seq.to_bytes(4, "little")
+                + b"\x00" * 4
+                + bytes([len(lacing)]) + bytes(lacing) + body)
+
+    if codec == "vorbis":
+        ident = (b"\x01vorbis" + b"\x00\x00\x00\x00"
+                 + bytes([channels])
+                 + rate.to_bytes(4, "little") + b"\x00" * 13)
+    else:
+        ident = (b"OpusHead" + b"\x01" + bytes([channels])
+                 + pre_skip.to_bytes(2, "little")
+                 + rate.to_bytes(4, "little") + b"\x00\x00\x00")
+    out = page(0, 0, ident, 0x02)
+    for i in range(1, max(pages, 2)):
+        g = granule if i == max(pages, 2) - 1 else granule * i // pages
+        out += page(i, g, b"\x00\x00", 0x04 if i == pages - 1 else 0)
+    return out

@@ -805,7 +805,11 @@ def _decode_image_payload(kind: str, head: bytes, raw: bytes,
         raise PDFError("image: truncated samples")
     import numpy as np
 
-    arr = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w * ncomp)
+    # reshape so shape[1] is the PIXEL width (channels on axis 2) —
+    # otherwise a raw RGB image reports width*3
+    arr = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, ncomp) \
+        if ncomp > 1 else \
+        np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w)
     return _stats_from_array(kind, arr)
 
 
@@ -1401,16 +1405,20 @@ def extract_pdf(b: bytes, mime: str,
                 page_list: list[int] | None = None,
                 page_separator: str = PAGE_SEPARATOR,
                 include_page_nums: bool = False,
-                min_words: int = MIN_WORDS_THRESHOLD) -> Result:
+                min_words: int = MIN_WORDS_THRESHOLD,
+                doc: "PDFDoc | None" = None) -> Result:
     """pdf.go:32-61 + hybrid.go:63-142 decision structure.
 
     The keyword knobs mirror HybridProcessorOptions (types.go:3-17):
     ``page_list`` = opts.Pages (1-indexed subset; default all pages,
     hybrid.go:89-95), ``page_separator`` / ``include_page_nums`` feed
     format.Combine, ``min_words`` the quality gate. The batch engine
-    applies one option set per job (SURVEY.md §1.3)."""
+    applies one option set per job (SURVEY.md §1.3). ``doc`` lets a
+    caller that already parsed the object table (e.g. the image-stats
+    operator) skip the second parse."""
     try:
-        doc = PDFDoc(b)
+        if doc is None:
+            doc = PDFDoc(b)
         total = doc.page_count
     except (PDFError, ValueError, OverflowError) as exc:
         msg = f"page count failed: {exc}"

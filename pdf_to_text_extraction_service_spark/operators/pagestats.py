@@ -82,8 +82,9 @@ def pdf_image_ocr_stats(pages_df: DataFrame,
                 total = needs = blank = n_img = 0
                 pixels = ink = luma = 0
                 try:
-                    res = pdfk.extract_pdf(payload, "application/pdf")
                     doc = pdfk.PDFDoc(payload)
+                    res = pdfk.extract_pdf(payload, "application/pdf",
+                                           doc=doc)
                     for p in (res.pages or []):
                         total += 1
                         if p.method == "needs-ocr":

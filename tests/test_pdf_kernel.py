@@ -720,3 +720,17 @@ class TestEmbeddedImageStats:
                 doc.page_image_stats(1)
             except pdfk.PDFError:
                 pass  # failure envelope fine; other exceptions are not
+
+    def test_inline_raw_rgb_reports_pixel_width(self):
+        content = (b"q\nBI /W 2 /H 2 /CS /RGB /BPC 8 ID "
+                   + bytes(12) + b" EI\nQ\n")
+        imgs = [
+            pdfk._decode_image_payload(
+                "inline", head, data, pdfk._img_filters(head))
+            for head, data in pdfk._iter_inline_images(content)
+        ]
+        assert len(imgs) == 1
+        s = imgs[0]
+        # width is PIXELS (2), not samples-per-row (6)
+        assert (s.width, s.height, s.n_samples) == (2, 2, 12)
+        assert s.ink_samples == 12  # all zero bytes are ink

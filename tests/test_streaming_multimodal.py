@@ -361,3 +361,59 @@ def test_mp4_mutation_fuzz_never_raises_wrong_type():
             m.parse_mp4(bytes(blob))
         except ValueError:
             pass  # error envelope; other exception types fail
+
+
+def test_flac_streaminfo_closed_form():
+    import pytest
+    from pdf_to_text_extraction_service_spark.kernel import audiocodec as ac
+
+    st = ac.parse_flac(ac.encode_flac_header(48000, 2, 24,
+                                             48000 * 61 + 17))
+    assert st == {"sample_rate": 48000, "channels": 2,
+                  "bits_per_sample": 24,
+                  "total_samples": 48000 * 61 + 17,
+                  "duration_ms": 61000}
+    for bad in (b"", b"fLaC", b"fLaC\x81\x00\x00\x22" + b"\x00" * 34):
+        with pytest.raises(ValueError):
+            ac.parse_flac(bad)
+
+
+def test_ogg_vorbis_opus_closed_form():
+    import pytest
+    from pdf_to_text_extraction_service_spark.kernel import audiocodec as ac
+
+    v = ac.parse_ogg(ac.encode_ogg("vorbis", 44100, 2,
+                                   granule=44100 * 30 + 7, pages=3))
+    assert v == {"codec": "vorbis", "sample_rate": 44100,
+                 "channels": 2,
+                 "duration_ms": (44100 * 30 + 7) * 1000 // 44100}
+    o = ac.parse_ogg(ac.encode_ogg("opus", 48000, 1,
+                                   granule=48000 * 12 + 312 + 5,
+                                   pre_skip=312, pages=4))
+    assert o["codec"] == "opus"
+    assert o["duration_ms"] == (48000 * 12 + 5) * 1000 // 48000
+    for bad in (b"", b"OggS", b"OggS\x01" + b"\x00" * 30):
+        with pytest.raises(ValueError):
+            ac.parse_ogg(bad)
+
+
+def test_flac_ogg_mutation_fuzz():
+    import random
+    from pdf_to_text_extraction_service_spark.kernel import audiocodec as ac
+
+    rnd = random.Random(31)
+    bases = [ac.encode_flac_header(44100, 2, 16, 44100 * 5),
+             ac.encode_ogg("vorbis", 44100, 2, granule=44100, pages=3),
+             ac.encode_ogg("opus", 48000, 2, granule=48312, pages=3)]
+    for base in bases:
+        for _ in range(100):
+            blob = bytearray(base)
+            for _ in range(rnd.randint(1, 5)):
+                blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+            try:
+                if blob.startswith(b"fLaC"):
+                    ac.parse_flac(bytes(blob))
+                else:
+                    ac.parse_ogg(bytes(blob))
+            except ValueError:
+                pass  # error envelope; other exception types fail
