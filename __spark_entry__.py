@@ -1309,6 +1309,56 @@ def _q_audio_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vbr").cast("int").alias("vbr"), "error")
 
 
+def _q_image_codec_breadth(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """BMP/GIF real decode + WebP/AVIF dimension sniff over synthetic
+    images whose stats are CLOSED FORM from doc_id: kind cycles flat
+    gray BMP / flat RGB BMP / flat gray GIF / WebP header / AVIF
+    header by i%5; every 7th payload is garbage -> the dispatcher's
+    exact error string.  Flat images decode to their fill value, so
+    mean_sample is doc_id arithmetic ((r+g+b)//3 for RGB)."""
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        image_breadth_features,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import (
+        imgcodec,
+        mp4box,
+    )
+
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+    ids = [r["doc_id"] for r in docs.collect()]
+
+    def payload(i: int) -> bytes:
+        if i % 7 == 0:
+            return b"xx not an image"
+        kind = i % 5
+        if kind == 0:
+            v = (i * 3) % 256
+            return imgcodec.encode_bmp(
+                np.full((3 + i % 6, 4 + i % 9), v, np.uint8))
+        if kind == 1:
+            rgb = (i % 256, (i * 5) % 256, (i * 11) % 256)
+            img = np.empty((3 + i % 6, 4 + i % 9, 3), np.uint8)
+            img[:, :] = rgb
+            return imgcodec.encode_bmp(img)
+        if kind == 2:
+            v = (i * 7) % 256
+            return imgcodec.encode_gif(
+                np.full((3 + i % 6, 4 + i % 9), v, np.uint8))
+        if kind == 3:
+            variant = ("vp8", "vp8l", "vp8x")[i % 3]
+            return imgcodec.encode_webp_header(
+                100 + i % 50, 80 + i % 40, variant)
+        return mp4box.encode_avif_header(320 + i % 100, 200 + i % 80)
+
+    media = spark.createDataFrame(
+        [(i, payload(i)) for i in ids], "media_id long, payload binary")
+    return image_breadth_features(media)
+
+
 def _q_audio_container_features(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """FLAC STREAMINFO + OGG Vorbis/Opus page walks over synthetic
@@ -1481,6 +1531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_mp3_features": _q_audio_mp3_features,   # NEW r5
     "media_mp4_features": _q_media_mp4_features,   # NEW r5
     "audio_container_features": _q_audio_container_features,  # NEW r5
+    "image_codec_breadth": _q_image_codec_breadth,            # NEW r5
     "multimodal_image_features": _q_multimodal_features,
     "dedup_image_dhash": _q_dedup_image_dhash,
     "decontam_benchmark": _q_decontam_benchmark,
@@ -1504,9 +1555,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_nfc_docs": _q_normalize_nfc,
     "stratified_sample_lang": _q_stratified_sample,
     "lang_id_heuristic": _q_lang_id,
-    "token_count_bpe": _q_token_count,
     "extract_yaml_docs": _q_extract_yaml,  # YAML subset extended r5
     # --- TAIL: r4 hash-green, stable, pytest-parity-covered ---
+    "token_count_bpe": _q_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
     "quality_scores_docs": _q_quality_scores,
     "streaming_extract_docs": _q_streaming_extract,
@@ -2773,6 +2824,52 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END
                         AS INTEGER) AS sum_page_words
             FROM documents WHERE doc_id < 100
+        """,
+        # Image-codec-breadth oracle: flat BMP/GIF decode to their
+        # fill value (mean_sample = value, or (r+g+b)//3 for RGB);
+        # WebP/AVIF are dimension-only (NULL mean).
+        "image_codec_breadth": """
+            WITH p AS (
+                SELECT doc_id AS media_id,
+                       doc_id % 7 = 0 AS bad,
+                       doc_id % 5 AS kind,
+                       4 + doc_id % 9 AS bw,
+                       3 + doc_id % 6 AS bh,
+                       (doc_id * 3) % 256 AS gv,
+                       ((doc_id % 256) + (doc_id * 5) % 256
+                        + (doc_id * 11) % 256) // 3 AS rgbmean,
+                       (doc_id * 7) % 256 AS gifv,
+                       100 + doc_id % 50 AS ww,
+                       80 + doc_id % 40 AS wh,
+                       320 + doc_id % 100 AS aw,
+                       200 + doc_id % 80 AS ah
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT media_id,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind IN (0, 1) THEN 'bmp'
+                        WHEN kind = 2 THEN 'gif'
+                        WHEN kind = 3 THEN 'webp-' ||
+                          (CASE media_id % 3 WHEN 0 THEN 'vp8'
+                               WHEN 1 THEN 'vp8l' ELSE 'vp8x' END)
+                        ELSE 'avif' END AS codec,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind IN (0, 1, 2) THEN bw
+                        WHEN kind = 3 THEN ww ELSE aw END
+                       ::INTEGER AS width,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind IN (0, 1, 2) THEN bh
+                        WHEN kind = 3 THEN wh ELSE ah END
+                       ::INTEGER AS height,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 0 THEN gv
+                        WHEN kind = 1 THEN rgbmean
+                        WHEN kind = 2 THEN gifv
+                        ELSE NULL END
+                       ::BIGINT AS mean_sample,
+                   CASE WHEN bad THEN 'unsupported image container'
+                        ELSE NULL END AS error
+            FROM p
         """,
         # Container-audio oracle (FLAC / OGG Vorbis / Opus): pure
         # doc_id arithmetic mirroring the synthetic headers; opus

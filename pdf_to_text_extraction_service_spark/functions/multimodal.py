@@ -104,8 +104,16 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
         img = imgcodec.decode_jpeg(payload)
         gray = imgcodec.to_gray(img)
         return int(gray.shape[1]), int(gray.shape[0]), _hist16(gray)
+    if payload.startswith(b"BM"):
+        img = imgcodec.decode_bmp(payload)
+        gray = imgcodec.to_gray(img)
+        return int(gray.shape[1]), int(gray.shape[0]), _hist16(gray)
+    if payload.startswith(b"GIF8"):
+        img = imgcodec.decode_gif(payload)
+        gray = imgcodec.to_gray(img)
+        return int(gray.shape[1]), int(gray.shape[0]), _hist16(gray)
     raise ValueError(
-        "unsupported image format (PNG, baseline JPEG, or FAKEIMG)"
+        "unsupported image format (PNG, JPEG, BMP, GIF, or FAKEIMG)"
     )
 
 
@@ -173,9 +181,13 @@ def _decode_gray(payload: bytes):
         img = imgcodec.decode_png(payload)
     elif payload.startswith(b"\xff\xd8"):
         img = imgcodec.decode_jpeg(payload)
+    elif payload.startswith(b"BM"):
+        img = imgcodec.decode_bmp(payload)
+    elif payload.startswith(b"GIF8"):
+        img = imgcodec.decode_gif(payload)
     else:
         raise ValueError(
-            "unsupported image format (PNG, baseline JPEG, or FAKEIMG)")
+            "unsupported image format (PNG, JPEG, BMP, GIF, or FAKEIMG)")
     gray = imgcodec.to_gray(img)
     return int(gray.shape[1]), int(gray.shape[0]), gray
 
@@ -617,6 +629,72 @@ def container_audio_features(df: DataFrame, id_col: str = "media_id",
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=CONTAINER_AUDIO_SCHEMA)
+
+
+IMAGE_BREADTH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("codec", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_sample", LongType()),
+    StructField("error", StringType()),
+])
+
+
+def image_breadth_features(df: DataFrame, id_col: str = "media_id",
+                           payload_col: str = "payload") -> DataFrame:
+    """Codec-breadth image signals covering the rest of the
+    reference's image extension list: real pixel decode for BMP and
+    GIF (kernel/imgcodec.decode_bmp/decode_gif), dimension sniff for
+    WebP (VP8/VP8L/VP8X headers) and AVIF (ISO-BMFF ispe) whose pixel
+    codecs are out of scope.  ``mean_sample`` is the integer mean
+    over every decoded sample byte (NULL for dims-only formats)."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import imgcodec, mp4box
+
+        cols = ("media_id", "codec", "width", "height",
+                "mean_sample", "error")
+        for batch in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                try:
+                    mean = None
+                    if payload.startswith(b"BM"):
+                        arr = imgcodec.decode_bmp(payload)
+                        codec = "bmp"
+                        w, h = arr.shape[1], arr.shape[0]
+                        mean = int(arr.astype("int64").sum()) // arr.size
+                    elif payload.startswith(b"GIF8"):
+                        arr = imgcodec.decode_gif(payload)
+                        codec = "gif"
+                        w, h = arr.shape[1], arr.shape[0]
+                        mean = int(arr.astype("int64").sum()) // arr.size
+                    elif payload.startswith(b"RIFF")                             and payload[8:12] == b"WEBP":
+                        variant, w, h = imgcodec.webp_dims(payload)
+                        codec = "webp-" + variant
+                    elif payload[4:8] == b"ftyp":
+                        brand, w, h = mp4box.parse_avif_dims(payload)
+                        codec = "avif"
+                    else:
+                        raise ValueError("unsupported image container")
+                    out["codec"].append(codec)
+                    out["width"].append(int(w))
+                    out["height"].append(int(h))
+                    out["mean_sample"].append(mean)
+                    out["error"].append(None)
+                except Exception as exc:
+                    for k in cols[1:-1]:
+                        out[k].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=IMAGE_BREADTH_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 2,

@@ -1258,3 +1258,367 @@ def encode_jpeg_progressive(img: np.ndarray,
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ===================================================================
+# BMP
+# ===================================================================
+#
+# .bmp is in the reference's image extension list (image.go:36).
+# Subset: BITMAPINFOHEADER (40-byte DIB), uncompressed (BI_RGB),
+# 24-bit BGR or 8-bit paletted, bottom-up or top-down rows.  Rows pad
+# to 4 bytes.  Decode-bomb capped like PNG/JPEG.
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes -> uint8 array (h, w) gray-palette or (h, w, 3) RGB.
+    Raises ValueError on anything outside the subset."""
+    import struct as _s
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("bmp: bad magic or truncated")
+    pix_off = _s.unpack_from("<I", data, 10)[0]
+    hdr_size = _s.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("bmp: unsupported DIB header")
+    w, h = _s.unpack_from("<ii", data, 18)
+    planes, bpp = _s.unpack_from("<HH", data, 26)
+    comp = _s.unpack_from("<I", data, 30)[0]
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0 or w * h > MAX_PIXELS:
+        raise ValueError("bmp: bad dimensions")
+    if planes != 1 or comp != 0 or bpp not in (8, 24):
+        raise ValueError("bmp: unsupported format")
+    if bpp == 8:
+        n_colors = _s.unpack_from("<I", data, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data[pal_off:pal_off + 4 * n_colors], dtype=np.uint8)
+        if pal.size < 4 * n_colors:
+            raise ValueError("bmp: truncated palette")
+        pal = pal.reshape(-1, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+        stride = (w + 3) & ~3
+        need = stride * h
+        body = data[pix_off:pix_off + need]
+        if len(body) < need:
+            raise ValueError("bmp: truncated pixel data")
+        rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("bmp: palette index out of range")
+        out = pal[idx]
+        if not top_down:
+            out = out[::-1]
+        # gray palette collapses to a gray array
+        if bool((pal[:, 0] == pal[:, 1]).all()
+                and (pal[:, 1] == pal[:, 2]).all()):
+            return np.ascontiguousarray(out[:, :, 0])
+        return np.ascontiguousarray(out)
+    stride = (w * 3 + 3) & ~3
+    need = stride * h
+    body = data[pix_off:pix_off + need]
+    if len(body) < need:
+        raise ValueError("bmp: truncated pixel data")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+    out = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        out = out[::-1]
+    return np.ascontiguousarray(out)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB -> BMP bytes (24-bit BI_RGB
+    for color, 8-bit gray palette for 2-D input; bottom-up)."""
+    import struct as _s
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        stride = (w + 3) & ~3
+        pal = b"".join(bytes((v, v, v, 0)) for v in range(256))
+        body = np.zeros((h, stride), dtype=np.uint8)
+        body[:, :w] = arr[::-1]
+        pix_off = 14 + 40 + len(pal)
+        dib = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                      stride * h, 2835, 2835, 256, 0)
+        hdrs = (b"BM"
+                + _s.pack("<IHHI", pix_off + stride * h, 0, 0, pix_off)
+                + dib + pal)
+        return hdrs + body.tobytes()
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    pix_off = 14 + 40
+    dib = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                  stride * h, 2835, 2835, 0, 0)
+    return (b"BM"
+            + _s.pack("<IHHI", pix_off + stride * h, 0, 0, pix_off)
+            + dib + body.tobytes())
+
+
+# ===================================================================
+# GIF
+# ===================================================================
+#
+# .gif is in the reference's image extension list.  Subset: GIF87a/
+# 89a, global or local color table, interlace, first frame only
+# (curation signals need pixels, not animation); extensions skipped
+# by sub-block length.  LZW decode is the GIF variant (variable code
+# width 3..12, CLEAR/EOI codes).
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, max_pixels: int) -> bytes:
+    if not (2 <= min_code <= 11):
+        raise ValueError("gif: bad LZW minimum code size")
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        next_code = eoi + 1
+
+    width = 0
+    next_code = 0
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < len(table) and (code < clear or table[code]):
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("gif: bad LZW code")
+            out += entry
+            if len(out) > max_pixels:
+                raise ValueError("gif: pixel data exceeds descriptor")
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> first frame as uint8 (h, w) gray-palette or
+    (h, w, 3) RGB.  Raises ValueError outside the subset."""
+    import struct as _s
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad magic or truncated")
+    sw, sh, flags = _s.unpack_from("<HHB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8)
+        if gct.size < 3 * n:
+            raise ValueError("gif: truncated color table")
+        gct = gct.reshape(-1, 3)
+        pos += 3 * n
+    if sw * sh > MAX_PIXELS:
+        raise ValueError("gif: bad dimensions")
+    n_data = len(data)
+    while pos < n_data:
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < n_data and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b:02x}")
+        left, top, w, h, iflags = _s.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(
+                data[pos:pos + 3 * n], dtype=np.uint8)
+            if table.size < 3 * n:
+                raise ValueError("gif: truncated color table")
+            table = table.reshape(-1, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("gif: no color table")
+        if w == 0 or h == 0 or w * h > MAX_PIXELS:
+            raise ValueError("gif: bad frame dimensions")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < n_data and data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(min_code, bytes(lzw), w * h),
+            dtype=np.uint8)
+        if idx.size < w * h:
+            raise ValueError("gif: truncated pixel data")
+        idx = idx[:w * h].reshape(h, w)
+        if iflags & 0x40:  # interlaced row order
+            out_rows = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                rows = range(start, h, step)
+                for r in rows:
+                    out_rows[r] = idx[src]
+                    src += 1
+            idx = out_rows
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("gif: palette index out of range")
+        rgb = table[idx]
+        if bool((table[:, 0] == table[:, 1]).all()
+                and (table[:, 1] == table[:, 2]).all()):
+            return np.ascontiguousarray(rgb[:, :, 0])
+        return np.ascontiguousarray(rgb)
+    raise ValueError("gif: no image descriptor")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB (<=256 distinct colors) ->
+    single-frame GIF89a.  The LZW stream emits CLEAR before every
+    pixel code (spec-legal, keeps the code width fixed) so encode is
+    simple and decode round-trips losslessly."""
+    import struct as _s
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        idx = arr
+        bits = 8
+    else:
+        colors, inverse = np.unique(
+            arr.reshape(-1, 3), axis=0, return_inverse=True)
+        if colors.shape[0] > 256:
+            raise ValueError("gif: more than 256 distinct colors")
+        bits = max(2, int(colors.shape[0] - 1).bit_length())
+        pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+        pal[:colors.shape[0]] = colors
+        idx = inverse.astype(np.uint16).reshape(arr.shape[:2])
+    h, w = idx.shape
+    min_code = max(2, bits)
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for v in idx.reshape(-1):
+        emit(clear)
+        emit(int(v))
+    emit(eoi)
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    # global color table size field: 2<<n entries
+    n_entries = pal.shape[0]
+    size_field = max(0, (n_entries - 1).bit_length() - 1)
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ===================================================================
+# WebP / AVIF dimension sniff (no pixel decode)
+# ===================================================================
+#
+# .webp and .avif are in the reference's image list but their pixel
+# codecs (VP8/AV1) are out of scope here; the container headers still
+# give dimensions — enough for size gates and aspect filters.
+
+
+def webp_dims(data: bytes) -> tuple[str, int, int]:
+    """WebP container -> (variant, width, height) from the VP8 /
+    VP8L / VP8X headers.  Raises ValueError outside the subset."""
+    import struct as _s
+
+    if len(data) < 25 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("webp: bad container")
+    fourcc = data[12:16]
+    if fourcc == b"VP8X":
+        if len(data) < 30:
+            raise ValueError("webp: truncated VP8X")
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return "vp8x", w, h
+    if fourcc == b"VP8 ":
+        if data[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("webp: bad VP8 start code")
+        w = _s.unpack_from("<H", data, 26)[0] & 0x3FFF
+        h = _s.unpack_from("<H", data, 28)[0] & 0x3FFF
+        return "vp8", w, h
+    if fourcc == b"VP8L":
+        if data[20] != 0x2F:
+            raise ValueError("webp: bad VP8L signature")
+        bits = int.from_bytes(data[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return "vp8l", w, h
+    raise ValueError("webp: unknown chunk")
+
+
+def encode_webp_header(w: int, h: int, variant: str = "vp8") -> bytes:
+    """Synthetic WebP header carrying only the dimension fields the
+    sniffer reads (no decodable bitstream) — fixture analog of
+    encode_mp3_frames."""
+    import struct as _s
+
+    if variant == "vp8x":
+        body = (b"VP8X" + _s.pack("<I", 10) + b"\x00\x00\x00\x00"
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+    elif variant == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14)
+        body = (b"VP8L" + _s.pack("<I", 5) + b"\x2f"
+                + bits.to_bytes(4, "little"))
+    else:
+        payload = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                   + _s.pack("<HH", w, h))
+        body = b"VP8 " + _s.pack("<I", len(payload)) + payload
+    return b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WEBP" + body

@@ -193,3 +193,55 @@ def encode_mp4(brand: str = "isom", timescale: int = 1000,
         traks += _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + traks)
     return ftyp + moov
+
+
+# --------------------------------------------------- AVIF dimensions
+
+def parse_avif_dims(data: bytes) -> tuple[str, int, int]:
+    """AVIF (ISO-BMFF image) -> (brand, width, height) from the
+    meta/iprp/ipco/ispe property (ISO/IEC 23008-12 §6.5.3).  The AV1
+    pixel codec is out of scope; dimensions alone feed size gates.
+    Raises ValueError outside the subset."""
+    if len(data) < 16:
+        raise ValueError("avif: too short")
+    walk = _Walk()
+    brand = None
+    dims = None
+    for btype, bs, be in _iter_boxes(data, 0, len(data), walk):
+        if btype == b"ftyp":
+            if be - bs < 4:
+                raise ValueError("avif: truncated ftyp")
+            brand = data[bs:bs + 4].decode("latin-1").strip()
+        elif btype == b"meta":
+            # meta is a FULL box: 4 version/flags bytes then children
+            for b2, s2, e2 in _iter_boxes(data, bs + 4, be, walk):
+                if b2 != b"iprp":
+                    continue
+                for b3, s3, e3 in _iter_boxes(data, s2, e2, walk):
+                    if b3 != b"ipco":
+                        continue
+                    for b4, s4, e4 in _iter_boxes(data, s3, e3, walk):
+                        if b4 == b"ispe" and e4 - s4 >= 12:
+                            import struct as _s
+
+                            w, h = _s.unpack_from(">II", data, s4 + 4)
+                            dims = (w, h)
+    if brand is None or dims is None:
+        raise ValueError("avif: missing ftyp/ispe")
+    if dims[0] == 0 or dims[1] == 0 or dims[0] * dims[1] > (1 << 32):
+        raise ValueError("avif: bad dimensions")
+    return brand, dims[0], dims[1]
+
+
+def encode_avif_header(w: int, h: int, brand: str = "avif") -> bytes:
+    """Synthetic AVIF header (ftyp + meta/iprp/ipco/ispe only) —
+    every parse_avif_dims output is closed-form from the arguments."""
+    import struct as _s
+
+    ispe = _full(b"ispe", 0, _s.pack(">II", w, h))
+    ipco = _box(b"ipco", ispe)
+    iprp = _box(b"iprp", ipco)
+    meta = _full(b"meta", 0, iprp)
+    ftyp = _box(b"ftyp",
+                brand.encode("latin-1").ljust(4) + b"\x00" * 8)
+    return ftyp + meta

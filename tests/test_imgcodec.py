@@ -606,3 +606,84 @@ class TestPngTrns:
                      (b"IDAT", zlib.compress(raw))])
         out = ic.decode_png(data)
         assert (out[:, :, 0] == img).all()
+
+
+class TestBmpGif:
+    def test_bmp_roundtrip_gray_and_rgb(self):
+        rng = np.random.default_rng(5)
+        g = rng.integers(0, 256, (13, 17), np.uint8)
+        assert np.array_equal(ic.decode_bmp(ic.encode_bmp(g)), g)
+        c = rng.integers(0, 256, (9, 11, 3), np.uint8)
+        assert np.array_equal(ic.decode_bmp(ic.encode_bmp(c)), c)
+
+    def test_bmp_rejects_malformed(self):
+        import pytest
+        for bad in (b"", b"BM", b"BM" + b"\x00" * 60,
+                    ic.encode_bmp(np.zeros((4, 4), np.uint8))[:40]):
+            with pytest.raises(ValueError):
+                ic.decode_bmp(bad)
+
+    def test_gif_roundtrip(self):
+        rng = np.random.default_rng(7)
+        g = rng.integers(0, 256, (10, 14), np.uint8)
+        assert np.array_equal(ic.decode_gif(ic.encode_gif(g)), g)
+        c = np.zeros((6, 8, 3), np.uint8)
+        c[::2] = (255, 0, 0)
+        c[1::2] = (0, 0, 255)
+        assert np.array_equal(ic.decode_gif(ic.encode_gif(c)), c)
+
+    def test_gif_interlace(self):
+        # store rows in interlace pass order, flip the interlace bit:
+        # the decoder must un-permute back to the original image
+        rng = np.random.default_rng(9)
+        x = rng.integers(0, 256, (11, 5), np.uint8)
+        order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for r in range(start, 11, step)]
+        permuted = x[order]
+        blob = bytearray(ic.encode_gif(permuted))
+        desc = 13 + 3 * 256          # header+LSD+gray GCT
+        assert blob[desc] == 0x2C
+        blob[desc + 9] |= 0x40       # interlace flag
+        assert np.array_equal(ic.decode_gif(bytes(blob)), x)
+
+    def test_gif_extension_blocks_skipped(self):
+        g = np.full((4, 4), 7, np.uint8)
+        blob = bytearray(ic.encode_gif(g))
+        # splice a graphic-control extension after the color table
+        desc = 13 + 3 * 256
+        ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        blob[desc:desc] = ext
+        assert np.array_equal(ic.decode_gif(bytes(blob)), g)
+
+    def test_bmp_gif_mutation_fuzz(self):
+        import random
+        rnd = random.Random(21)
+        rng = np.random.default_rng(3)
+        bases = [ic.encode_bmp(
+                     rng.integers(0, 256, (8, 8), np.uint8)),
+                 ic.encode_bmp(
+                     rng.integers(0, 256, (6, 6, 3), np.uint8)),
+                 ic.encode_gif(
+                     rng.integers(0, 256, (8, 8), np.uint8))]
+        for base in bases:
+            for _ in range(80):
+                blob = bytearray(base)
+                for _ in range(rnd.randint(1, 5)):
+                    blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+                try:
+                    if blob.startswith(b"BM"):
+                        ic.decode_bmp(bytes(blob))
+                    else:
+                        ic.decode_gif(bytes(blob))
+                except ValueError:
+                    pass  # error envelope; other exceptions fail
+
+    def test_webp_dims_variants(self):
+        for v in ("vp8", "vp8l", "vp8x"):
+            assert ic.webp_dims(
+                ic.encode_webp_header(640, 360, v)) == (v, 640, 360)
+
+    def test_avif_dims(self):
+        from pdf_to_text_extraction_service_spark.kernel import mp4box
+        assert mp4box.parse_avif_dims(
+            mp4box.encode_avif_header(1920, 1080)) == ("avif", 1920, 1080)

@@ -81,7 +81,7 @@ def test_image_features_real_and_error_rows(spark):
         (3, imgcodec.encode_png(png_pixels)),          # real PNG
         (4, jpg),                                      # real JPEG
         (5, b"\x89PNG\r\n\x1a\ntruncated-garbage"),    # corrupt PNG
-        (6, b"GIF89a not a supported format here"),    # unknown format
+        (6, b"WEIRDFMT not a supported format here"),  # unknown format
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r["media_id"]: r for r in image_features(df).collect()}
@@ -104,6 +104,12 @@ def test_image_features_real_and_error_rows(spark):
     assert got[5]["width"] is None and "png" in got[5]["error"]
     assert got[6]["width"] is None
     assert "unsupported image format" in got[6]["error"]
+    # GIF is now a DECODED format: corrupt gif -> its own error
+    extra = {r["media_id"]: r for r in image_features(
+        spark.createDataFrame(
+            [(7, b"GIF89a corrupt")], "media_id long, payload binary")
+    ).collect()}
+    assert extra[7]["error"].startswith("gif:")
 
 
 def test_video_frame_sampling(spark):
