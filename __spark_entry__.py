@@ -1309,6 +1309,49 @@ def _q_audio_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vbr").cast("int").alias("vbr"), "error")
 
 
+def _q_video_container_features(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Matroska/WebM EBML walk + AVI avih + ASF file-properties over
+    synthetic containers, CLOSED FORM from doc_id: kind cycles
+    matroska (video+audio) / webm (video only) / avi / asf by i%4,
+    every 7th payload garbage -> exact error string.  AVI duration
+    floors at frames*usec//1000; ASF subtracts preroll per spec (the
+    fixture bakes it in so the oracle stays pure arithmetic)."""
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        video_container_features,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import videobox
+
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+    ids = [r["doc_id"] for r in docs.collect()]
+
+    def payload(i: int) -> bytes:
+        if i % 7 == 0:
+            return b"zz not a video"
+        w = 320 + 16 * (i % 10)
+        h = 240 + 16 * (i % 5)
+        if i % 4 == 0:
+            return videobox.encode_matroska(
+                "matroska", 1000 * (10 + i % 30) + i % 17,
+                [(1, "V_VP9", w, h), (2, "A_OPUS", 0, 0)])
+        if i % 4 == 1:
+            return videobox.encode_matroska(
+                "webm", 1000 * (3 + i % 12) + i % 19,
+                [(1, "V_VP8", w, h)])
+        if i % 4 == 2:
+            return videobox.encode_avi(
+                20000 + (i % 5) * 5000, 100 + i % 400,
+                streams=1 + i % 2, w=w, h=h)
+        return videobox.encode_asf(
+            play_ms=1000 * (5 + i % 20) + i % 13,
+            preroll_ms=(i % 4) * 500, packets=i % 100)
+
+    media = spark.createDataFrame(
+        [(i, payload(i)) for i in ids], "media_id long, payload binary")
+    return video_container_features(media)
+
+
 def _q_image_codec_breadth(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """BMP/GIF real decode + WebP/AVIF dimension sniff over synthetic
@@ -1532,6 +1575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_mp4_features": _q_media_mp4_features,   # NEW r5
     "audio_container_features": _q_audio_container_features,  # NEW r5
     "image_codec_breadth": _q_image_codec_breadth,            # NEW r5
+    "video_container_features": _q_video_container_features,  # NEW r5
     "multimodal_image_features": _q_multimodal_features,
     "dedup_image_dhash": _q_dedup_image_dhash,
     "decontam_benchmark": _q_decontam_benchmark,
@@ -1554,9 +1598,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats_docs": _q_repetition_stats,
     "normalize_nfc_docs": _q_normalize_nfc,
     "stratified_sample_lang": _q_stratified_sample,
-    "lang_id_heuristic": _q_lang_id,
     "extract_yaml_docs": _q_extract_yaml,  # YAML subset extended r5
     # --- TAIL: r4 hash-green, stable, pytest-parity-covered ---
+    "lang_id_heuristic": _q_lang_id,
     "token_count_bpe": _q_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
     "quality_scores_docs": _q_quality_scores,
@@ -2824,6 +2868,55 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END
                         AS INTEGER) AS sum_page_words
             FROM documents WHERE doc_id < 100
+        """,
+        # Video-container oracle: pure doc_id arithmetic mirroring
+        # the synthetic EBML/AVI/ASF fixtures; AVI duration floors at
+        # frames*usec//1000, AVI/ASF track-kind fields are NULL.
+        "video_container_features": """
+            WITH p AS (
+                SELECT doc_id AS media_id,
+                       doc_id % 7 = 0 AS bad,
+                       doc_id % 4 AS kind,
+                       320 + 16 * (doc_id % 10) AS w,
+                       240 + 16 * (doc_id % 5) AS h,
+                       1000 * (10 + doc_id % 30) + doc_id % 17
+                           AS mkvdur,
+                       1000 * (3 + doc_id % 12) + doc_id % 19
+                           AS webmdur,
+                       (20000 + (doc_id % 5) * 5000)
+                           * (100 + doc_id % 400) // 1000 AS avidur,
+                       1 + doc_id % 2 AS avistreams,
+                       1000 * (5 + doc_id % 20) + doc_id % 13
+                           AS asfdur
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT media_id,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 0 THEN 'matroska'
+                        WHEN kind = 1 THEN 'webm'
+                        WHEN kind = 2 THEN 'avi'
+                        ELSE 'asf' END AS container,
+                   CASE WHEN bad THEN NULL
+                        WHEN kind = 0 THEN mkvdur
+                        WHEN kind = 1 THEN webmdur
+                        WHEN kind = 2 THEN avidur
+                        ELSE asfdur END
+                       ::BIGINT AS duration_ms,
+                   CASE WHEN bad OR kind = 3 THEN NULL
+                        WHEN kind = 0 THEN 2
+                        WHEN kind = 1 THEN 1
+                        ELSE avistreams END
+                       ::INTEGER AS n_tracks,
+                   CASE WHEN bad OR kind >= 2 THEN NULL
+                        ELSE 1 END
+                       ::INTEGER AS has_video,
+                   CASE WHEN bad OR kind = 3 THEN NULL ELSE w END
+                       ::INTEGER AS width,
+                   CASE WHEN bad OR kind = 3 THEN NULL ELSE h END
+                       ::INTEGER AS height,
+                   CASE WHEN bad THEN 'unsupported video container'
+                        ELSE NULL END AS error
+            FROM p
         """,
         # Image-codec-breadth oracle: flat BMP/GIF decode to their
         # fill value (mean_sample = value, or (r+g+b)//3 for RGB);

@@ -423,3 +423,48 @@ def test_flac_ogg_mutation_fuzz():
                     ac.parse_ogg(bytes(blob))
             except ValueError:
                 pass  # error envelope; other exception types fail
+
+
+def test_matroska_avi_asf_closed_form():
+    import pytest
+    from pdf_to_text_extraction_service_spark.kernel import videobox as vb
+
+    st = vb.parse_matroska(vb.encode_matroska(
+        "matroska", 61234, [(1, "V_VP9", 1920, 1080),
+                            (2, "A_OPUS", 0, 0)]))
+    assert st == {"doctype": "matroska", "duration_ms": 61234,
+                  "n_tracks": 2, "has_video": True, "has_audio": True,
+                  "width": 1920, "height": 1080,
+                  "codecs": "A_OPUS,V_VP9"}
+    avi = vb.parse_avi(vb.encode_avi(33333, 900, streams=2,
+                                     w=720, h=480))
+    assert avi["duration_ms"] == 900 * 33333 // 1000
+    assert (avi["width"], avi["height"], avi["n_streams"]) \
+        == (720, 480, 2)
+    asf = vb.parse_asf(vb.encode_asf(play_ms=123456, preroll_ms=3000,
+                                     packets=42))
+    assert asf == {"duration_ms": 123456, "n_packets": 42}
+    for bad in (b"", b"\x1a\x45", b"RIFF\x00\x00\x00\x00AVI "):
+        for fn in (vb.parse_matroska, vb.parse_avi, vb.parse_asf):
+            with pytest.raises(ValueError):
+                fn(bad)
+
+
+def test_video_container_mutation_fuzz():
+    import random
+    from pdf_to_text_extraction_service_spark.kernel import videobox as vb
+
+    rnd = random.Random(13)
+    cases = [(vb.encode_matroska("webm", 1000, [(1, "V_VP8", 320, 240)]),
+              vb.parse_matroska),
+             (vb.encode_avi(40000, 100, 1, 320, 240), vb.parse_avi),
+             (vb.encode_asf(9000, 1000, 5), vb.parse_asf)]
+    for base, fn in cases:
+        for _ in range(150):
+            blob = bytearray(base)
+            for _ in range(rnd.randint(1, 5)):
+                blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+            try:
+                fn(bytes(blob))
+            except ValueError:
+                pass  # error envelope; other exception types fail
