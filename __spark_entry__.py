@@ -1354,11 +1354,12 @@ def _q_video_container_features(spark: SparkSession,
 
 def _q_image_codec_breadth(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
-    """BMP/GIF real decode + WebP/AVIF dimension sniff over synthetic
-    images whose stats are CLOSED FORM from doc_id: kind cycles flat
-    gray BMP / flat RGB BMP / flat gray GIF / WebP header / AVIF
-    header by i%5; every 7th payload is garbage -> the dispatcher's
-    exact error string.  Flat images decode to their fill value, so
+    """BMP/GIF/TIFF real decode + WebP/AVIF dimension sniff over
+    synthetic images whose stats are CLOSED FORM from doc_id: kind
+    cycles flat gray BMP / flat RGB BMP / flat gray GIF / WebP header
+    / AVIF header / flat gray TIFF (endianness and PackBits cycling)
+    by i%6; every 7th payload is garbage -> the dispatcher's exact
+    error string.  Flat images decode to their fill value, so
     mean_sample is doc_id arithmetic ((r+g+b)//3 for RGB)."""
     import numpy as np
 
@@ -1377,7 +1378,13 @@ def _q_image_codec_breadth(spark: SparkSession,
     def payload(i: int) -> bytes:
         if i % 7 == 0:
             return b"xx not an image"
-        kind = i % 5
+        kind = i % 6
+        if kind == 5:
+            v = (i * 13) % 256
+            return imgcodec.encode_tiff(
+                np.full((3 + i % 6, 4 + i % 9), v, np.uint8),
+                big_endian=(i % 3 == 0), packbits=bool(i % 2),
+                rows_per_strip=2)
         if kind == 0:
             v = (i * 3) % 256
             return imgcodec.encode_bmp(
@@ -2925,13 +2932,14 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS (
                 SELECT doc_id AS media_id,
                        doc_id % 7 = 0 AS bad,
-                       doc_id % 5 AS kind,
+                       doc_id % 6 AS kind,
                        4 + doc_id % 9 AS bw,
                        3 + doc_id % 6 AS bh,
                        (doc_id * 3) % 256 AS gv,
                        ((doc_id % 256) + (doc_id * 5) % 256
                         + (doc_id * 11) % 256) // 3 AS rgbmean,
                        (doc_id * 7) % 256 AS gifv,
+                       (doc_id * 13) % 256 AS tiffv,
                        100 + doc_id % 50 AS ww,
                        80 + doc_id % 40 AS wh,
                        320 + doc_id % 100 AS aw,
@@ -2945,19 +2953,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN kind = 3 THEN 'webp-' ||
                           (CASE media_id % 3 WHEN 0 THEN 'vp8'
                                WHEN 1 THEN 'vp8l' ELSE 'vp8x' END)
+                        WHEN kind = 5 THEN 'tiff'
                         ELSE 'avif' END AS codec,
                    CASE WHEN bad THEN NULL
-                        WHEN kind IN (0, 1, 2) THEN bw
+                        WHEN kind IN (0, 1, 2, 5) THEN bw
                         WHEN kind = 3 THEN ww ELSE aw END
                        ::INTEGER AS width,
                    CASE WHEN bad THEN NULL
-                        WHEN kind IN (0, 1, 2) THEN bh
+                        WHEN kind IN (0, 1, 2, 5) THEN bh
                         WHEN kind = 3 THEN wh ELSE ah END
                        ::INTEGER AS height,
                    CASE WHEN bad THEN NULL
                         WHEN kind = 0 THEN gv
                         WHEN kind = 1 THEN rgbmean
                         WHEN kind = 2 THEN gifv
+                        WHEN kind = 5 THEN tiffv
                         ELSE NULL END
                        ::BIGINT AS mean_sample,
                    CASE WHEN bad THEN 'unsupported image container'

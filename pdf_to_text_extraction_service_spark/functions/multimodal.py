@@ -112,8 +112,12 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
         img = imgcodec.decode_gif(payload)
         gray = imgcodec.to_gray(img)
         return int(gray.shape[1]), int(gray.shape[0]), _hist16(gray)
+    if payload.startswith(b"II*\x00") or payload.startswith(b"MM\x00*"):
+        img = imgcodec.decode_tiff(payload)
+        gray = imgcodec.to_gray(img)
+        return int(gray.shape[1]), int(gray.shape[0]), _hist16(gray)
     raise ValueError(
-        "unsupported image format (PNG, JPEG, BMP, GIF, or FAKEIMG)"
+        "unsupported image format (PNG, JPEG, BMP, GIF, TIFF, or FAKEIMG)"
     )
 
 
@@ -185,9 +189,11 @@ def _decode_gray(payload: bytes):
         img = imgcodec.decode_bmp(payload)
     elif payload.startswith(b"GIF8"):
         img = imgcodec.decode_gif(payload)
+    elif payload.startswith(b"II*\x00") or payload.startswith(b"MM\x00*"):
+        img = imgcodec.decode_tiff(payload)
     else:
         raise ValueError(
-            "unsupported image format (PNG, JPEG, BMP, GIF, or FAKEIMG)")
+            "unsupported image format (PNG, JPEG, BMP, GIF, TIFF, or FAKEIMG)")
     gray = imgcodec.to_gray(img)
     return int(gray.shape[1]), int(gray.shape[0]), gray
 
@@ -672,6 +678,12 @@ def image_breadth_features(df: DataFrame, id_col: str = "media_id",
                     elif payload.startswith(b"GIF8"):
                         arr = imgcodec.decode_gif(payload)
                         codec = "gif"
+                        w, h = arr.shape[1], arr.shape[0]
+                        mean = int(arr.astype("int64").sum()) // arr.size
+                    elif payload.startswith(b"II*\x00") \
+                            or payload.startswith(b"MM\x00*"):
+                        arr = imgcodec.decode_tiff(payload)
+                        codec = "tiff"
                         w, h = arr.shape[1], arr.shape[0]
                         mean = int(arr.astype("int64").sum()) // arr.size
                     elif payload.startswith(b"RIFF")                             and payload[8:12] == b"WEBP":

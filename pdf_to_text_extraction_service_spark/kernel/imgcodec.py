@@ -1622,3 +1622,207 @@ def encode_webp_header(w: int, h: int, variant: str = "vp8") -> bytes:
                    + _s.pack("<HH", w, h))
         body = b"VP8 " + _s.pack("<I", len(payload)) + payload
     return b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+# ===================================================================
+# TIFF
+# ===================================================================
+#
+# .tiff/.tif complete the reference's raster image list.  Subset:
+# both byte orders, first IFD, 8-bit gray (photometric 0/1) or RGB
+# (photometric 2), uncompressed or PackBits, any strip layout.
+
+
+def _tiff_packbits(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expect:
+        b = data[i]
+        if b < 128:        # literal run of b+1 bytes
+            out += data[i + 1:i + 2 + b]
+            i += 2 + b
+        elif b > 128:      # repeat next byte 257-b times
+            if i + 1 >= n:
+                raise ValueError("tiff: truncated packbits run")
+            out += data[i + 1:i + 2] * (257 - b)
+            i += 2
+        else:              # 128: no-op
+            i += 1
+    if len(out) < expect:
+        raise ValueError("tiff: packbits underflow")
+    return bytes(out[:expect])
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF bytes -> uint8 (h, w) gray or (h, w, 3) RGB.  Raises
+    ValueError outside the subset."""
+    import struct as _s
+
+    if len(data) < 8:
+        raise ValueError("tiff: too short")
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("tiff: bad magic")
+    ifd_off = _s.unpack_from(bo + "I", data, 4)[0]
+    if ifd_off + 2 > len(data):
+        raise ValueError("tiff: bad IFD offset")
+    n_entries = _s.unpack_from(bo + "H", data, ifd_off)[0]
+    if n_entries == 0 or n_entries > 512:
+        raise ValueError("tiff: bad IFD entry count")
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    for k in range(n_entries):
+        e = ifd_off + 2 + 12 * k
+        if e + 12 > len(data):
+            raise ValueError("tiff: truncated IFD")
+        tag, typ, cnt = _s.unpack_from(bo + "HHI", data, e)
+        if typ not in type_size or cnt == 0 or cnt > (1 << 20):
+            continue
+        sz = type_size[typ] * cnt
+        off = e + 8 if sz <= 4 \
+            else _s.unpack_from(bo + "I", data, e + 8)[0]
+        if off + sz > len(data):
+            raise ValueError("tiff: value out of bounds")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(
+            _s.unpack_from(bo + fmt * cnt, data, off))
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"tiff: missing tag {tag}")
+        return default
+
+    w = one(256)
+    h = one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    rows_per_strip = one(278, h)
+    if w == 0 or h == 0 or w * h > MAX_PIXELS:
+        raise ValueError("tiff: bad dimensions")
+    if comp not in (1, 32773) or spp not in (1, 3) \
+            or any(b != 8 for b in bits) \
+            or photo not in (0, 1, 2) \
+            or (photo == 2) != (spp == 3):
+        raise ValueError("tiff: unsupported format")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("tiff: missing strip layout")
+    out = bytearray()
+    need_total = w * h * spp
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise ValueError("tiff: strip out of bounds")
+        strip = data[off:off + cnt]
+        rows = min(rows_per_strip, h - i * rows_per_strip)
+        if rows <= 0:
+            raise ValueError("tiff: too many strips")
+        expect = rows * w * spp
+        if comp == 32773:
+            strip = _tiff_packbits(strip, expect)
+        if len(strip) < expect:
+            raise ValueError("tiff: truncated strip")
+        out += strip[:expect]
+    if len(out) < need_total:
+        raise ValueError("tiff: missing pixel data")
+    arr = np.frombuffer(bytes(out[:need_total]), dtype=np.uint8)
+    if spp == 3:
+        return arr.reshape(h, w, 3)
+    arr = arr.reshape(h, w)
+    if photo == 0:      # white-is-zero -> invert to standard gray
+        arr = (255 - arr.astype(np.int16)).astype(np.uint8)
+    return np.ascontiguousarray(arr)
+
+
+def encode_tiff(img: np.ndarray, big_endian: bool = False,
+                packbits: bool = False,
+                rows_per_strip: int | None = None) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB -> TIFF (photometric 1/2,
+    striped, optional PackBits)."""
+    import struct as _s
+
+    bo = ">" if big_endian else "<"
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else 3
+    rps = rows_per_strip or h
+    strips = []
+    for r0 in range(0, h, rps):
+        raw = arr[r0:r0 + rps].tobytes()
+        if packbits:
+            enc = bytearray()
+            i = 0
+            while i < len(raw):
+                chunk = raw[i:i + 128]
+                enc += bytes([len(chunk) - 1]) + chunk
+                i += len(chunk)
+            raw = bytes(enc)
+        strips.append(raw)
+    header = (b"II*\x00" if not big_endian else b"MM\x00*")
+    entries = []
+    extra = bytearray()
+
+    def entry(tag, typ, values):
+        fmt = {3: "H", 4: "I"}[typ]
+        sz = {3: 2, 4: 4}[typ] * len(values)
+        if sz <= 4:
+            val = _s.pack(bo + fmt * len(values), *values)
+            val += b"\x00" * (4 - sz)
+            entries.append((tag, typ, len(values), val, None))
+        else:
+            entries.append((tag, typ, len(values), None,
+                            len(extra)))
+            extra.extend(_s.pack(bo + fmt * len(values), *values))
+
+    n_strips = len(strips)
+    strip_sizes = [len(s) for s in strips]
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [32773 if packbits else 1])
+    entry(262, 3, [2 if spp == 3 else 1])
+    entry(273, 4, [0] * n_strips)      # patched below
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    entry(279, 4, strip_sizes)
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    extra_off = ifd_off + ifd_len
+    strips_off = extra_off + len(extra)
+    # place strips and patch offsets
+    offs = []
+    pos = strips_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    out = bytearray(header + _s.pack(bo + "I", ifd_off))
+    out += _s.pack(bo + "H", len(entries))
+    for (tag, typ, cnt, inline, exoff) in entries:
+        out += _s.pack(bo + "HHI", tag, typ, cnt)
+        if tag == 273:
+            if 4 * n_strips <= 4:
+                out += _s.pack(bo + "I" * n_strips, *offs) \
+                    + b"\x00" * (4 - 4 * n_strips)
+            else:
+                # strip-offset array lives in `extra`
+                out += _s.pack(bo + "I", extra_off + exoff)
+                extra[exoff:exoff + 4 * n_strips] = _s.pack(
+                    bo + "I" * n_strips, *offs)
+        elif inline is not None:
+            out += inline
+        else:
+            out += _s.pack(bo + "I", extra_off + exoff)
+    out += _s.pack(bo + "I", 0)   # no next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)

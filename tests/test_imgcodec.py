@@ -687,3 +687,51 @@ class TestBmpGif:
         from pdf_to_text_extraction_service_spark.kernel import mp4box
         assert mp4box.parse_avif_dims(
             mp4box.encode_avif_header(1920, 1080)) == ("avif", 1920, 1080)
+
+
+class TestTiff:
+    def test_roundtrip_endianness_packbits_strips(self):
+        rng = np.random.default_rng(9)
+        g = rng.integers(0, 256, (13, 17), np.uint8)
+        for be in (False, True):
+            for pb in (False, True):
+                for rps in (None, 4):
+                    got = ic.decode_tiff(ic.encode_tiff(
+                        g, big_endian=be, packbits=pb,
+                        rows_per_strip=rps))
+                    assert np.array_equal(got, g), (be, pb, rps)
+        c = rng.integers(0, 256, (7, 9, 3), np.uint8)
+        assert np.array_equal(
+            ic.decode_tiff(ic.encode_tiff(c, packbits=True,
+                                          rows_per_strip=3)), c)
+
+    def test_white_is_zero_inverts(self):
+        # photometric 0: rewrite the tag in a gray fixture
+        g = np.full((4, 4), 10, np.uint8)
+        blob = bytearray(ic.encode_tiff(g))
+        i = blob.find((262).to_bytes(2, "little"))
+        assert i > 0
+        blob[i + 8] = 0  # photometric 1 -> 0
+        assert np.array_equal(ic.decode_tiff(bytes(blob)),
+                              np.full((4, 4), 245, np.uint8))
+
+    def test_rejects_malformed(self):
+        for bad in (b"", b"II*\x00", b"MM\x00*\x00\x00\x00\x08",
+                    ic.encode_tiff(np.zeros((4, 4), np.uint8))[:30]):
+            with pytest.raises(ValueError):
+                ic.decode_tiff(bad)
+
+    def test_mutation_fuzz(self):
+        import random
+        rnd = random.Random(17)
+        rng = np.random.default_rng(2)
+        base = ic.encode_tiff(rng.integers(0, 256, (8, 8), np.uint8),
+                              packbits=True, rows_per_strip=3)
+        for _ in range(150):
+            blob = bytearray(base)
+            for _ in range(rnd.randint(1, 5)):
+                blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+            try:
+                ic.decode_tiff(bytes(blob))
+            except ValueError:
+                pass  # error envelope; other exceptions fail
