@@ -686,7 +686,8 @@ def image_breadth_features(df: DataFrame, id_col: str = "media_id",
                         codec = "tiff"
                         w, h = arr.shape[1], arr.shape[0]
                         mean = int(arr.astype("int64").sum()) // arr.size
-                    elif payload.startswith(b"RIFF")                             and payload[8:12] == b"WEBP":
+                    elif payload.startswith(b"RIFF") \
+                            and payload[8:12] == b"WEBP":
                         variant, w, h = imgcodec.webp_dims(payload)
                         codec = "webp-" + variant
                     elif payload[4:8] == b"ftyp":

@@ -193,6 +193,13 @@ def parse_mp3(data: bytes) -> dict:
         if frame_len <= 4:
             raise ValueError("mp3: degenerate frame length")
         pos += frame_len   # truncated final frame still counts
+    if 0 < n - pos < 4:
+        # 1-3 leftover bytes: tolerate only a PREFIX of a valid sync
+        # (a range-fetch cut mid-header); anything else is trailing
+        # garbage, per the strict-stream contract
+        if data[pos] != 0xFF or (
+                n - pos >= 2 and (data[pos + 1] & 0xE0) != 0xE0):
+            raise ValueError(f"mp3: trailing garbage at {pos}")
     if n_frames == 0 or rate is None:
         raise ValueError("mp3: no frames")
     return {

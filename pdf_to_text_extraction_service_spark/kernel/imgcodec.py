@@ -1270,7 +1270,7 @@ def encode_jpeg_progressive(img: np.ndarray,
 # to 4 bytes.  Decode-bomb capped like PNG/JPEG.
 
 
-def decode_bmp(data: bytes) -> np.ndarray:
+def _decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes -> uint8 array (h, w) gray-palette or (h, w, 3) RGB.
     Raises ValueError on anything outside the subset."""
     import struct as _s
@@ -1423,7 +1423,7 @@ def _gif_lzw_decode(min_code: int, data: bytes, max_pixels: int) -> bytes:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(data: bytes) -> np.ndarray:
+def _decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes -> first frame as uint8 (h, w) gray-palette or
     (h, w, 3) RGB.  Raises ValueError outside the subset."""
     import struct as _s
@@ -1573,7 +1573,7 @@ def encode_gif(img: np.ndarray) -> bytes:
 # give dimensions — enough for size gates and aspect filters.
 
 
-def webp_dims(data: bytes) -> tuple[str, int, int]:
+def _webp_dims(data: bytes) -> tuple[str, int, int]:
     """WebP container -> (variant, width, height) from the VP8 /
     VP8L / VP8X headers.  Raises ValueError outside the subset."""
     import struct as _s
@@ -1654,7 +1654,7 @@ def _tiff_packbits(data: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
-def decode_tiff(data: bytes) -> np.ndarray:
+def _decode_tiff(data: bytes) -> np.ndarray:
     """TIFF bytes -> uint8 (h, w) gray or (h, w, 3) RGB.  Raises
     ValueError outside the subset."""
     import struct as _s
@@ -1826,3 +1826,23 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False,
     for s in strips:
         out += s
     return bytes(out)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """ValueError-only wrapper (module contract) over :func:`_decode_bmp`."""
+    return _never_raises(_decode_bmp, data)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """ValueError-only wrapper (module contract) over :func:`_decode_gif`."""
+    return _never_raises(_decode_gif, data)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """ValueError-only wrapper (module contract) over :func:`_decode_tiff`."""
+    return _never_raises(_decode_tiff, data)
+
+
+def webp_dims(data: bytes) -> tuple[str, int, int]:
+    """ValueError-only wrapper (module contract) over :func:`_webp_dims`."""
+    return _never_raises(_webp_dims, data)

@@ -23,9 +23,6 @@ from __future__ import annotations
 import struct
 
 MAX_BOXES = 4096       # walk bomb cap
-MAX_DEPTH = 8
-
-_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
 
 
 class _Walk:
@@ -76,22 +73,19 @@ def parse_mp4(data: bytes) -> dict:
     width = height = 0
     codecs: set[str] = set()
 
-    def walk_trak(s: int, e: int, depth: int) -> None:
+    def walk_trak(s: int, e: int) -> None:
         nonlocal n_tracks, has_video, has_audio, width, height
         n_tracks += 1
         kind = None
         t_w = t_h = 0
         for btype, bs, be in _iter_boxes(data, s, e, walk):
             if btype == b"tkhd":
-                ver = data[bs]
-                # v0: c(4) m(4) id(4) res(4) dur(4) ... w/h are the
-                # LAST 8 payload bytes (after reserved+matrix), both
-                # versions
+                # w/h are the LAST 8 payload bytes (after the
+                # reserved fields + matrix), in BOTH tkhd versions
                 if be - bs >= 8:
                     t_w, t_h = struct.unpack_from(">II", data, be - 8)
                     t_w >>= 16   # 16.16 fixed point
                     t_h >>= 16
-                _ = ver
             elif btype == b"mdia":
                 for b2, s2, e2 in _iter_boxes(data, bs, be, walk):
                     if b2 == b"hdlr" and e2 - s2 >= 12:
@@ -122,6 +116,8 @@ def parse_mp4(data: bytes) -> dict:
         elif btype == b"moov":
             for b2, s2, e2 in _iter_boxes(data, bs, be, walk):
                 if b2 == b"mvhd":
+                    if e2 - s2 < 1:
+                        raise ValueError("mp4: truncated mvhd")
                     ver = data[s2]
                     if ver == 1:
                         if e2 - s2 < 28:
@@ -134,7 +130,7 @@ def parse_mp4(data: bytes) -> dict:
                         timescale, duration = struct.unpack_from(
                             ">II", data, s2 + 12)
                 elif b2 == b"trak":
-                    walk_trak(s2, e2, 3)
+                    walk_trak(s2, e2)
     if brand is None or timescale is None:
         raise ValueError("mp4: missing ftyp/mvhd")
     if timescale == 0:

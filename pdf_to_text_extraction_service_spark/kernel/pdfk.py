@@ -712,6 +712,7 @@ _IMG_INT_RE = rb"/%s\s+(\d+)"
 _XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
 _XOBJ_REF_RE = re.compile(rb"/XObject\s+(\d+)\s+0\s+R")
 _BI_ID_RE = re.compile(rb"(?<![A-Za-z0-9])ID[\x00\t\n\f\r ]")
+_BI_RE = re.compile(rb"(?<![A-Za-z0-9])BI(?![A-Za-z0-9])")
 
 
 def _img_int(head: bytes, *names: bytes) -> int | None:
@@ -818,10 +819,12 @@ def _iter_inline_images(stream: bytes):
     using the same delimiter conventions as ``_skip_inline_image``."""
     i, n = 0, len(stream)
     while i < n:
-        m = re.search(rb"(?<![A-Za-z0-9])BI(?![A-Za-z0-9])", stream[i:])
+        # offset search, no slicing: a stream with thousands of
+        # inline images would otherwise copy its tail per image
+        m = _BI_RE.search(stream, i)
         if m is None:
             return
-        start = i + m.end()
+        start = m.end()
         mid = _BI_ID_RE.search(stream, start)
         if mid is None:
             return

@@ -27,10 +27,8 @@ _TRACK_ENTRY = 0xAE
 _TRACK_TYPE = 0x83
 _CODEC_ID = 0x86
 _VIDEO = 0xE0
-_AUDIO = 0xE1
 _PIXEL_W = 0xB0
 _PIXEL_H = 0xBA
-_CHANNELS = 0x9F
 
 
 def _read_vint(data: bytes, pos: int, keep_marker: bool) \

@@ -77,8 +77,7 @@ def pdf_image_ocr_stats(pages_df: DataFrame,
                 "ink_samples", "sum_luma")}
             for url, payload in zip(batch[url_col].tolist(),
                                     batch[payload_col].tolist()):
-                if payload is not None and not isinstance(payload, bytes):
-                    payload = bytes(payload)
+                payload = bytes(payload) if payload is not None else b""
                 total = needs = blank = n_img = 0
                 pixels = ink = luma = 0
                 try:
@@ -96,7 +95,7 @@ def pdf_image_ocr_stats(pages_df: DataFrame,
                         pixels += st["pixels"]
                         ink += st["ink_samples"]
                         luma += st["sum_luma"]
-                except (pdfk.PDFError, ValueError, OverflowError):
+                except Exception:
                     pass  # error docs report zeros, never raise
                 out["url"].append(url)
                 out["total_pages"].append(total)

@@ -468,3 +468,46 @@ def test_video_container_mutation_fuzz():
                 fn(bytes(blob))
             except ValueError:
                 pass  # error envelope; other exception types fail
+
+
+def test_review_fix_contracts():
+    """r5 self-review regressions: NULL-payload PDF stats row, mp3
+    trailing-garbage strictness, ValueError-only codec wrappers,
+    empty-mvhd mp4."""
+    import pytest
+    import struct
+    from pdf_to_text_extraction_service_spark.kernel import (
+        audiocodec as ac, imgcodec as ic, mp4box as m,
+    )
+
+    b = ac.encode_mp3_frames([128] * 3)
+    with pytest.raises(ValueError):
+        ac.parse_mp3(b + b"zz")            # non-sync trailing bytes
+    assert ac.parse_mp3(b + b"\xff\xfb")["n_frames"] == 3  # sync prefix
+
+    for fn, payload in (
+            (ic.decode_gif, b"GIF89a" + b"\x00" * 7 + b"\x2c\x00\x00"),
+            (ic.decode_tiff, b"II*\x00\x08\x00\x00\x00\x01\x00"),
+            (ic.decode_bmp, b"BM" + b"\x00" * 60),
+            (ic.webp_dims, b"RIFF" + b"\x00" * 30)):
+        with pytest.raises(ValueError):
+            fn(payload)
+
+    empty_mvhd = struct.pack(">I4s", 8, b"mvhd")
+    bad = (m._box(b"ftyp", b"isom" + b"\x00" * 8)
+           + m._box(b"moov", empty_mvhd))
+    with pytest.raises(ValueError):
+        m.parse_mp4(bad)
+
+
+def test_pdf_image_stats_null_payload_row(spark):
+    from pdf_to_text_extraction_service_spark.operators.pagestats import (
+        pdf_image_ocr_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", b"not a pdf")],
+        "url string, html binary")
+    rows = {r["url"]: r for r in pdf_image_ocr_stats(df).collect()}
+    assert rows["u1"]["total_pages"] == 0   # zeros row, no task crash
+    assert rows["u2"]["n_images"] == 0
