@@ -1312,8 +1312,9 @@ def _q_audio_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_video_container_features(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Matroska/WebM EBML walk + AVI avih + ASF file-properties over
-    synthetic containers, CLOSED FORM from doc_id: kind cycles
-    matroska (video+audio) / webm (video only) / avi / asf by i%4,
+    synthetic containers, CLOSED FORM from doc_id: every i%5==4 doc
+    is an FLV (AMF onMetaData), the rest cycle matroska (video+audio)
+    / webm (video only) / avi / asf by i%4,
     every 7th payload garbage -> exact error string.  AVI duration
     floors at frames*usec//1000; ASF subtracts preroll per spec (the
     fixture bakes it in so the oracle stays pure arithmetic)."""
@@ -1331,6 +1332,10 @@ def _q_video_container_features(spark: SparkSession,
             return b"zz not a video"
         w = 320 + 16 * (i % 10)
         h = 240 + 16 * (i % 5)
+        if i % 5 == 4:
+            return videobox.encode_flv(5 + i % 50, w, h,
+                                       has_video=True,
+                                       has_audio=bool(i % 2))
         if i % 4 == 0:
             return videobox.encode_matroska(
                 "matroska", 1000 * (10 + i % 30) + i % 17,
@@ -1359,8 +1364,10 @@ def _q_image_codec_breadth(spark: SparkSession,
     cycles flat gray BMP / flat RGB BMP / flat gray GIF / WebP header
     / AVIF header / flat gray TIFF (endianness and PackBits cycling)
     by i%6; every 7th payload is garbage -> the dispatcher's exact
-    error string.  Flat images decode to their fill value, so
-    mean_sample is doc_id arithmetic ((r+g+b)//3 for RGB)."""
+    error string; every i%11==3 doc is an SVG dimension sniff
+    (width/height attrs or viewBox, alternating).  Flat images decode
+    to their fill value, so mean_sample is doc_id arithmetic
+    ((r+g+b)//3 for RGB)."""
     import numpy as np
 
     from pdf_to_text_extraction_service_spark.functions.multimodal import (
@@ -1379,6 +1386,14 @@ def _q_image_codec_breadth(spark: SparkSession,
         if i % 7 == 0:
             return b"xx not an image"
         kind = i % 6
+        if i % 11 == 3:
+            w, h = 100 + i % 60, 50 + i % 45
+            if i % 2:
+                return (f'<svg width="{w}px" height="{h}" '
+                        f'xmlns="http://www.w3.org/2000/svg"/>'
+                        ).encode()
+            return (f'<?xml version="1.0"?><svg viewBox="0 0 {w} {h}">'
+                    f'</svg>').encode()
         if kind == 5:
             v = (i * 13) % 256
             return imgcodec.encode_tiff(
@@ -2883,7 +2898,9 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS (
                 SELECT doc_id AS media_id,
                        doc_id % 7 = 0 AS bad,
+                       doc_id % 5 = 4 AS is_flv,
                        doc_id % 4 AS kind,
+                       (5 + doc_id % 50) * 1000 AS flvdur,
                        320 + 16 * (doc_id % 10) AS w,
                        240 + 16 * (doc_id % 5) AS h,
                        1000 * (10 + doc_id % 30) + doc_id % 17
@@ -2899,27 +2916,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_id,
                    CASE WHEN bad THEN NULL
+                        WHEN is_flv THEN 'flv'
                         WHEN kind = 0 THEN 'matroska'
                         WHEN kind = 1 THEN 'webm'
                         WHEN kind = 2 THEN 'avi'
                         ELSE 'asf' END AS container,
                    CASE WHEN bad THEN NULL
+                        WHEN is_flv THEN flvdur
                         WHEN kind = 0 THEN mkvdur
                         WHEN kind = 1 THEN webmdur
                         WHEN kind = 2 THEN avidur
                         ELSE asfdur END
                        ::BIGINT AS duration_ms,
-                   CASE WHEN bad OR kind = 3 THEN NULL
+                   CASE WHEN bad OR is_flv OR kind = 3 THEN NULL
                         WHEN kind = 0 THEN 2
                         WHEN kind = 1 THEN 1
                         ELSE avistreams END
                        ::INTEGER AS n_tracks,
-                   CASE WHEN bad OR kind >= 2 THEN NULL
+                   CASE WHEN bad THEN NULL
+                        WHEN is_flv THEN 1
+                        WHEN kind >= 2 THEN NULL
                         ELSE 1 END
                        ::INTEGER AS has_video,
-                   CASE WHEN bad OR kind = 3 THEN NULL ELSE w END
+                   CASE WHEN bad OR (kind = 3 AND NOT is_flv)
+                        THEN NULL ELSE w END
                        ::INTEGER AS width,
-                   CASE WHEN bad OR kind = 3 THEN NULL ELSE h END
+                   CASE WHEN bad OR (kind = 3 AND NOT is_flv)
+                        THEN NULL ELSE h END
                        ::INTEGER AS height,
                    CASE WHEN bad THEN 'unsupported video container'
                         ELSE NULL END AS error
@@ -2932,7 +2955,10 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS (
                 SELECT doc_id AS media_id,
                        doc_id % 7 = 0 AS bad,
+                       doc_id % 11 = 3 AS is_svg,
                        doc_id % 6 AS kind,
+                       100 + doc_id % 60 AS svgw,
+                       50 + doc_id % 45 AS svgh,
                        4 + doc_id % 9 AS bw,
                        3 + doc_id % 6 AS bh,
                        (doc_id * 3) % 256 AS gv,
@@ -2948,6 +2974,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_id,
                    CASE WHEN bad THEN NULL
+                        WHEN is_svg THEN 'svg'
                         WHEN kind IN (0, 1) THEN 'bmp'
                         WHEN kind = 2 THEN 'gif'
                         WHEN kind = 3 THEN 'webp-' ||
@@ -2956,14 +2983,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN kind = 5 THEN 'tiff'
                         ELSE 'avif' END AS codec,
                    CASE WHEN bad THEN NULL
+                        WHEN is_svg THEN svgw
                         WHEN kind IN (0, 1, 2, 5) THEN bw
                         WHEN kind = 3 THEN ww ELSE aw END
                        ::INTEGER AS width,
                    CASE WHEN bad THEN NULL
+                        WHEN is_svg THEN svgh
                         WHEN kind IN (0, 1, 2, 5) THEN bh
                         WHEN kind = 3 THEN wh ELSE ah END
                        ::INTEGER AS height,
-                   CASE WHEN bad THEN NULL
+                   CASE WHEN bad OR is_svg THEN NULL
                         WHEN kind = 0 THEN gv
                         WHEN kind = 1 THEN rgbmean
                         WHEN kind = 2 THEN gifv

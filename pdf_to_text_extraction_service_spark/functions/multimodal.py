@@ -693,6 +693,9 @@ def image_breadth_features(df: DataFrame, id_col: str = "media_id",
                     elif payload[4:8] == b"ftyp":
                         brand, w, h = mp4box.parse_avif_dims(payload)
                         codec = "avif"
+                    elif b"<svg" in payload[:256].lower():
+                        w, h = imgcodec.svg_dims(payload)
+                        codec = "svg"
                     else:
                         raise ValueError("unsupported image container")
                     out["codec"].append(codec)
@@ -771,6 +774,13 @@ def video_container_features(df: DataFrame, id_col: str = "media_id",
                         row.update(container="mp4",
                                    duration_ms=st["duration_ms"],
                                    n_tracks=st["n_tracks"],
+                                   has_video=int(st["has_video"]),
+                                   width=st["width"],
+                                   height=st["height"])
+                    elif payload.startswith(b"FLV"):
+                        st = videobox.parse_flv(payload)
+                        row.update(container="flv",
+                                   duration_ms=st["duration_ms"],
                                    has_video=int(st["has_video"]),
                                    width=st["width"],
                                    height=st["height"])

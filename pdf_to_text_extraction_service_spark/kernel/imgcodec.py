@@ -1846,3 +1846,40 @@ def decode_tiff(data: bytes) -> np.ndarray:
 def webp_dims(data: bytes) -> tuple[str, int, int]:
     """ValueError-only wrapper (module contract) over :func:`_webp_dims`."""
     return _never_raises(_webp_dims, data)
+
+
+# ===================================================================
+# SVG dimension sniff
+# ===================================================================
+#
+# .svg closes the reference's image extension list; vector rendering
+# is out of scope, but the root element's width/height (or viewBox)
+# give the curation dimensions.  Integer-pixel subset.
+
+import re
+
+_SVG_ROOT_RE = re.compile(rb"<svg\b([^>]*)>", re.IGNORECASE | re.DOTALL)
+_SVG_ATTR_RE = rb"""%s\s*=\s*["']\s*([0-9]+)(?:px)?\s*["']"""
+_SVG_VIEWBOX_RE = re.compile(
+    rb"""viewBox\s*=\s*["']\s*[-0-9.]+[\s,]+[-0-9.]+[\s,]+"""
+    rb"""([0-9]+)(?:\.[0-9]+)?[\s,]+([0-9]+)(?:\.[0-9]+)?\s*["']""",
+    re.IGNORECASE)
+
+
+def svg_dims(data: bytes) -> tuple[int, int]:
+    """SVG bytes -> (width, height) from the root element's integer
+    width/height attributes, falling back to the viewBox.  Raises
+    ValueError when neither is present or the input is not SVG."""
+    head = data[:4096]
+    m = _SVG_ROOT_RE.search(head)
+    if m is None:
+        raise ValueError("svg: no root element")
+    attrs = m.group(1)
+    wm = re.search(_SVG_ATTR_RE % rb"width", attrs, re.IGNORECASE)
+    hm = re.search(_SVG_ATTR_RE % rb"height", attrs, re.IGNORECASE)
+    if wm and hm:
+        return int(wm.group(1)), int(hm.group(1))
+    vb = _SVG_VIEWBOX_RE.search(attrs)
+    if vb:
+        return int(vb.group(1)), int(vb.group(2))
+    raise ValueError("svg: no integer dimensions")

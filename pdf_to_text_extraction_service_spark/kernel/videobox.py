@@ -280,3 +280,95 @@ def encode_asf(play_ms: int = 0, preroll_ms: int = 0,
            + struct.pack("<Q", 30 + len(obj))
            + struct.pack("<I", 1) + b"\x01\x02" + obj)
     return hdr
+
+
+# ----------------------------------------------------------- FLV
+
+def parse_flv(data: bytes) -> dict:
+    """FLV -> signals from the onMetaData script tag (AMF0): duration
+    (seconds double -> ms), width/height, audio/video presence flags
+    from the header.  Number values must be finite; integral fixture
+    durations keep the oracle exact."""
+    if len(data) < 13 or data[:3] != b"FLV":
+        raise ValueError("flv: bad magic")
+    flags = data[4]
+    data_off = int.from_bytes(data[5:9], "big")
+    if data_off < 9 or data_off + 4 > len(data):
+        raise ValueError("flv: bad data offset")
+    pos = data_off + 4    # skip PreviousTagSize0
+    meta: dict[str, float] = {}
+    tags = 0
+    while pos + 11 <= len(data):
+        tags += 1
+        if tags > 1 << 16:
+            raise ValueError("flv: too many tags")
+        ttype = data[pos]
+        dsize = int.from_bytes(data[pos + 1:pos + 4], "big")
+        body = data[pos + 11:pos + 11 + dsize]
+        if len(body) < dsize:
+            break   # truncated final tag
+        if ttype == 18 and body[:13] == b"\x02\x00\x0aonMetaData":
+            i = 13
+            if i + 5 > len(body) or body[i] != 8:
+                raise ValueError("flv: bad metadata value")
+            i += 5   # ECMA array marker + count
+            while i + 2 <= len(body):
+                klen = int.from_bytes(body[i:i + 2], "big")
+                i += 2
+                if klen == 0 and i < len(body) and body[i] == 9:
+                    break   # object end marker 0x000009
+                key = body[i:i + klen].decode("latin-1")
+                i += klen
+                if i >= len(body):
+                    raise ValueError("flv: truncated metadata")
+                vtype = body[i]
+                i += 1
+                if vtype == 0:      # number (double)
+                    if i + 8 > len(body):
+                        raise ValueError("flv: truncated number")
+                    meta[key] = struct.unpack(
+                        ">d", body[i:i + 8])[0]
+                    i += 8
+                elif vtype == 1:    # bool
+                    meta[key] = float(body[i])
+                    i += 1
+                else:
+                    # strings/objects: not needed, stop cleanly
+                    break
+            break
+        pos += 11 + dsize + 4
+    if not meta:
+        raise ValueError("flv: no onMetaData numbers")
+    dur = meta.get("duration", 0.0)
+    if dur != dur or dur < 0 or dur > 1e9:   # NaN / bogus
+        raise ValueError("flv: bad duration")
+    return {
+        "duration_ms": int(dur * 1000),
+        "width": int(meta.get("width", 0)),
+        "height": int(meta.get("height", 0)),
+        "has_video": bool(flags & 0x01),
+        "has_audio": bool(flags & 0x04),
+    }
+
+
+def encode_flv(duration_s: int = 0, w: int = 0, h: int = 0,
+               has_video: bool = True,
+               has_audio: bool = True) -> bytes:
+    """Synthetic FLV: header + one onMetaData script tag — every
+    parse_flv output is closed-form from the arguments (integral
+    seconds keep the double exact)."""
+    def amf_num(key: str, v: float) -> bytes:
+        return (len(key).to_bytes(2, "big") + key.encode()
+                + b"\x00" + struct.pack(">d", float(v)))
+
+    props = (amf_num("duration", duration_s)
+             + amf_num("width", w) + amf_num("height", h)
+             + b"\x00\x00\x09")
+    body = (b"\x02\x00\x0aonMetaData"
+            + b"\x08" + (3).to_bytes(4, "big") + props)
+    tag = (b"\x12" + len(body).to_bytes(3, "big")
+           + b"\x00" * 7 + body)
+    flags = (0x01 if has_video else 0) | (0x04 if has_audio else 0)
+    return (b"FLV\x01" + bytes([flags])
+            + (9).to_bytes(4, "big") + b"\x00" * 4
+            + tag + len(tag).to_bytes(4, "big"))

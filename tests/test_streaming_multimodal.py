@@ -511,3 +511,34 @@ def test_pdf_image_stats_null_payload_row(spark):
     rows = {r["url"]: r for r in pdf_image_ocr_stats(df).collect()}
     assert rows["u1"]["total_pages"] == 0   # zeros row, no task crash
     assert rows["u2"]["n_images"] == 0
+
+
+def test_flv_and_svg_closed_form():
+    import pytest
+    from pdf_to_text_extraction_service_spark.kernel import (
+        imgcodec as ic, videobox as vb,
+    )
+
+    st = vb.parse_flv(vb.encode_flv(95, 1280, 720, True, False))
+    assert st == {"duration_ms": 95000, "width": 1280, "height": 720,
+                  "has_video": True, "has_audio": False}
+    assert ic.svg_dims(
+        b'<svg width="120px" height="80" xmlns="x"/>') == (120, 80)
+    assert ic.svg_dims(b'<svg viewBox="0 0 640 480"></svg>') \
+        == (640, 480)
+    for bad in (b"", b"FLV", b"<html>", b"<svg >no dims</svg>"):
+        with pytest.raises(ValueError):
+            (vb.parse_flv if bad[:3] == b"FLV" or not bad
+             else ic.svg_dims)(bad)
+    # fuzz the FLV AMF walker
+    import random
+    rnd = random.Random(19)
+    base = vb.encode_flv(30, 320, 240)
+    for _ in range(150):
+        blob = bytearray(base)
+        for _ in range(rnd.randint(1, 5)):
+            blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+        try:
+            vb.parse_flv(bytes(blob))
+        except ValueError:
+            pass  # error envelope only
