@@ -84,6 +84,18 @@ def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
             while _persisted:
                 _persisted.pop().unpersist()
             _persisted.append(df)
+        else:
+            # stats off still needs the plan BROKEN per stage: each
+            # dedup stage joins a keep-list derived from its own
+            # input, so an unpersisted chain re-evaluates the entire
+            # upstream tree on BOTH join sides — 2^k duplication
+            # (plan audit: 192 source scans / 452 Exchanges for the
+            # 6-stage chain; AQE does not dedup them).  A lazy
+            # persist makes every stage compute exactly once during
+            # the final action; caches are released after the result
+            # materializes below.
+            df = df.persist()
+            _persisted.append(df)
         return df
 
     has_lang = "lang" in docs.columns
@@ -158,6 +170,13 @@ def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
         out = out.persist()
         st["sequences"] = out.agg(
             F.countDistinct("seq_id")).collect()[0][0]
+        while _persisted:
+            _persisted.pop().unpersist()
+    else:
+        # materialize the (packed, bounded) result and truncate its
+        # lineage so the per-stage caches can be released now rather
+        # than leaking for the session lifetime
+        out = out.localCheckpoint(eager=True)
         while _persisted:
             _persisted.pop().unpersist()
     return out, st
