@@ -1619,7 +1619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_pii_docs": _q_scrub_pii,
     "repetition_stats_docs": _q_repetition_stats,
     "normalize_nfc_docs": _q_normalize_nfc,
-    "stratified_sample_lang": _q_stratified_sample,
+    "multimodal_resize_thumbs": _q_multimodal_resize,  # dispatch grew r5
     "extract_yaml_docs": _q_extract_yaml,  # YAML subset extended r5
     # --- TAIL: r4 hash-green, stable, pytest-parity-covered ---
     "lang_id_heuristic": _q_lang_id,
@@ -1634,7 +1634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_docx_docs": _q_extract_docx,
     "extract_xlsx_docs": _q_extract_xlsx,
     "extract_pptx_docs": _q_extract_pptx,
-    "multimodal_resize_thumbs": _q_multimodal_resize,
+    "stratified_sample_lang": _q_stratified_sample,
     "dedup_latest_url": _q_dedup_latest_url,
     "dedup_window_events": _q_dedup_window_events,
     "q1_lineitem_agg": _q1_lineitem_agg,
