@@ -1309,6 +1309,76 @@ def _q_audio_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vbr").cast("int").alias("vbr"), "error")
 
 
+def _q_media_features_unified(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The ONE media dispatcher (functions/multimodal.media_features)
+    over a mixed column cycling ALL supported families by doc_id%10 —
+    BMP image, WAV, FLAC, MP3, WebM, AVI, MP4, AVIF, SVG, PDF — with
+    every 7th payload garbage.  Each branch's signals are the same
+    closed forms as the per-format queries, so the oracle is pure
+    doc_id arithmetic."""
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        media_features,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import (
+        audiocodec,
+        imgcodec,
+        mp4box,
+        videobox,
+    )
+    from pdf_to_text_extraction_service_spark.sources import pdfgen
+
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+    ids = [r["doc_id"] for r in docs.collect()]
+    good = ["The quick brown fox jumps over the lazy dog near a river.",
+            "Morning light settles across the quiet valley while birds sing."]
+
+    def payload(i: int) -> bytes:
+        if i % 7 == 0:
+            return b"?? unknown media"
+        k = i % 10
+        w = 64 + 8 * (i % 10)
+        h = 48 + 8 * (i % 5)
+        if k == 0:
+            return imgcodec.encode_bmp(
+                np.full((h, w), (i * 3) % 256, np.uint8))
+        if k == 1:
+            rate = 8000 + (i % 4) * 4000
+            frames = 400 + i % 50
+            return audiocodec.encode_wav(
+                np.full(frames, 100, np.int16), rate)
+        if k == 2:
+            return audiocodec.encode_flac_header(
+                44100, 1 + i % 2, 16, 44100 * (4 + i % 6) + i % 7)
+        if k == 3:
+            return audiocodec.encode_mp3_frames(
+                [128] * (20 + i % 10))
+        if k == 4:
+            return videobox.encode_matroska(
+                "webm", 1000 * (3 + i % 12) + i % 19,
+                [(1, "V_VP8", w, h)])
+        if k == 5:
+            return videobox.encode_avi(25000, 200 + i % 100,
+                                       streams=1, w=w, h=h)
+        if k == 6:
+            return mp4box.encode_mp4(
+                "isom", 1000, 1000 * (8 + i % 9) + i % 5,
+                [("vide", "avc1", w, h)])
+        if k == 7:
+            return mp4box.encode_avif_header(w, h)
+        if k == 8:
+            return (f'<svg width="{w}" height="{h}" '
+                    f'xmlns="http://www.w3.org/2000/svg"/>').encode()
+        return pdfgen.simple_pdf([good] * (1 + i % 3))
+
+    media = spark.createDataFrame(
+        [(i, payload(i)) for i in ids], "media_id long, payload binary")
+    return media_features(media)
+
+
 def _q_video_container_features(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Matroska/WebM EBML walk + AVI avih + ASF file-properties over
@@ -1598,6 +1668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_container_features": _q_audio_container_features,  # NEW r5
     "image_codec_breadth": _q_image_codec_breadth,            # NEW r5
     "video_container_features": _q_video_container_features,  # NEW r5
+    "media_features_unified": _q_media_features_unified,      # NEW r5
     "multimodal_image_features": _q_multimodal_features,
     "dedup_image_dhash": _q_dedup_image_dhash,
     "decontam_benchmark": _q_decontam_benchmark,
@@ -1618,10 +1689,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_filter": _q_boilerplate_filter,
     "scrub_pii_docs": _q_scrub_pii,
     "repetition_stats_docs": _q_repetition_stats,
-    "normalize_nfc_docs": _q_normalize_nfc,
     "multimodal_resize_thumbs": _q_multimodal_resize,  # dispatch grew r5
     "extract_yaml_docs": _q_extract_yaml,  # YAML subset extended r5
     # --- TAIL: r4 hash-green, stable, pytest-parity-covered ---
+    "normalize_nfc_docs": _q_normalize_nfc,
     "lang_id_heuristic": _q_lang_id,
     "token_count_bpe": _q_token_count,
     "doc_fingerprint": _q_doc_fingerprint,
@@ -2890,6 +2961,70 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END
                         AS INTEGER) AS sum_page_words
             FROM documents WHERE doc_id < 100
+        """,
+        # Unified-media oracle: every branch reuses the per-format
+        # closed forms (WAV frames/rate, FLAC totals, MP3 1152-sample
+        # frames, EBML/avih/mvhd durations, PDF page counts).
+        "media_features_unified": """
+            WITH p AS (
+                SELECT doc_id AS media_id,
+                       doc_id % 7 = 0 AS bad,
+                       doc_id % 10 AS k,
+                       64 + 8 * (doc_id % 10) AS w,
+                       48 + 8 * (doc_id % 5) AS h,
+                       8000 + (doc_id % 4) * 4000 AS wavrate,
+                       400 + doc_id % 50 AS wavframes,
+                       44100 * (4 + doc_id % 6) + doc_id % 7
+                           AS flactotal,
+                       20 + doc_id % 10 AS mp3n,
+                       1000 * (3 + doc_id % 12) + doc_id % 19
+                           AS webmdur,
+                       (200 + doc_id % 100) * 25 AS avidur,
+                       1000 * (8 + doc_id % 9) + doc_id % 5
+                           AS mp4dur,
+                       1 + doc_id % 3 AS npages,
+                       1 + doc_id % 2 AS flacch
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT media_id,
+                   CASE WHEN bad THEN NULL
+                        WHEN k IN (0, 7, 8) THEN 'image'
+                        WHEN k IN (1, 2, 3) THEN 'audio'
+                        WHEN k IN (4, 5, 6) THEN 'video'
+                        ELSE 'document' END AS kind,
+                   CASE WHEN bad THEN NULL
+                        WHEN k = 0 THEN 'bmp' WHEN k = 1 THEN 'wav'
+                        WHEN k = 2 THEN 'flac' WHEN k = 3 THEN 'mp3'
+                        WHEN k = 4 THEN 'webm' WHEN k = 5 THEN 'avi'
+                        WHEN k = 6 THEN 'mp4' WHEN k = 7 THEN 'avif'
+                        WHEN k = 8 THEN 'svg' ELSE 'pdf' END AS format,
+                   CASE WHEN bad OR k IN (1, 2, 3, 9) THEN NULL
+                        ELSE w END::INTEGER AS width,
+                   CASE WHEN bad OR k IN (1, 2, 3, 9) THEN NULL
+                        ELSE h END::INTEGER AS height,
+                   CASE WHEN bad THEN NULL
+                        WHEN k = 1 THEN
+                          wavframes * 1000 // wavrate
+                        WHEN k = 2 THEN flactotal * 1000 // 44100
+                        WHEN k = 3 THEN mp3n * 1152 * 1000 // 44100
+                        WHEN k = 4 THEN webmdur
+                        WHEN k = 5 THEN avidur
+                        WHEN k = 6 THEN mp4dur
+                        ELSE NULL END::BIGINT AS duration_ms,
+                   CASE WHEN bad THEN NULL
+                        WHEN k = 1 THEN wavrate
+                        WHEN k IN (2, 3) THEN 44100
+                        ELSE NULL END::INTEGER AS sample_rate,
+                   CASE WHEN bad THEN NULL
+                        WHEN k IN (1, 3) THEN
+                          CASE WHEN k = 1 THEN 1 ELSE 2 END
+                        WHEN k = 2 THEN flacch
+                        ELSE NULL END::INTEGER AS channels,
+                   CASE WHEN bad OR k != 9 THEN NULL
+                        ELSE npages END::INTEGER AS n_pages,
+                   CASE WHEN bad THEN 'unsupported media payload'
+                        ELSE NULL END AS error
+            FROM p
         """,
         # Video-container oracle: pure doc_id arithmetic mirroring
         # the synthetic EBML/AVI/ASF fixtures; AVI duration floors at

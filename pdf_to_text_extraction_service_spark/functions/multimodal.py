@@ -800,6 +800,152 @@ def video_container_features(df: DataFrame, id_col: str = "media_id",
         _run, schema=VIDEO_CONTAINER_SCHEMA)
 
 
+MEDIA_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("format", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_pages", IntegerType()),
+    StructField("error", StringType()),
+])
+
+
+def media_features(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """ONE dispatcher over an opaque media column: magic-sniffs any
+    payload the engine understands — raster images (real decode),
+    WebP/AVIF/SVG (dims), WAV (real decode), MP3/FLAC/OGG (header
+    walks), MP4/Matroska/AVI/ASF/FLV (container walks), PDF (page
+    count) — and emits one unified signal row.  Fields a format does
+    not carry are NULL; unknown formats are error rows.  This is the
+    entry point a curation pipeline points at a crawl's media column
+    before fanning out to the per-format operators."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import audiocodec, imgcodec, mp4box, pdfk, videobox
+
+        cols = ("media_id", "kind", "format", "width", "height",
+                "duration_ms", "sample_rate", "channels", "n_pages",
+                "error")
+
+        def classify(p: bytes) -> dict:
+            row: dict = dict.fromkeys(cols[1:-1])
+            if p.startswith(b"%PDF-"):
+                doc = pdfk.PDFDoc(p)
+                row.update(kind="document", format="pdf",
+                           n_pages=doc.page_count)
+            elif p.startswith(imgcodec.PNG_SIG) \
+                    or p.startswith(b"\xff\xd8") \
+                    or p.startswith(b"BM") or p.startswith(b"GIF8") \
+                    or p.startswith(b"II*\x00") \
+                    or p.startswith(b"MM\x00*") \
+                    or p.startswith(FAKE_IMG_MAGIC):
+                fmt = ("png" if p.startswith(imgcodec.PNG_SIG) else
+                       "jpeg" if p.startswith(b"\xff\xd8") else
+                       "bmp" if p.startswith(b"BM") else
+                       "gif" if p.startswith(b"GIF8") else
+                       "tiff" if p[:1] in (b"I", b"M") else "fake")
+                w, h, _gray = _decode_gray(p)
+                row.update(kind="image", format=fmt, width=w, height=h)
+            elif p.startswith(b"RIFF") and p[8:12] == b"WEBP":
+                variant, w, h = imgcodec.webp_dims(p)
+                row.update(kind="image", format="webp-" + variant,
+                           width=w, height=h)
+            elif b"<svg" in p[:256].lower():
+                w, h = imgcodec.svg_dims(p)
+                row.update(kind="image", format="svg",
+                           width=w, height=h)
+            elif p.startswith(b"RIFF") and p[8:12] == b"WAVE":
+                rate, ch, samples = audiocodec.decode_wav(p)
+                row.update(kind="audio", format="wav",
+                           sample_rate=rate, channels=ch,
+                           duration_ms=samples.shape[0] * 1000 // rate)
+            elif p.startswith(b"fLaC"):
+                st = audiocodec.parse_flac(p)
+                row.update(kind="audio", format="flac",
+                           sample_rate=st["sample_rate"],
+                           channels=st["channels"],
+                           duration_ms=st["duration_ms"])
+            elif p.startswith(b"OggS"):
+                st = audiocodec.parse_ogg(p)
+                row.update(kind="audio", format=st["codec"],
+                           sample_rate=st["sample_rate"],
+                           channels=st["channels"],
+                           duration_ms=st["duration_ms"])
+            elif p.startswith(b"ID3") or (
+                    len(p) >= 2 and p[0] == 0xFF
+                    and (p[1] & 0xE0) == 0xE0):
+                st = audiocodec.parse_mp3(p)
+                row.update(kind="audio", format="mp3",
+                           sample_rate=st["sample_rate"],
+                           channels=st["channels"],
+                           duration_ms=st["duration_ms"])
+            elif p.startswith(b"\x1a\x45\xdf\xa3"):
+                st = videobox.parse_matroska(p)
+                row.update(kind="video", format=st["doctype"],
+                           width=st["width"], height=st["height"],
+                           duration_ms=st["duration_ms"])
+            elif p.startswith(b"RIFF") and p[8:12] == b"AVI ":
+                st = videobox.parse_avi(p)
+                row.update(kind="video", format="avi",
+                           width=st["width"], height=st["height"],
+                           duration_ms=st["duration_ms"])
+            elif p.startswith(videobox._ASF_HEADER_GUID):
+                st = videobox.parse_asf(p)
+                row.update(kind="video", format="asf",
+                           duration_ms=st["duration_ms"])
+            elif p.startswith(b"FLV"):
+                st = videobox.parse_flv(p)
+                row.update(kind="video", format="flv",
+                           width=st["width"], height=st["height"],
+                           duration_ms=st["duration_ms"])
+            elif p[4:8] == b"ftyp":
+                brand = p[8:12].decode("latin-1", "replace").strip()
+                if brand in ("avif", "avis"):
+                    _b, w, h = mp4box.parse_avif_dims(p)
+                    row.update(kind="image", format="avif",
+                               width=w, height=h)
+                else:
+                    st = mp4box.parse_mp4(p)
+                    row.update(
+                        kind="video" if st["has_video"] else "audio",
+                        format="mp4", width=st["width"] or None,
+                        height=st["height"] or None,
+                        duration_ms=st["duration_ms"])
+            elif p.startswith(FAKE_VID_MAGIC):
+                frames, w, h = struct.unpack(">III", p[8:20])
+                row.update(kind="video", format="fakevid",
+                           width=w, height=h)
+            else:
+                raise ValueError("unsupported media payload")
+            return row
+
+        for batch in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                try:
+                    row = classify(payload)
+                    for k, v in row.items():
+                        out[k].append(v)
+                    out["error"].append(None)
+                except Exception as exc:
+                    for k in cols[1:-1]:
+                        out[k].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=MEDIA_FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 2,
                   id_col: str = "media_id",
                   payload_col: str = "payload") -> DataFrame:

@@ -542,3 +542,38 @@ def test_flv_and_svg_closed_form():
             vb.parse_flv(bytes(blob))
         except ValueError:
             pass  # error envelope only
+
+
+def test_media_features_unified_dispatch(spark):
+    import numpy as np
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        media_features,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import (
+        audiocodec as ac, imgcodec as ic, mp4box as m, videobox as vb,
+    )
+
+    rows = [
+        (0, ic.encode_bmp(np.full((5, 6), 9, np.uint8))),
+        (1, ac.encode_wav(np.full(800, 50, np.int16), 8000)),
+        (2, ac.encode_flac_header(48000, 2, 16, 96000)),
+        (3, vb.encode_matroska("webm", 4000, [(1, "V_VP8", 32, 16)])),
+        (4, m.encode_mp4("M4A", 1000, 7000, [("soun", "mp4a", 0, 0)])),
+        (5, m.encode_avif_header(30, 20)),
+        (6, b"?? not media"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in media_features(df).collect()}
+    assert (got[0]["kind"], got[0]["format"],
+            got[0]["width"], got[0]["height"]) == ("image", "bmp", 6, 5)
+    assert (got[1]["kind"], got[1]["duration_ms"],
+            got[1]["sample_rate"]) == ("audio", 100, 8000)
+    assert (got[2]["format"], got[2]["duration_ms"]) == ("flac", 2000)
+    assert (got[3]["kind"], got[3]["format"],
+            got[3]["duration_ms"]) == ("video", "webm", 4000)
+    # audio-only mp4 classifies as audio
+    assert (got[4]["kind"], got[4]["format"],
+            got[4]["duration_ms"]) == ("audio", "mp4", 7000)
+    assert (got[5]["kind"], got[5]["format"],
+            got[5]["width"]) == ("image", "avif", 30)
+    assert got[6]["kind"] is None and "unsupported" in got[6]["error"]
