@@ -577,3 +577,37 @@ def test_media_features_unified_dispatch(spark):
     assert (got[5]["kind"], got[5]["format"],
             got[5]["width"]) == ("image", "avif", 30)
     assert got[6]["kind"] is None and "unsupported" in got[6]["error"]
+
+
+def test_ebml_vint_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_to_text_extraction_service_spark.kernel import videobox as vb
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=0, max_value=(1 << 49) - 2))
+    def run(n):
+        # encode a size vint the way _ebml_elem does, parse it back
+        for ln in range(1, 9):
+            if n < (1 << (7 * ln)) - 1:
+                enc = ((1 << (7 * ln)) | n).to_bytes(ln, "big")
+                break
+        got, nxt = vb._read_vint(enc, 0, keep_marker=False)
+        assert got == n and nxt == len(enc)
+
+    run()
+
+
+def test_ebml_unknown_size_element():
+    from pdf_to_text_extraction_service_spark.kernel import videobox as vb
+
+    # Segment with unknown size (0x01FFFFFFFFFFFFFF) containing Info
+    info = vb._ebml_elem(vb._INFO, vb._ebml_elem(
+        vb._TIMESCALE, (1_000_000).to_bytes(3, "big")))
+    seg = (vb._SEGMENT.to_bytes(4, "big")
+           + b"\x01" + b"\xff" * 7 + info)
+    hdr = vb._ebml_elem(vb._EBML_HEADER, vb._ebml_elem(
+        vb._DOCTYPE, b"webm"))
+    st = vb.parse_matroska(hdr + seg)
+    assert st["doctype"] == "webm" and st["duration_ms"] == 0
