@@ -1309,6 +1309,37 @@ def _q_audio_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vbr").cast("int").alias("vbr"), "error")
 
 
+def _q_robots_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta gate (operators/robots.py, pure JVM regexp) over
+    synthesized heads cycling no-tag / index,follow / NOINDEX
+    (uppercase) / none / 'nofollow, noarchive' (spaces, single
+    quotes) by doc_id%5 — flags are closed-form doc_id arithmetic."""
+    from pdf_to_text_extraction_service_spark.operators.robots import (
+        robots_flags,
+    )
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text") \
+        .filter(F.col("doc_id") < 500)
+    meta = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .when(F.col("doc_id") % 5 == 1,
+              F.lit('<meta name="robots" content="index,follow">'))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit('<META NAME="ROBOTS" CONTENT="NOINDEX">'))
+        .when(F.col("doc_id") % 5 == 3,
+              F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(
+            "<meta name='robots' content='nofollow, noarchive'>"))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><head><title>t</title>"), meta,
+                 F.lit("</head><body><p>"), F.col("text"),
+                 F.lit("</p></body></html>")).alias("html"),
+    )
+    return robots_flags(pages).select("doc_id", "noindex", "nofollow")
+
+
 def _q_media_features_unified(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """The ONE media dispatcher (functions/multimodal.media_features)
@@ -1669,6 +1700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_codec_breadth": _q_image_codec_breadth,            # NEW r5
     "video_container_features": _q_video_container_features,  # NEW r5
     "media_features_unified": _q_media_features_unified,      # NEW r5
+    "robots_meta_gate": _q_robots_meta_gate,                  # NEW r5
     "multimodal_image_features": _q_multimodal_features,
     "dedup_image_dhash": _q_dedup_image_dhash,
     "decontam_benchmark": _q_decontam_benchmark,
@@ -1688,10 +1720,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_urls": _q_canonical_urls,
     "boilerplate_filter": _q_boilerplate_filter,
     "scrub_pii_docs": _q_scrub_pii,
-    "repetition_stats_docs": _q_repetition_stats,
     "multimodal_resize_thumbs": _q_multimodal_resize,  # dispatch grew r5
     "extract_yaml_docs": _q_extract_yaml,  # YAML subset extended r5
     # --- TAIL: r4 hash-green, stable, pytest-parity-covered ---
+    "repetition_stats_docs": _q_repetition_stats,
     "normalize_nfc_docs": _q_normalize_nfc,
     "lang_id_heuristic": _q_lang_id,
     "token_count_bpe": _q_token_count,
@@ -2961,6 +2993,15 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END
                         AS INTEGER) AS sum_page_words
             FROM documents WHERE doc_id < 100
+        """,
+        # Robots-meta oracle: directive cycle is closed-form.
+        "robots_meta_gate": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 5 IN (2, 3)
+                        THEN 1 ELSE 0 END AS INTEGER) AS noindex,
+                   CAST(CASE WHEN doc_id % 5 IN (3, 4)
+                        THEN 1 ELSE 0 END AS INTEGER) AS nofollow
+            FROM documents WHERE doc_id < 500
         """,
         # Unified-media oracle: every branch reuses the per-format
         # closed forms (WAV frames/rate, FLAC totals, MP3 1152-sample

@@ -655,3 +655,31 @@ def test_remove_spans_overlap_merge(spark):
     assert out[1]["text_out"] == "x y"
     assert out[1]["n_removed"] == 14  # merged interval, not 26
     assert out[0]["n_removed"] == 0
+
+
+def test_robots_meta_gate(spark):
+    from pdf_to_text_extraction_service_spark.operators.robots import (
+        drop_noindex,
+        robots_flags,
+    )
+
+    rows = [
+        (0, b"<html><head></head><body>x</body></html>"),
+        (1, b'<head><meta name="robots" content="index,follow"></head>'),
+        (2, b'<head><META NAME="ROBOTS" CONTENT="NOINDEX"></head>'),
+        (3, b'<head><meta name="robots" content="none"></head>'),
+        (4, b"<head><meta name='robots' content='nofollow, noarchive'>"),
+        (5, b'<head><meta name="robots" content="NoIndex , nofollow">'),
+        # description meta must NOT match
+        (6, b'<head><meta name="description" content="noindex stuff">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    got = {r["doc_id"]: (r["noindex"], r["nofollow"])
+           for r in robots_flags(df).collect()}
+    assert got == {0: (0, 0), 1: (0, 0), 2: (1, 0), 3: (1, 1),
+                   4: (0, 1), 5: (1, 1), 6: (0, 0)}
+    kept = sorted(r["doc_id"] for r in drop_noindex(df).collect())
+    assert kept == [0, 1, 4, 6]
+    # plan: pure filter over the scan, no exchange
+    plan = drop_noindex(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
