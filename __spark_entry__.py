@@ -1309,6 +1309,45 @@ def _q_audio_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vbr").cast("int").alias("vbr"), "error")
 
 
+def _q_domain_blocklist_gate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Broadcast-anti blocklist gate over the same URL synthesis as
+    domain_stats: the blocklist is every source's .co.uk registered
+    domain, so exactly the doc_id%7==2 hosted rows drop (scheme-less
+    doc_id%11==0 rows have no host and pass).  Closed-form oracle."""
+    from pdf_to_text_extraction_service_spark.operators.domains import (
+        filter_blocked_domains,
+    )
+
+    docs = load_documents(spark, sf_dir) \
+        .select("doc_id", "source").filter(F.col("doc_id") < 500)
+    suffix = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("org"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("co.uk"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("co.nz"))
+        .when(F.col("doc_id") % 7 == 4, F.lit("com.sg"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("k12.ca.us"))
+        .otherwise(F.lit("foo.ck"))
+    )
+    hostpath = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www"))
+        .otherwise(F.lit("cdn")),
+        F.lit("."), F.col("source"), F.lit("."), suffix,
+        F.lit("/page/"), F.col("doc_id").cast("string"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, hostpath)
+        .otherwise(F.concat(F.lit("https://"), hostpath)).alias("url"),
+    )
+    blocklist = docs.select(
+        F.concat(F.col("source"), F.lit(".co.uk")).alias("domain")
+    ).distinct()
+    return filter_blocked_domains(pages, blocklist) \
+        .select("doc_id").orderBy("doc_id")
+
+
 def _q_robots_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots-meta gate (operators/robots.py, pure JVM regexp) over
     synthesized heads cycling no-tag / index,follow / NOINDEX
@@ -1701,6 +1740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_container_features": _q_video_container_features,  # NEW r5
     "media_features_unified": _q_media_features_unified,      # NEW r5
     "robots_meta_gate": _q_robots_meta_gate,                  # NEW r5
+    "domain_blocklist_gate": _q_domain_blocklist_gate,        # NEW r5
     "multimodal_image_features": _q_multimodal_features,
     "dedup_image_dhash": _q_dedup_image_dhash,
     "decontam_benchmark": _q_decontam_benchmark,
@@ -1719,10 +1759,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": _q_ann_ivf_topk,
     "canonical_urls": _q_canonical_urls,
     "boilerplate_filter": _q_boilerplate_filter,
-    "scrub_pii_docs": _q_scrub_pii,
     "multimodal_resize_thumbs": _q_multimodal_resize,  # dispatch grew r5
     "extract_yaml_docs": _q_extract_yaml,  # YAML subset extended r5
     # --- TAIL: r4 hash-green, stable, pytest-parity-covered ---
+    "scrub_pii_docs": _q_scrub_pii,
     "repetition_stats_docs": _q_repetition_stats,
     "normalize_nfc_docs": _q_normalize_nfc,
     "lang_id_heuristic": _q_lang_id,
@@ -2993,6 +3033,14 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 0 END
                         AS INTEGER) AS sum_page_words
             FROM documents WHERE doc_id < 100
+        """,
+        # Blocklist-gate oracle: .co.uk hosted rows drop; hostless
+        # rows (doc_id%11==0) have no registered domain and pass.
+        "domain_blocklist_gate": """
+            SELECT doc_id FROM documents
+            WHERE doc_id < 500
+              AND NOT (doc_id % 7 = 2 AND doc_id % 11 != 0)
+            ORDER BY doc_id
         """,
         # Robots-meta oracle: directive cycle is closed-form.
         "robots_meta_gate": """

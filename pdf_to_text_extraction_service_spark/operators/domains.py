@@ -94,3 +94,23 @@ def domain_stats(docs: DataFrame, url_col: str = "url",
         )
         .select("domain", "n_docs", "n_hosts", "avg_chars", "top_lang")
     )
+
+
+def filter_blocked_domains(docs: DataFrame, blocklist: DataFrame,
+                           url_col: str = "url",
+                           domain_col: str = "domain") -> DataFrame:
+    """Drop documents whose REGISTERED domain (PSL reduction above)
+    appears in a blocklist table — the spam/SEO wholesale filter every
+    crawl pipeline runs after the per-domain rollup.
+
+    Scale shape: the blocklist (thousands-to-millions of rows, tiny
+    next to the corpus) is deduped then BROADCAST; the corpus side is
+    a map-side left-anti hash join — document rows never shuffle."""
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("_bldom"))
+        .dropDuplicates(["_bldom"]))
+    return (
+        docs.withColumn("_dom", registered_domain_col(url_col))
+        .join(bl, F.col("_dom") == F.col("_bldom"), "left_anti")
+        .drop("_dom")
+    )

@@ -683,3 +683,29 @@ def test_robots_meta_gate(spark):
     # plan: pure filter over the scan, no exchange
     plan = drop_noindex(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_filter_blocked_domains_broadcast_anti(spark):
+    from pdf_to_text_extraction_service_spark.operators.domains import (
+        filter_blocked_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "https://www.spam.co.nz/a"),
+         (1, "https://cdn.SPAM.co.nz/b"),     # case-folded host
+         (2, "https://keep.example.com/c"),
+         (3, "https://sub.deep.keep.example.com/d"),  # same eTLD+1 kept
+         (4, "https://blocked.com/e")],
+        "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("spam.co.nz",), ("Blocked.com",)], "domain string")
+    out = filter_blocked_domains(docs, bl)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the only hash exchange is the tiny BLOCKLIST side's dedup
+    # (shuffling thousands of domains is free; the corpus side must
+    # not shuffle)
+    import re
+    parts = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(p.startswith("_bldom") for p in parts), parts
