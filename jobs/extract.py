@@ -117,6 +117,15 @@ def main() -> None:
                     default="parquet",
                     help="'warc' reads raw (gzipped) WARC segment "
                          "files instead of a parquet pages table")
+    ap.add_argument("--drop-noindex", action="store_true",
+                    help="drop pages whose robots meta opts out of "
+                         "indexing BEFORE extraction (JVM regexp "
+                         "filter — saves the Python kernel hop on "
+                         "excluded pages)")
+    ap.add_argument("--blocklist", default=None,
+                    help="parquet with a 'domain' column; pages whose "
+                         "registered domain (PSL) matches are dropped "
+                         "before extraction (broadcast anti-join)")
     args = ap.parse_args()
 
     spark = build_session(app_name="webextract-job")
@@ -124,6 +133,17 @@ def main() -> None:
         pages = _stage_warc(spark, args.input, args.manifest)
     else:
         pages = spark.read.parquet(args.input)
+    if args.blocklist:
+        from pdf_to_text_extraction_service_spark.operators.domains \
+            import filter_blocked_domains
+
+        pages = filter_blocked_domains(
+            pages, spark.read.parquet(args.blocklist))
+    if args.drop_noindex:
+        from pdf_to_text_extraction_service_spark.operators.robots \
+            import drop_noindex
+
+        pages = drop_noindex(pages)
     rows = tune_arrow_batch(spark, pages, target_mb=args.arrow_target_mb)
     print(f"[extract] arrow batch tuned to {rows} rows "
           f"(~{args.arrow_target_mb} MB/batch)")

@@ -109,35 +109,49 @@ def run_resumable_extract(
             .parquet(output_path)
         )
         # Exact per-bucket metrics from the committed output (columnar
-        # read of 3 small columns — no second extraction pass).
-        out = spark.read.parquet(output_path).filter(
-            F.col("bucket").isin(wave)
-        )
-        stats = out.groupBy("bucket").agg(
-            F.count("*").alias("row_count"),
-            F.count_if(F.col("success")).alias("ok_count"),
-        )
-        failures = (
-            out.filter(~F.col("success"))
-            .groupBy("bucket", "format").count()
-            .groupBy("bucket")
-            .agg(F.map_from_entries(
-                F.collect_list(F.struct("format", "count"))
-            ).alias("failure_codes"))
-        )
-        finished = datetime.datetime.now(datetime.timezone.utc)
-        manifest_rows = (
-            stats.join(failures, "bucket", "left")
-            .select(
-                F.lit(source_snapshot).alias("source_snapshot"),
-                F.col("bucket"),
-                "row_count", "ok_count", "failure_codes",
-                F.lit(started).alias("started_at"),
-                F.lit(finished).alias("finished_at"),
+        # read of 3 small columns — no second extraction pass).  An
+        # all-filtered input (e.g. every page gated by --drop-noindex
+        # or --blocklist) writes NO parquet files, which makes the
+        # read-back unable to infer a schema — that is the legitimate
+        # "every bucket empty" case, not an error.
+        from pyspark.errors import AnalysisException
+
+        try:
+            out = spark.read.parquet(output_path).filter(
+                F.col("bucket").isin(wave)
             )
-        )
+            stats = out.groupBy("bucket").agg(
+                F.count("*").alias("row_count"),
+                F.count_if(F.col("success")).alias("ok_count"),
+            )
+            failures = (
+                out.filter(~F.col("success"))
+                .groupBy("bucket", "format").count()
+                .groupBy("bucket")
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("format", "count"))
+                ).alias("failure_codes"))
+            )
+            seen = {r["bucket"]
+                    for r in stats.select("bucket").collect()}
+        except AnalysisException:
+            stats = failures = None
+            seen = set()
+        finished = datetime.datetime.now(datetime.timezone.utc)
+        if stats is not None:
+            manifest_rows = (
+                stats.join(failures, "bucket", "left")
+                .select(
+                    F.lit(source_snapshot).alias("source_snapshot"),
+                    F.col("bucket"),
+                    "row_count", "ok_count", "failure_codes",
+                    F.lit(started).alias("started_at"),
+                    F.lit(finished).alias("finished_at"),
+                )
+            )
+        else:
+            manifest_rows = spark.createDataFrame([], MANIFEST_SCHEMA)
         # Buckets with zero input rows still need a manifest row.
-        seen = {r["bucket"] for r in stats.select("bucket").collect()}
         empty = [b for b in wave if b not in seen]
         if empty:
             empty_df = spark.createDataFrame(
