@@ -65,7 +65,7 @@ from pdf_to_text_extraction_service_spark.plans.session import (
 
 def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
            seq_len=1024, benchmark=None, span_removal=True,
-           stats=True):
+           blocklist=None, stats=True):
     """Run the curation chain over ``docs(url, text, ...)``; returns
     (packed DataFrame, stage-stats dict)."""
     st: dict[str, int] = {}
@@ -99,6 +99,11 @@ def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
         return df
 
     has_lang = "lang" in docs.columns
+    if blocklist is not None:
+        from pdf_to_text_extraction_service_spark.operators.domains \
+            import filter_blocked_domains
+
+        docs = filter_blocked_domains(docs, blocklist)
     base = docs.filter(
         (F.col("success") if "success" in docs.columns else F.lit(True))
         & F.col("text").isNotNull() & (F.col("text") != "")
@@ -194,6 +199,10 @@ def main() -> None:
     ap.add_argument("--benchmark", default=None,
                     help="parquet with a text column to decontaminate "
                          "against")
+    ap.add_argument("--blocklist", default=None,
+                    help="parquet with a 'domain' column; docs whose "
+                         "registered domain matches are dropped at "
+                         "the gate (broadcast anti-join)")
     ap.add_argument("--no-span-removal", action="store_true")
     ap.add_argument("--no-stats", action="store_true")
     args = ap.parse_args()
@@ -208,6 +217,8 @@ def main() -> None:
         langs=args.langs.split(",") if args.langs else None,
         min_words=args.min_words, min_quality=args.min_quality,
         seq_len=args.seq_len, benchmark=bench,
+        blocklist=(spark.read.parquet(args.blocklist)
+                   if args.blocklist else None),
         span_removal=not args.no_span_removal,
         stats=not args.no_stats,
     )
