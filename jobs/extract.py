@@ -144,6 +144,14 @@ def main() -> None:
             import drop_noindex
 
         pages = drop_noindex(pages)
+    # the gates change WHICH pages a bucket contains, so they are
+    # part of the resume identity: a rerun with different gate flags
+    # must not mix gated and ungated buckets under one snapshot
+    snapshot = f"pages-b{args.buckets}"
+    if args.drop_noindex:
+        snapshot += "-noindex"
+    if args.blocklist:
+        snapshot += f"-bl{os.path.basename(args.blocklist.rstrip('/'))}"
     rows = tune_arrow_batch(spark, pages, target_mb=args.arrow_target_mb)
     print(f"[extract] arrow batch tuned to {rows} rows "
           f"(~{args.arrow_target_mb} MB/batch)")
@@ -152,6 +160,7 @@ def main() -> None:
         output_path=args.output,
         manifest_path=args.manifest,
         buckets=args.buckets,
+        source_snapshot=snapshot,
         dedup=not args.no_dedup,
     )
     spark.stop()

@@ -690,7 +690,8 @@ def image_breadth_features(df: DataFrame, id_col: str = "media_id",
                             and payload[8:12] == b"WEBP":
                         variant, w, h = imgcodec.webp_dims(payload)
                         codec = "webp-" + variant
-                    elif payload[4:8] == b"ftyp":
+                    elif payload[4:8] == b"ftyp" \
+                            and payload[8:12] in (b"avif", b"avis"):
                         brand, w, h = mp4box.parse_avif_dims(payload)
                         codec = "avif"
                     elif b"<svg" in payload[:256].lower():
@@ -730,9 +731,12 @@ def video_container_features(df: DataFrame, id_col: str = "media_id",
     """Magic-sniffed video-container signals: Matroska/WebM EBML walk,
     AVI avih header, ASF file-properties, and ISO-BMFF (MP4/MOV via
     kernel/mp4box) — duration / track inventory / dimensions without
-    codec decode, covering the reference's video extension list
-    except FLV (AMF metadata, documented gap).  Fields a container
-    does not carry are NULL (AVI/ASF track kinds, ASF dims)."""
+    codec decode, plus FLV AMF onMetaData — the reference's full
+    video extension list.  Fields a container does not carry are
+    NULL (AVI/ASF track kinds, ASF dims, FLV track counts).  NOTE
+    the per-family sniff also exists in media_features (unified row
+    shape) and image_breadth_features (image families) — when adding
+    a format, update all three dispatchers."""
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -857,10 +861,6 @@ def media_features(df: DataFrame, id_col: str = "media_id",
                 variant, w, h = imgcodec.webp_dims(p)
                 row.update(kind="image", format="webp-" + variant,
                            width=w, height=h)
-            elif b"<svg" in p[:256].lower():
-                w, h = imgcodec.svg_dims(p)
-                row.update(kind="image", format="svg",
-                           width=w, height=h)
             elif p.startswith(b"RIFF") and p[8:12] == b"WAVE":
                 rate, ch, samples = audiocodec.decode_wav(p)
                 row.update(kind="audio", format="wav",
@@ -889,7 +889,8 @@ def media_features(df: DataFrame, id_col: str = "media_id",
             elif p.startswith(b"\x1a\x45\xdf\xa3"):
                 st = videobox.parse_matroska(p)
                 row.update(kind="video", format=st["doctype"],
-                           width=st["width"], height=st["height"],
+                           width=st["width"] or None,
+                           height=st["height"] or None,
                            duration_ms=st["duration_ms"])
             elif p.startswith(b"RIFF") and p[8:12] == b"AVI ":
                 st = videobox.parse_avi(p)
@@ -903,7 +904,8 @@ def media_features(df: DataFrame, id_col: str = "media_id",
             elif p.startswith(b"FLV"):
                 st = videobox.parse_flv(p)
                 row.update(kind="video", format="flv",
-                           width=st["width"], height=st["height"],
+                           width=st["width"] or None,
+                           height=st["height"] or None,
                            duration_ms=st["duration_ms"])
             elif p[4:8] == b"ftyp":
                 brand = p[8:12].decode("latin-1", "replace").strip()
@@ -921,6 +923,13 @@ def media_features(df: DataFrame, id_col: str = "media_id",
             elif p.startswith(FAKE_VID_MAGIC):
                 frames, w, h = struct.unpack(">III", p[8:20])
                 row.update(kind="video", format="fakevid",
+                           width=w, height=h)
+            elif b"<svg" in p[:256].lower():
+                # weak containment sniff LAST: binary headers whose
+                # first bytes happen to spell '<svg' (ID3 text, WAV
+                # samples) must hit their strong magic first
+                w, h = imgcodec.svg_dims(p)
+                row.update(kind="image", format="svg",
                            width=w, height=h)
             else:
                 raise ValueError("unsupported media payload")

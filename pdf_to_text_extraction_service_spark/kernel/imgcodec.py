@@ -1859,7 +1859,9 @@ def webp_dims(data: bytes) -> tuple[str, int, int]:
 import re
 
 _SVG_ROOT_RE = re.compile(rb"<svg\b([^>]*)>", re.IGNORECASE | re.DOTALL)
-_SVG_ATTR_RE = rb"""%s\s*=\s*["']\s*([0-9]+)(?:px)?\s*["']"""
+# (?<![-\w:]) pins the attribute name: stroke-width/data-height must
+# not satisfy the width/height lookup
+_SVG_ATTR_RE = rb"""(?<![-\w:])%s\s*=\s*["']\s*([0-9]+)(?:px)?\s*["']"""
 _SVG_VIEWBOX_RE = re.compile(
     rb"""viewBox\s*=\s*["']\s*[-0-9.]+[\s,]+[-0-9.]+[\s,]+"""
     rb"""([0-9]+)(?:\.[0-9]+)?[\s,]+([0-9]+)(?:\.[0-9]+)?\s*["']""",

@@ -330,6 +330,8 @@ def parse_flv(data: bytes) -> dict:
                         ">d", body[i:i + 8])[0]
                     i += 8
                 elif vtype == 1:    # bool
+                    if i >= len(body):
+                        raise ValueError("flv: truncated bool")
                     meta[key] = float(body[i])
                     i += 1
                 else:

@@ -117,9 +117,17 @@ def run_resumable_extract(
         from pyspark.errors import AnalysisException
 
         try:
-            out = spark.read.parquet(output_path).filter(
-                F.col("bucket").isin(wave)
-            )
+            out = spark.read.parquet(output_path)
+        except AnalysisException as exc:
+            # ONLY the empty-directory/no-files case is legitimate
+            # here (schema drift etc. must PROPAGATE — see
+            # completed_buckets); re-raise anything else
+            if "UNABLE_TO_INFER_SCHEMA" not in str(exc) \
+                    and "Path does not exist" not in str(exc):
+                raise
+            out = None
+        if out is not None:
+            out = out.filter(F.col("bucket").isin(wave))
             stats = out.groupBy("bucket").agg(
                 F.count("*").alias("row_count"),
                 F.count_if(F.col("success")).alias("ok_count"),
@@ -134,7 +142,7 @@ def run_resumable_extract(
             )
             seen = {r["bucket"]
                     for r in stats.select("bucket").collect()}
-        except AnalysisException:
+        else:
             stats = failures = None
             seen = set()
         finished = datetime.datetime.now(datetime.timezone.utc)

@@ -9,7 +9,9 @@ shuffle — so the gate is a free map-side filter at any scale.
 
 Semantics (Google/Bing documented behavior, public):
 - the meta tag may appear anywhere in ``<head>``; name matching is
-  case-insensitive and accepts ``robots`` or a specific bot name;
+  case-insensitive and matches exactly ``robots`` (crawler-specific
+  names like ``googlebot`` are a documented out-of-subset gap —
+  matching them would need a bot-name list);
 - content is a comma-separated directive list; ``noindex`` and
   ``none`` (= noindex,nofollow) both exclude the page from corpora;
 - ``nofollow`` alone keeps the page but marks its links untrusted.
@@ -25,16 +27,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# (?<![-\w:]) pins the ATTRIBUTE name (no data-name/stroke-width
+# style false matches); the value must be exactly `robots` — quoted,
+# or unquoted terminated by space or '>'.
 _META_RE = (
-    r'(?is)<meta\s[^>]*name\s*=\s*["\']?\s*robots\s*["\']?[^>]*'
-    r'content\s*=\s*["\']([^"\'>]*)'
+    r'(?is)<meta\s[^>]*?(?<![-\w:])name\s*=\s*'
+    r'(?:"\s*robots\s*"|\'\s*robots\s*\'|robots(?=[\s/>]))[^>]*'
+    r'(?<![-\w:])content\s*=\s*["\']([^"\'>]*)'
 )
 
 
 def robots_directives(html_col: str = "html") -> Column:
     """Lower-cased directive list of the first robots meta tag, or
     empty string when absent; accepts string or binary input."""
-    text = F.col(html_col).cast("string")
+    text = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
     return F.lower(F.regexp_extract(text, _META_RE, 1))
 
 
