@@ -1566,10 +1566,11 @@ def _q_image_codec_breadth(spark: SparkSession,
 
 def _q_audio_container_features(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    """FLAC STREAMINFO + OGG Vorbis/Opus page walks over synthetic
-    containers whose signals are CLOSED FORM from doc_id: kind cycles
-    flac / ogg-vorbis / ogg-opus by i%3, every 7th payload is garbage
-    -> the dispatcher's exact error string.  Opus durations subtract
+    """FLAC STREAMINFO + OGG Vorbis/Opus page walks + AAC ADTS frame
+    walk over synthetic containers whose signals are CLOSED FORM from
+    doc_id: kind cycles flac / ogg-vorbis / ogg-opus by i%3 with every
+    i%13==5 doc an ADTS stream, every 7th payload garbage -> the
+    dispatcher's exact error string.  Opus durations subtract
     the pre-skip at 48 kHz per RFC 7845.  Oracle is pure
     arithmetic."""
     from pdf_to_text_extraction_service_spark.functions.multimodal import (
@@ -1585,6 +1586,10 @@ def _q_audio_container_features(spark: SparkSession,
         if i % 7 == 0:
             return b"xxjunk audio"
         ch = 1 + i % 2
+        if i % 13 == 5:
+            return audiocodec.encode_adts(
+                30 + i % 40, rate=(48000, 44100, 32000)[i % 3],
+                channels=ch)
         if i % 3 == 0:
             rate = 44100 + (i % 5) * 2205
             total = rate * (10 + i % 20) + i % 13
@@ -3234,6 +3239,14 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS (
                 SELECT doc_id AS media_id,
                        doc_id % 7 = 0 AS bad,
+                       doc_id % 13 = 5 AS is_aac,
+                       (30 + doc_id % 40) * 1024 * 1000 //
+                         (CASE doc_id % 3 WHEN 0 THEN 48000
+                              WHEN 1 THEN 44100 ELSE 32000 END)
+                           AS aacdur,
+                       (CASE doc_id % 3 WHEN 0 THEN 48000
+                            WHEN 1 THEN 44100 ELSE 32000 END)
+                           AS aacrate,
                        doc_id % 3 AS kind,
                        1 + doc_id % 2 AS ch,
                        44100 + (doc_id % 5) * 2205 AS frate,
@@ -3247,10 +3260,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_id,
                    CASE WHEN bad THEN NULL
+                        WHEN is_aac THEN 'aac'
                         WHEN kind = 0 THEN 'flac'
                         WHEN kind = 1 THEN 'vorbis'
                         ELSE 'opus' END AS codec,
                    CASE WHEN bad THEN NULL
+                        WHEN is_aac THEN aacrate
                         WHEN kind = 0 THEN frate
                         WHEN kind = 1 THEN 44100
                         ELSE 48000 END
@@ -3258,6 +3273,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN bad THEN NULL ELSE ch END
                        ::INTEGER AS channels,
                    CASE WHEN bad THEN NULL
+                        WHEN is_aac THEN aacdur
                         WHEN kind = 0 THEN
                           (frate * fsecs + fextra) * 1000 // frate
                         WHEN kind = 1 THEN vgran * 1000 // 44100

@@ -619,6 +619,12 @@ def container_audio_features(df: DataFrame, id_col: str = "media_id",
                         st = {"codec": "flac", **st}
                     elif payload.startswith(b"OggS"):
                         st = audiocodec.parse_ogg(payload)
+                    elif len(payload) >= 2 and payload[0] == 0xFF \
+                            and (payload[1] & 0xF6) == 0xF0:
+                        # ADTS: 0xFFF sync with layer bits 00 (an MP3
+                        # MPEG-1 Layer III header has layer bits 01)
+                        st = audiocodec.parse_adts(payload)
+                        st = {"codec": "aac", **st}
                     else:
                         raise ValueError(
                             "unsupported audio container")
@@ -875,6 +881,13 @@ def media_features(df: DataFrame, id_col: str = "media_id",
             elif p.startswith(b"OggS"):
                 st = audiocodec.parse_ogg(p)
                 row.update(kind="audio", format=st["codec"],
+                           sample_rate=st["sample_rate"],
+                           channels=st["channels"],
+                           duration_ms=st["duration_ms"])
+            elif len(p) >= 2 and p[0] == 0xFF \
+                    and (p[1] & 0xF6) == 0xF0:
+                st = audiocodec.parse_adts(p)
+                row.update(kind="audio", format="aac",
                            sample_rate=st["sample_rate"],
                            channels=st["channels"],
                            duration_ms=st["duration_ms"])

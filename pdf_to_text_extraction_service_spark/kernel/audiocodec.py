@@ -397,3 +397,86 @@ def encode_ogg(codec: str = "vorbis", rate: int = 44100,
         g = granule if i == max(pages, 2) - 1 else granule * i // pages
         out += page(i, g, b"\x00\x00", 0x04 if i == pages - 1 else 0)
     return out
+
+
+# --- AAC ADTS frame-header walk -------------------------------------
+#
+# .aac completes the reference's 9-type audio list: raw AAC streams
+# ship in ADTS framing (ISO/IEC 13818-7), and the headers alone give
+# rate/channels/duration — same strategy as parse_mp3.
+
+ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+              16000, 12000, 11025, 8000, 7350)
+MAX_ADTS_FRAMES = 1 << 20
+
+
+def parse_adts(data: bytes) -> dict:
+    """Walk ADTS frame headers -> ``(sample_rate, channels, n_frames,
+    duration_ms, profile)``.  1024 samples per raw-data block;
+    truncated FINAL frame tolerated, trailing non-sync garbage
+    rejected (parse_mp3's contract)."""
+    pos = 0
+    n = len(data)
+    n_frames = 0
+    rate = None
+    channels = None
+    profile = None
+    samples = 0
+    while pos + 7 <= n:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xF0) != 0xF0:
+            raise ValueError(f"adts: bad sync at {pos}")
+        if (data[pos + 1] & 0x06) != 0x00:   # layer must be 00
+            raise ValueError("adts: bad layer")
+        prof = (data[pos + 2] >> 6) & 0x3
+        sr_idx = (data[pos + 2] >> 2) & 0xF
+        if sr_idx >= len(ADTS_RATES):
+            raise ValueError("adts: bad sampling index")
+        ch = ((data[pos + 2] & 0x1) << 2) | (data[pos + 3] >> 6)
+        frame_len = ((data[pos + 3] & 0x03) << 11) \
+            | (data[pos + 4] << 3) | (data[pos + 5] >> 5)
+        rdbs = (data[pos + 6] & 0x03) + 1
+        if frame_len < 7:
+            raise ValueError("adts: degenerate frame length")
+        sr = ADTS_RATES[sr_idx]
+        if rate is None:
+            rate, channels, profile = sr, ch, prof
+        elif sr != rate:
+            raise ValueError("adts: sample-rate change mid-stream")
+        n_frames += 1
+        if n_frames > MAX_ADTS_FRAMES:
+            raise ValueError("adts: too many frames")
+        samples += 1024 * rdbs
+        pos += frame_len   # truncated final frame still counts
+    if n_frames == 0 or rate is None:
+        raise ValueError("adts: no frames")
+    if 0 < n - pos < 7:
+        if data[pos] != 0xFF or (
+                n - pos >= 2 and (data[pos + 1] & 0xF0) != 0xF0):
+            raise ValueError(f"adts: trailing garbage at {pos}")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_ms": samples * 1000 // rate,
+        "profile": profile,
+    }
+
+
+def encode_adts(n_frames: int, rate: int = 44100, channels: int = 2,
+                profile: int = 1, rdbs: int = 1) -> bytes:
+    """Synthetic ADTS stream: valid headers, zero payloads — every
+    parse_adts output closed-form from the arguments."""
+    sr_idx = ADTS_RATES.index(rate)
+    out = bytearray()
+    frame_len = 7 + 4   # header + 4 zero payload bytes
+    for _ in range(n_frames):
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1                    # MPEG-4, layer 00, no CRC
+        h[2] = (profile << 6) | (sr_idx << 2) | ((channels >> 2) & 1)
+        h[3] = ((channels & 0x3) << 6) | ((frame_len >> 11) & 0x03)
+        h[4] = (frame_len >> 3) & 0xFF
+        h[5] = ((frame_len & 0x7) << 5) | 0x1F
+        h[6] = 0xFC | (rdbs - 1)
+        out += h + b"\x00" * 4
+    return bytes(out)

@@ -611,3 +611,37 @@ def test_ebml_unknown_size_element():
         vb._DOCTYPE, b"webm"))
     st = vb.parse_matroska(hdr + seg)
     assert st["doctype"] == "webm" and st["duration_ms"] == 0
+
+
+def test_adts_closed_form_and_mp3_disambiguation():
+    import random
+    import pytest
+    from pdf_to_text_extraction_service_spark.kernel import audiocodec as ac
+
+    st = ac.parse_adts(ac.encode_adts(40, 48000, 2))
+    assert st == {"sample_rate": 48000, "channels": 2, "n_frames": 40,
+                  "duration_ms": 40 * 1024 * 1000 // 48000,
+                  "profile": 1}
+    # multiple raw-data blocks per frame
+    assert ac.parse_adts(ac.encode_adts(10, 22050, 1, rdbs=2)) \
+        ["duration_ms"] == 10 * 2048 * 1000 // 22050
+    # sync disambiguation: ADTS layer bits 00, MP3 layer bits 01
+    mp3 = ac.encode_mp3_frames([128] * 3)
+    assert (mp3[1] & 0xF6) != 0xF0      # mp3 header is NOT adts
+    adts = ac.encode_adts(3)
+    assert (adts[1] & 0xF6) == 0xF0
+    with pytest.raises(ValueError):
+        ac.parse_adts(mp3)              # layer mismatch rejected
+    for bad in (b"", b"\xff\xf6" + b"\x00" * 10, b"zz"):
+        with pytest.raises(ValueError):
+            ac.parse_adts(bad)
+    rnd = random.Random(23)
+    base = ac.encode_adts(20, 44100, 2)
+    for _ in range(150):
+        blob = bytearray(base)
+        for _ in range(rnd.randint(1, 5)):
+            blob[rnd.randrange(len(blob))] = rnd.randrange(256)
+        try:
+            ac.parse_adts(bytes(blob))
+        except ValueError:
+            pass  # error envelope only
