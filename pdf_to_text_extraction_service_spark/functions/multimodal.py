@@ -279,16 +279,22 @@ def dedup_image_dhash(df: DataFrame, max_hamming: int = 3,
     all-pairs: candidate generation is an equi-join on (band_index,
     band_value), then exact popcount verify.
 
-    ``max_bucket`` caps each band bucket (first ``max_bucket`` ids
-    kept, deterministic) — at crawl scale, solid-color images
-    (spacers, tracking pixels) ALL hash to 0 and would otherwise make
-    one bucket quadratic; the cap bounds it to max_bucket² candidate
-    rows, the same guard operators/neardup.py applies to boilerplate
-    floods. NOTE the cap qualifies the recall guarantee above: a pair
-    whose every shared band bucket exceeds max_bucket is dropped
-    (deterministically — each bucket keeps the ascending-id prefix)."""
-    from pyspark.sql import Window
+    ``max_bucket`` caps each band bucket — at crawl scale,
+    solid-color images (spacers, tracking pixels) ALL hash to 0 and
+    would otherwise make one bucket quadratic. The cap is the
+    partial-agg flood sampler (operators/floodcap.py): buckets at or
+    under the cap are EXACT (the pigeonhole recall guarantee above
+    holds untouched); a flooded bucket keeps a deterministic
+    hash-prefix sample with expected size max_bucket, bounding the
+    self-join to ~max_bucket² candidate rows without ever funneling
+    the flood through a rank window's single reducer. NOTE the cap
+    qualifies the recall guarantee: a pair whose every shared band
+    bucket is flooded survives only if both ends land in the sample
+    (the exact popcount verify means sampling never fabricates
+    pairs)."""
     from pyspark.sql import functions as F
+
+    from ..operators.floodcap import cap_flooded_buckets
 
     # persist: both self-join sides would otherwise re-decode every
     # image through the pure-Python codecs (the most expensive stage)
@@ -304,11 +310,8 @@ def dedup_image_dhash(df: DataFrame, max_hamming: int = 3,
             ) for b in range(4)
         ])).alias("bv"),
     ).select(id_col, "dhash", "bv.band", "bv.val")
-    bands = bands.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("band", "val").orderBy(id_col)),
-    ).filter(F.col("_rn") <= max_bucket).drop("_rn")
+    bands = cap_flooded_buckets(bands, ["band", "val"], id_col,
+                                max_bucket)
     left = bands
     right = bands.select(
         F.col(id_col).alias("rid"), F.col("dhash").alias("rhash"),

@@ -24,8 +24,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .floodcap import cap_flooded_buckets
 
 # ----------------------------------------------------------------- exact
 
@@ -179,9 +181,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     pairs to verification.
 
     max_bucket caps candidate generation per LSH bucket (boilerplate
-    floods one signature at web scale); capped buckets are counted in
-    the `_overflow` accumulator column of the intermediate — callers
-    auditing recall can inspect it.
+    floods one signature at web scale) via the partial-agg flood cap
+    in operators/floodcap.py: buckets at or under the cap are exact;
+    flooded buckets keep a deterministic hash-prefix sample with
+    expected size max_bucket (recall inside a flood is sampled, and
+    the exact-Jaccard verification below means sampling can only
+    lose pairs, never fabricate them).
     """
     rows_per_band = num_perm // bands
     sh = (
@@ -225,14 +230,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     ).select("_id", F.col("_b.band").alias("_band"),
              F.hash("_b.key").alias("_key"))
 
-    # Self-join inside buckets; bucket size cap bounds the quadratic
-    # blow-up from degenerate signatures (boilerplate floods).
-    bucketed = banded.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("_band", "_key").orderBy("_id")
-        ),
-    ).filter(F.col("_rn") <= max_bucket)
+    # Self-join inside buckets; the flood cap bounds the quadratic
+    # blow-up from degenerate signatures (boilerplate floods) with a
+    # partial-agg count + deterministic hash-prefix sample — never a
+    # rank window, which would funnel a flooded bucket onto one
+    # reducer task first (see operators/floodcap.py for the recall
+    # semantics of capped buckets).
+    bucketed = cap_flooded_buckets(
+        banded, ["_band", "_key"], "_id", max_bucket)
 
     left = bucketed.select("_band", "_key", F.col("_id").alias("id_a"))
     right = bucketed.select("_band", "_key", F.col("_id").alias("id_b"))
@@ -354,10 +359,17 @@ def simhash64_udf():
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  max_bucket: int = 4096) -> DataFrame:
     """Candidate near-dup pairs with SimHash Hamming distance <=
     max_hamming. Blocking: 4 16-bit bands (any pair within Hamming 3
-    of a 64-bit signature shares at least one exact band)."""
+    of a 64-bit signature shares at least one exact band).
+
+    max_bucket bounds each band bucket with the partial-agg flood cap
+    (operators/floodcap.py) — identical-signature floods (boilerplate
+    at web scale) otherwise make the band self-join quadratic.
+    Buckets at or under the cap are exact; flooded buckets keep a
+    deterministic hash-prefix sample."""
     sig = df.select(F.col(id_col).alias("_id"),
                     simhash64_udf()(sim_token_hashes(text_col))
                     .alias("_sig"))
@@ -371,9 +383,11 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             "struct(b as band, (shiftright(_sig, b * 16) & 65535) as key))"
         )).alias("_b"),
     ).select("_id", "_sig", "_b.band", "_b.key").persist()
-    left = banded.select("band", "key", F.col("_id").alias("id_a"),
+    capped = cap_flooded_buckets(banded, ["band", "key"], "_id",
+                                 max_bucket)
+    left = capped.select("band", "key", F.col("_id").alias("id_a"),
                          F.col("_sig").alias("sig_a"))
-    right = banded.select("band", "key", F.col("_id").alias("id_b"),
+    right = capped.select("band", "key", F.col("_id").alias("id_b"),
                           F.col("_sig").alias("sig_b"))
     return (
         left.join(right, ["band", "key"])

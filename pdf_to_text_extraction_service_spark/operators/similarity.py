@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .floodcap import cap_flooded_buckets
+
 
 def _dot(a: str, b: str):
     return F.expr(
@@ -120,7 +122,11 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     (4 tables × 8 bits). False bucket-mates are removed by the exact
     cosine check, so the output equals the quadratic truth w.h.p.;
     max_bucket caps the per-bucket self-join exactly like the MinHash
-    banding cap (boilerplate/zero-vector floods at web scale).
+    banding cap (boilerplate/zero-vector floods at web scale):
+    buckets at or under the cap are exact, flooded buckets keep a
+    deterministic hash-prefix sample (operators/floodcap.py) — the
+    exact verify means sampling only loses flood-internal pairs,
+    never fabricates them.
     """
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
@@ -137,14 +143,16 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
             hyperplane_bucket("_v", planes).alias("_bkt"),
         )
         banded = part if banded is None else banded.unionByName(part)
-    # persist: the self-join reads this twice — without it each side
-    # recomputes all tables x bits hyperplane dot products per vector
-    capped = banded.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("_tbl", "_bkt").orderBy("_id")
-        ),
-    ).filter(F.col("_rn") <= max_bucket).persist()
+    # persist: the flood-count pass and both self-join sides read
+    # this relation — without it each reader recomputes all tables x
+    # bits hyperplane dot products per vector. The cap itself is the
+    # partial-agg flood sampler (operators/floodcap.py): the count
+    # shuffle carries (table, bucket, count) scalars only, never the
+    # vectors, and no rank window funnels a flooded bucket onto one
+    # reducer.
+    banded = banded.persist()
+    capped = cap_flooded_buckets(banded, ["_tbl", "_bkt"], "_id",
+                                 max_bucket)
     left = capped.select("_tbl", "_bkt", F.col("_id").alias("id_a"),
                          F.col("_v").alias("_va"))
     right = capped.select("_tbl", "_bkt", F.col("_id").alias("id_b"),

@@ -162,7 +162,8 @@ def test_resize_and_dhash_operators(spark):
 
 def test_dhash_bucket_cap_bounds_floods(spark):
     """Solid-color flood: with max_bucket=4, the dhash-0 bucket keeps
-    only the first 4 ids, so pairs are bounded (and deterministic)."""
+    a deterministic hash-prefix sample (~4 expected of 12), so pairs
+    are bounded — C(kept,2), never C(12,2)=66 — and reproducible."""
     import numpy as np
 
     from pdf_to_text_extraction_service_spark.functions.multimodal import (
@@ -174,10 +175,17 @@ def test_dhash_bucket_cap_bounds_floods(spark):
                                 quant=np.ones((8, 8), dtype=np.int32))
     df = spark.createDataFrame([(i, flat) for i in range(12)],
                                "media_id long, payload binary")
-    pairs = dedup_image_dhash(df, max_bucket=4).collect()
-    ids = {r["a"] for r in pairs} | {r["b"] for r in pairs}
-    assert ids == {0, 1, 2, 3}          # only the kept prefix pairs up
-    assert len(pairs) == 6              # C(4,2), not C(12,2)=66
+    pairs = sorted((r["a"], r["b"]) for r in
+                   dedup_image_dhash(df, max_bucket=4).collect())
+    ids = {a for a, _ in pairs} | {b for _, b in pairs}
+    k = len(ids)
+    assert k <= 9                       # flood sampled, not kept whole
+    assert len(pairs) == k * (k - 1) // 2
+    # deterministic across physical layouts
+    again = sorted((r["a"], r["b"]) for r in
+                   dedup_image_dhash(df.repartition(5),
+                                     max_bucket=4).collect())
+    assert again == pairs
     uncapped = dedup_image_dhash(df).collect()
     assert len(uncapped) == 66
 
