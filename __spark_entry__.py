@@ -1064,10 +1064,17 @@ def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROGRESSIVE by doc_id%3; dims cycle by doc_id too.  Flat images
     under an all-ones quant table decode bit-exactly (DC-only
     blocks), so every stat is closed-form doc_id arithmetic for the
-    DuckDB oracle."""
+    DuckDB oracle.
+
+    r6 adds a third, SCANNED-class page per doc: a CCITTFaxDecode
+    fax image (kernel/ccitt.py — Group 4 for even ids, Group 3 1-D
+    for odd, EncodedByteAlign every 5th) whose top k = id % (h+1)
+    rows are black — fax decode is bit-exact by construction, so
+    ink/luma stay pure doc_id arithmetic, and k == 0 docs prove the
+    blank-paper OCR pruning extends to the scanned-PDF class."""
     import numpy as np
 
-    from pdf_to_text_extraction_service_spark.kernel import imgcodec
+    from pdf_to_text_extraction_service_spark.kernel import ccitt, imgcodec
     from pdf_to_text_extraction_service_spark.operators.pagestats import (
         pdf_image_ocr_stats,
     )
@@ -1086,9 +1093,18 @@ def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc = imgcodec.encode_jpeg_progressive if i % 3 == 2 \
             else imgcodec.encode_jpeg
         jpeg = enc(np.full((h, w), v, np.uint8), quant=ones)
+        fh = 8 * (1 + i % 2)
+        fk = i % (fh + 1)
+        fax = np.zeros((fh, 16), dtype=bool)
+        fax[:fk] = True
+        fenc = (ccitt.encode_g3_1d if i % 2 else ccitt.encode_g4)
+        fax_entry = pdfgen.ccitt_image_entry(
+            fenc(fax, byte_align=(i % 5 == 0)), 16, fh,
+            k=(0 if i % 2 else -1), byte_align=(i % 5 == 0))
         payload = pdfgen.build_pdf_jpeg_pages([
             (pdfgen.single_column_page(good), []),
             ([], [jpeg]),
+            ([], [fax_entry]),
         ])
         rows.append((f"https://corpus.example/pdfimg/{i}.pdf", payload))
     df = spark.createDataFrame(rows, "url string, html binary")
@@ -3372,24 +3388,32 @@ def oracle_sql() -> dict[str, str]:
         # v cycles 255 (blank, pruned) / 64 / 32, dims cycle
         # 8*(1+id%3) x 8*(1+id%2).  Page 1 is always text-layer.
         "pdf_image_ocr": """
+            WITH fax AS (
+                SELECT doc_id,
+                       8 * (1 + doc_id % 2) AS fh,
+                       doc_id % (8 * (1 + doc_id % 2) + 1) AS fk
+                FROM documents WHERE doc_id < 100
+            )
             SELECT 'https://corpus.example/pdfimg/' ||
                        CAST(doc_id AS VARCHAR) || '.pdf' AS url,
-                   CAST(2 AS INTEGER) AS total_pages,
-                   CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END
+                   CAST(3 AS INTEGER) AS total_pages,
+                   CAST((CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
+                        + (CASE WHEN fk > 0 THEN 1 ELSE 0 END)
                         AS INTEGER) AS needs_ocr_pages,
-                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                   CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN fk = 0 THEN 1 ELSE 0 END)
                         AS INTEGER) AS blank_pages,
-                   CAST(1 AS INTEGER) AS n_images,
+                   CAST(2 AS INTEGER) AS n_images,
                    CAST(64 * (1 + doc_id % 3) * (1 + doc_id % 2)
-                        AS BIGINT) AS img_pixels,
+                        + 16 * fh AS BIGINT) AS img_pixels,
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 0
                         ELSE 64 * (1 + doc_id % 3) * (1 + doc_id % 2)
-                        END AS BIGINT) AS ink_samples,
+                        END + 16 * fk AS BIGINT) AS ink_samples,
                    CAST((CASE doc_id % 3 WHEN 0 THEN 255
                          WHEN 1 THEN 64 ELSE 32 END)
                         * 64 * (1 + doc_id % 3) * (1 + doc_id % 2)
-                        AS BIGINT) AS sum_luma
-            FROM documents WHERE doc_id < 100
+                        + 255 * 16 * (fh - fk) AS BIGINT) AS sum_luma
+            FROM fax
         """,
         "canonical_urls": _CANONICAL_URLS_SQL,
         # Boilerplate oracle: each doc's own text is a unique single

@@ -566,10 +566,12 @@ class PDFDoc:
     def page_images(self, page_num: int) -> list["ImageStats"]:
         """Per-page embedded-image statistics: image XObjects from the
         page's /Resources (DCTDecode via the from-spec JPEG decoder,
-        filter-chained raw gray/RGB samples otherwise) plus BI/ID/EI
-        inline images from the content stream.  Undecodable images
-        (JPX/CCITT, corrupt payloads) yield a size-only entry with
-        ``decoded=False`` — never an exception."""
+        CCITTFaxDecode via the from-spec G3/G4 fax decoder in
+        kernel/ccitt.py, filter-chained raw gray/RGB samples
+        otherwise) plus BI/ID/EI inline images from the content
+        stream.  Undecodable images (JPX/JBIG2, corrupt payloads)
+        yield a size-only entry with ``decoded=False`` — never an
+        exception."""
         if page_num < 1 or page_num > len(self.kids):
             raise PDFError(f"page {page_num} out of range")
         page_body = self.objs.get(self.kids[page_num - 1])
@@ -704,8 +706,10 @@ _TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
 # real pixel content — a page whose images are uniformly blank paper
 # is pruned from the OCR queue (the countOCRPages/savings metric),
 # while pages with real ink keep escalating.  Undecodable images
-# (JPX/CCITT, corrupt streams) conservatively keep the reference
-# behavior (needs-ocr).
+# (JPX/JBIG2, corrupt streams) conservatively keep the reference
+# behavior (needs-ocr).  r6: CCITT Group 3/4 fax XObjects — the
+# dominant scanned-document codec — decode through kernel/ccitt.py,
+# extending the blank-paper pruning to the scanned-PDF class.
 
 INK_LUMA_THRESHOLD = 250   # samples strictly below this are "ink"
 _IMG_INT_RE = rb"/%s\s+(\d+)"
@@ -721,6 +725,12 @@ def _img_int(head: bytes, *names: bytes) -> int | None:
         if m is not None:
             return int(m.group(1))
     return None
+
+
+def _img_sint(head: bytes, name: bytes) -> int | None:
+    """Signed integer param (CCITTFaxDecode /K may be negative)."""
+    m = re.search(rb"/%s\s+(-?\d+)" % name, head)
+    return int(m.group(1)) if m is not None else None
 
 
 def _img_name(head: bytes, *names: bytes) -> str | None:
@@ -778,6 +788,8 @@ def _decode_image_payload(kind: str, head: bytes, raw: bytes,
     (counts and sums) so a fixture oracle is closed-form.  Raises
     PDFError/ValueError on anything undecodable; callers downgrade to
     a size-only ImageStats."""
+    import numpy as np
+
     from . import imgcodec
 
     w = _img_int(head, b"Width", b"W")
@@ -791,7 +803,26 @@ def _decode_image_payload(kind: str, head: bytes, raw: bytes,
                 raise PDFError("image: DCTDecode not last in chain")
             arr = imgcodec.decode_jpeg(raw)
             return _stats_from_array(kind, arr)
-        if name in ("JPXDecode", "CCITTFaxDecode", "CCF", "JBIG2Decode"):
+        if name in ("CCITTFaxDecode", "CCF"):
+            if i != len(filters) - 1:
+                raise PDFError("image: CCITT not last in chain")
+            from . import ccitt
+
+            k = _img_sint(head, b"K") or 0
+            columns = _img_sint(head, b"Columns")
+            columns = 1728 if columns is None else columns
+            rows = _img_sint(head, b"Rows") or h
+            bits = ccitt.ccitt_decode(
+                raw, k, columns, rows,
+                byte_align=bool(re.search(
+                    rb"/EncodedByteAlign\s+true", head)))
+            # fax bits are semantic black/white; map to 8-bit luma
+            # (black = 0 ink, white = 255) for the pixel stats —
+            # BlackIs1 / /Decode only choose the 1-bit sample
+            # representation, which this path never materializes
+            arr = np.where(bits, 0, 255).astype("uint8")
+            return _stats_from_array(kind, arr)
+        if name in ("JPXDecode", "JBIG2Decode"):
             raise PDFError(f"image: unsupported codec /{name}")
         raw = _apply_filter(name, raw)
     # no image codec: raw samples (8-bit gray or RGB only)
@@ -804,8 +835,6 @@ def _decode_image_payload(kind: str, head: bytes, raw: bytes,
     need = w * h * ncomp
     if len(raw) < need:
         raise PDFError("image: truncated samples")
-    import numpy as np
-
     # reshape so shape[1] is the PIXEL width (channels on axis 2) —
     # otherwise a raw RGB image reports width*3
     arr = np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, ncomp) \
@@ -912,7 +941,7 @@ def _filter_chain(head: bytes) -> list[str]:
 
 
 def _apply_filter(name: str, raw: bytes) -> bytes:
-    """Decode one /Filter stage. Unsupported filters (DCT/JPX/CCITT,
+    """Decode one /Filter stage. Unsupported filters (DCT/JPX,
     i.e. embedded images, and crypt filters) raise — which the hybrid
     pipeline turns into a needs-ocr page, not garbage text."""
     if name == "FlateDecode" or name == "Fl":

@@ -96,7 +96,12 @@ def pdf_image_ocr_stats(pages_df: DataFrame,
                         ink += st["ink_samples"]
                         luma += st["sum_luma"]
                 except Exception:
-                    pass  # error docs report zeros, never raise
+                    # error docs report zeros, never raise — reset
+                    # anything accumulated before the failure so a
+                    # doc that dies at page k is not mistaken for a
+                    # genuine (k-1)-page document
+                    total = needs = blank = n_img = 0
+                    pixels = ink = luma = 0
                 out["url"].append(url)
                 out["total_pages"].append(total)
                 out["needs_ocr_pages"].append(needs)

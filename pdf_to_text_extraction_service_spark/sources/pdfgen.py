@@ -278,13 +278,31 @@ def build_pdf_with_images(pages: list[list[Span]]) -> bytes:
     return bytes(out)
 
 
+def ccitt_image_entry(payload: bytes, width: int, height: int,
+                      k: int = -1,
+                      byte_align: bool = False) -> tuple[bytes, bytes]:
+    """An image entry for :func:`build_pdf_jpeg_pages` wrapping a
+    CCITTFaxDecode stream (kernel/ccitt.py encode_g4 / encode_g3_1d
+    output) with its /DecodeParms."""
+    ba = b" /EncodedByteAlign true" if byte_align else b""
+    head = (b"/Width %d /Height %d /BitsPerComponent 1 "
+            b"/ColorSpace /DeviceGray /Filter /CCITTFaxDecode "
+            b"/DecodeParms << /K %d /Columns %d /Rows %d%s >>"
+            % (width, height, k, width, height, ba))
+    return head, payload
+
+
 def build_pdf_jpeg_pages(
-        pages: list[tuple[list[Span], list[bytes]]]) -> bytes:
+        pages: list[tuple[list[Span],
+                          list[bytes | tuple[bytes, bytes]]]]) -> bytes:
     """Classic-layout PDF where each page carries optional text spans
-    plus zero or more REAL JPEG image XObjects (DCTDecode streams the
-    from-spec decoder in kernel/imgcodec.py can decode).  Image-only
-    pages (no spans) exercise the pixel-driven needs-ocr/blank
-    decision in kernel/pdfk.extract_pdf."""
+    plus zero or more REAL image XObjects: a plain ``bytes`` entry is
+    a JPEG (DCTDecode stream the from-spec decoder in
+    kernel/imgcodec.py can decode); a ``(dict_params, payload)`` tuple
+    is spliced verbatim into the XObject dictionary (CCITTFaxDecode
+    fax streams via :func:`ccitt_image_entry`, or any custom filter
+    mix).  Image-only pages (no spans) exercise the pixel-driven
+    needs-ocr/blank decision in kernel/pdfk.extract_pdf."""
     n_pages = len(pages)
     objs: list[bytes] = []
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
@@ -303,6 +321,13 @@ def build_pdf_jpeg_pages(
             name = f"Im{num}"
             names.append(name)
             xrefs.append(f"/{name} {num} 0 R")
+            if isinstance(payload, tuple):
+                params, payload = payload
+                img_objs.append(
+                    b"<< /Type /XObject /Subtype /Image %s "
+                    b"/Length %d >>\nstream\n%s\nendstream"
+                    % (params, len(payload), payload))
+                continue
             # width/height from the SOF header so the dict agrees
             # with the stream (decoder trusts the stream)
             import struct as _s
