@@ -1368,7 +1368,10 @@ def _q_robots_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots-meta gate (operators/robots.py, pure JVM regexp) over
     synthesized heads cycling no-tag / index,follow / NOINDEX
     (uppercase) / none / 'nofollow, noarchive' (spaces, single
-    quotes) by doc_id%5 — flags are closed-form doc_id arithmetic."""
+    quotes) / unquoted noindex / REVERSED-order content-first /
+    header-only noindex by doc_id%8 — flags stay closed-form
+    doc_id arithmetic.  r6 widened the cycle from %5 to cover the
+    unquoted-value, reversed-attribute, and X-Robots-Tag paths."""
     from pdf_to_text_extraction_service_spark.operators.robots import (
         robots_flags,
     )
@@ -1376,23 +1379,32 @@ def _q_robots_meta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir).select("doc_id", "text") \
         .filter(F.col("doc_id") < 500)
     meta = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
-        .when(F.col("doc_id") % 5 == 1,
+        F.when(F.col("doc_id") % 8 == 0, F.lit(""))
+        .when(F.col("doc_id") % 8 == 1,
               F.lit('<meta name="robots" content="index,follow">'))
-        .when(F.col("doc_id") % 5 == 2,
+        .when(F.col("doc_id") % 8 == 2,
               F.lit('<META NAME="ROBOTS" CONTENT="NOINDEX">'))
-        .when(F.col("doc_id") % 5 == 3,
+        .when(F.col("doc_id") % 8 == 3,
               F.lit('<meta name="robots" content="none">'))
-        .otherwise(F.lit(
+        .when(F.col("doc_id") % 8 == 4, F.lit(
             "<meta name='robots' content='nofollow, noarchive'>"))
+        .when(F.col("doc_id") % 8 == 5,
+              F.lit("<meta name=robots content=noindex>"))
+        .when(F.col("doc_id") % 8 == 6, F.lit(
+            '<meta content="noindex,nofollow" name="robots">'))
+        .otherwise(F.lit(""))
     )
+    hdr = F.when(F.col("doc_id") % 8 == 7, F.lit("noindex")) \
+        .otherwise(F.lit(None).cast("string"))
     pages = docs.select(
         "doc_id",
         F.concat(F.lit("<html><head><title>t</title>"), meta,
                  F.lit("</head><body><p>"), F.col("text"),
                  F.lit("</p></body></html>")).alias("html"),
+        hdr.alias("x_robots_tag"),
     )
-    return robots_flags(pages).select("doc_id", "noindex", "nofollow")
+    return robots_flags(pages, headers_col="x_robots_tag") \
+        .select("doc_id", "noindex", "nofollow")
 
 
 def _q_media_features_unified(spark: SparkSession,
@@ -3064,11 +3076,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         # Robots-meta oracle: directive cycle is closed-form.
+        # %8: 2 NOINDEX, 3 none, 5 unquoted noindex, 6 reversed
+        # noindex,nofollow, 7 header noindex; nofollow: 3 none,
+        # 4 explicit, 6 reversed.
         "robots_meta_gate": """
             SELECT doc_id,
-                   CAST(CASE WHEN doc_id % 5 IN (2, 3)
+                   CAST(CASE WHEN doc_id % 8 IN (2, 3, 5, 6, 7)
                         THEN 1 ELSE 0 END AS INTEGER) AS noindex,
-                   CAST(CASE WHEN doc_id % 5 IN (3, 4)
+                   CAST(CASE WHEN doc_id % 8 IN (3, 4, 6)
                         THEN 1 ELSE 0 END AS INTEGER) AS nofollow
             FROM documents WHERE doc_id < 500
         """,

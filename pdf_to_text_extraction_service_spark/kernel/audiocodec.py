@@ -142,6 +142,25 @@ def _skip_id3v2(data: bytes) -> int:
     return 10 + sz
 
 
+def _trailing_tag(data: bytes, pos: int) -> bool:
+    """True when ``data[pos:]`` is a recognized post-stream metadata
+    block: ID3v1 ('TAG' + 125 bytes), enhanced ID3v1 ('TAG+' + 351),
+    an APE tag ('APETAGEX' header or footer), or a Lyrics3 block
+    ('LYRICSBEGIN'...).  Real-world MP3/AAC files routinely carry
+    these after the last frame; rejecting them as garbage would turn
+    a large share of genuine crawl audio into error rows."""
+    rest = len(data) - pos
+    if data[pos:pos + 4] == b"TAG+" and rest == 227 + 128:
+        return True
+    if data[pos:pos + 3] == b"TAG" and rest == 128:
+        return True
+    if data[pos:pos + 8] == b"APETAGEX":
+        return True
+    if data[pos:pos + 11] == b"LYRICSBEGIN":
+        return True
+    return False
+
+
 def parse_mp3(data: bytes) -> dict:
     """Walk MPEG-1 Layer III frame headers -> curation signals.
 
@@ -154,7 +173,10 @@ def parse_mp3(data: bytes) -> dict:
     MPEG-1 Layer III stream (no frames, version/layer mismatch,
     mid-stream sample-rate change, trailing garbage that is not a
     frame header).  Truncated FINAL frame is tolerated (common for
-    range-fetched crawl payloads) and still counted.
+    range-fetched crawl payloads) and still counted, and after at
+    least one valid frame a trailing metadata block (ID3v1 /
+    enhanced TAG+ / APE / Lyrics3, see :func:`_trailing_tag`) is
+    accepted — r6, per real-world tagging practice.
     """
     pos = _skip_id3v2(data)
     n = len(data)
@@ -166,6 +188,8 @@ def parse_mp3(data: bytes) -> dict:
     while pos + 4 <= n:
         b0, b1, b2, b3 = data[pos:pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames > 0 and _trailing_tag(data, pos):
+                break
             raise ValueError(f"mp3: bad sync at {pos}")
         version = (b1 >> 3) & 0x3
         layer = (b1 >> 1) & 0x3
@@ -414,7 +438,8 @@ def parse_adts(data: bytes) -> dict:
     """Walk ADTS frame headers -> ``(sample_rate, channels, n_frames,
     duration_ms, profile)``.  1024 samples per raw-data block;
     truncated FINAL frame tolerated, trailing non-sync garbage
-    rejected (parse_mp3's contract)."""
+    rejected, trailing metadata blocks (ID3v1/TAG+/APE/Lyrics3)
+    accepted after a valid frame (parse_mp3's contract)."""
     pos = 0
     n = len(data)
     n_frames = 0
@@ -424,6 +449,8 @@ def parse_adts(data: bytes) -> dict:
     samples = 0
     while pos + 7 <= n:
         if data[pos] != 0xFF or (data[pos + 1] & 0xF0) != 0xF0:
+            if n_frames > 0 and _trailing_tag(data, pos):
+                break
             raise ValueError(f"adts: bad sync at {pos}")
         if (data[pos + 1] & 0x06) != 0x00:   # layer must be 00
             raise ValueError("adts: bad layer")

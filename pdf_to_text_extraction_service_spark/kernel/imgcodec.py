@@ -58,7 +58,12 @@ MAX_PIXELS = 1 << 26
 # scales with component count and subsampling, cells are int32, and
 # the IDCT runs in bounded chunks, so peak decode memory is
 # ~(4 bytes x cap) + O(chunk) regardless of payload claims.
-MAX_COEF_CELLS = 1 << 26
+# Budget: 4x MAX_PIXELS of cells (~1 GiB int32 peak) — large enough
+# that every layout under the pixel cap decodes (a 64 MP 3-component
+# 4:4:4 frame needs ~201M cells incl. MCU padding; 4:2:0 needs ~1.5
+# cells/pixel), so the effective ceiling is MAX_PIXELS itself, not a
+# subsampling-dependent surprise.
+MAX_COEF_CELLS = 1 << 28
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 

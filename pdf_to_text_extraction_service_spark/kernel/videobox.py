@@ -5,8 +5,9 @@ list (video/transcribe.go:30-41: .mp4 .mkv .avi .mov .webm .m4v .flv
 .wmv) header-first — codec decode is out of scope, but duration,
 track inventory, and dimensions come straight from the container
 structure (public specs: Matroska/EBML RFC 8794, AVI RIFF, ASF).
-FLV carries its metadata in an AMF script tag and is intentionally
-not parsed (documented gap).  Malformed input raises ValueError.
+FLV is parsed too (:func:`parse_flv`): the onMetaData AMF0 script
+tag yields duration/dimensions and the tag walk counts audio/video
+tags.  Malformed input raises ValueError.
 """
 
 from __future__ import annotations

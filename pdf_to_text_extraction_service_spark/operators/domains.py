@@ -48,9 +48,19 @@ def registered_domain_col(url_col: str):
     last2 = F.concat_ws(".", F.slice(parts, n - 1, 2))
     last3 = F.concat_ws(".", F.slice(parts, n - 2, 3))
     last4 = F.concat_ws(".", F.slice(parts, n - 3, 4))
+    null = F.lit(None).cast("string")
+    # A host that IS a public suffix has no registrable domain — PSL
+    # consumers return nothing for it, so emit NULL (r6; previously
+    # such hosts aggregated as their own domain).  Single-label hosts
+    # fall under the PSL's implicit '*' rule, so they are suffixes
+    # too.  Exception rules are checked first: an exception label IS
+    # registrable (e.g. www.ck under *.ck).
     return (
-        F.when(n <= 1, host)
+        F.when(n <= 1, null)
         .when(last2.isin(*PSL_EXCEPTIONS), last2)
+        .when((n == 2) & (last2.isin(*PSL_TWO_LABEL)
+                          | last1.isin(*PSL_WILDCARD_TLDS)), null)
+        .when((n == 3) & last3.isin(*PSL_THREE_LABEL), null)
         .when((n >= 4) & last3.isin(*PSL_THREE_LABEL), last4)
         .when((n >= 3) & last2.isin(*PSL_TWO_LABEL), last3)
         .when((n >= 3) & last1.isin(*PSL_WILDCARD_TLDS), last3)
@@ -74,6 +84,9 @@ def domain_stats(docs: DataFrame, url_col: str = "url",
         F.col(lang_col).alias("lang"),
         F.col(chars_col).alias("chars"),
     ).filter(F.col("host") != "")  # drop hostless URLs (see module doc)
+    # suffix-only hosts (domain NULL) have no registrable domain —
+    # drop them like hostless rows rather than aggregating NULL
+    base = base.filter(F.col("domain").isNotNull())
     per_lang = (
         base.groupBy("domain", "lang")
         .agg(F.count("*").alias("cnt"),
@@ -105,7 +118,10 @@ def filter_blocked_domains(docs: DataFrame, blocklist: DataFrame,
 
     Scale shape: the blocklist (thousands-to-millions of rows, tiny
     next to the corpus) is deduped then BROADCAST; the corpus side is
-    a map-side left-anti hash join — document rows never shuffle."""
+    a map-side left-anti hash join — document rows never shuffle.
+    Suffix-only hosts (NULL registered domain) never match a
+    blocklist entry, so they pass the gate — blocklisting a bare
+    public suffix is out of scope by PSL semantics."""
     bl = F.broadcast(
         blocklist.select(F.lower(F.col(domain_col)).alias("_bldom"))
         .dropDuplicates(["_bldom"]))

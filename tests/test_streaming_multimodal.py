@@ -492,6 +492,26 @@ def test_review_fix_contracts():
     with pytest.raises(ValueError):
         ac.parse_mp3(b + b"zz")            # non-sync trailing bytes
     assert ac.parse_mp3(b + b"\xff\xfb")["n_frames"] == 3  # sync prefix
+    # r6: real-world trailing metadata blocks are accepted after a
+    # valid frame (ID3v1 / enhanced TAG+ / APE / Lyrics3)...
+    assert ac.parse_mp3(b + b"TAG" + b"\x00" * 125)["n_frames"] == 3
+    assert ac.parse_mp3(
+        b + b"TAG+" + b"\x00" * 223 + b"TAG" + b"\x00" * 125
+    )["n_frames"] == 3
+    assert ac.parse_mp3(
+        b + b"APETAGEX" + b"\x00" * 24)["n_frames"] == 3
+    assert ac.parse_mp3(b + b"LYRICSBEGIN...")["n_frames"] == 3
+    # ...but a short/misdeclared ID3v1 is still garbage, and a tag
+    # with NO preceding frame is not an MP3
+    with pytest.raises(ValueError):
+        ac.parse_mp3(b + b"TAG" + b"\x00" * 90)
+    with pytest.raises(ValueError):
+        ac.parse_mp3(b"TAG" + b"\x00" * 125)
+    a = ac.encode_adts(3, 48000, 2)
+    assert ac.parse_adts(a + b"TAG" + b"\x00" * 125)["n_frames"] == 3
+    assert ac.parse_adts(a + b"APETAGEX" + b"\x00" * 24)["n_frames"] == 3
+    with pytest.raises(ValueError):
+        ac.parse_adts(a + b"XAG" + b"\x00" * 125)  # not a tag magic
 
     for fn, payload in (
             (ic.decode_gif, b"GIF89a" + b"\x00" * 7 + b"\x2c\x00\x00"),

@@ -550,7 +550,9 @@ def test_domain_stats_etld_and_majority(spark):
         "url", registered_domain_col("url").alias("d")).collect()}
     assert doms["https://www.bbc.co.uk/news/1"] == "bbc.co.uk"
     assert doms["https://example.com/a"] == "example.com"
-    assert doms["https://localhost/c"] == "localhost"
+    # single-label hosts fall under the PSL implicit '*' rule: no
+    # registrable domain (r6 — previously aggregated as themselves)
+    assert doms["https://localhost/c"] is None
     assert doms["https://sub.deep.example.org/d"] == "example.org"
     # port stripped? host regex keeps ':8080' out of the host
     assert doms["https://www.example.com:8080/b?q=1#f"] == "example.com"
@@ -584,6 +586,13 @@ def test_registered_domain_psl_snapshot_rules(spark):
         # exception !www.ck: registrable at 2 labels
         "https://pages.www.ck/g": "www.ck",
         "https://WWW.BBC.CO.UK/h": "bbc.co.uk",      # case folding
+        # r6: suffix-only hosts have NO registrable domain (PSL
+        # consumer semantics) — NULL, dropped from rollups
+        "https://co.uk/i": None,
+        "https://k12.ca.us/j": None,
+        "https://bird.ck/k": None,                   # *.ck wildcard
+        "https://com/l": None,                       # bare TLD
+        "https://www.ck/m": "www.ck",                # exception stays
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: r["d"] for r in df.select(
@@ -591,9 +600,10 @@ def test_registered_domain_psl_snapshot_rules(spark):
     for url, want in cases.items():
         assert got[url] == want, (url, got[url], want)
 
-    # hostless inputs never reach the rollup
+    # hostless inputs and suffix-only hosts never reach the rollup
     rows = [("https://a.example.com/x", "en", 10),
             ("a.example.com/no-scheme", "en", 99),
+            ("https://co.uk/suffix-only", "en", 99),
             ("/relative/link", "fr", 99)]
     df2 = spark.createDataFrame(
         rows, "url string, lang string, n_chars long")
@@ -672,17 +682,53 @@ def test_robots_meta_gate(spark):
         (5, b'<head><meta name="robots" content="NoIndex , nofollow">'),
         # description meta must NOT match
         (6, b'<head><meta name="description" content="noindex stuff">'),
+        # r6: unquoted content value
+        (7, b"<head><meta name=robots content=noindex></head>"),
+        # r6: reversed attribute order (content before name)
+        (8, b'<head><meta content="noindex,nofollow" name="robots">'),
+        (9, b"<head><meta content=none name=robots></head>"),
+        # unquoted self-closing: '/' must not join the token
+        (10, b"<head><meta name=robots content=noindex/></head>"),
+        # reversed-order description must NOT match
+        (11, b'<head><meta content="noindex" name="description">'),
     ]
     df = spark.createDataFrame(rows, "doc_id long, html binary")
     got = {r["doc_id"]: (r["noindex"], r["nofollow"])
            for r in robots_flags(df).collect()}
     assert got == {0: (0, 0), 1: (0, 0), 2: (1, 0), 3: (1, 1),
-                   4: (0, 1), 5: (1, 1), 6: (0, 0)}
+                   4: (0, 1), 5: (1, 1), 6: (0, 0), 7: (1, 0),
+                   8: (1, 1), 9: (1, 1), 10: (1, 0), 11: (0, 0)}
     kept = sorted(r["doc_id"] for r in drop_noindex(df).collect())
-    assert kept == [0, 1, 4, 6]
+    assert kept == [0, 1, 4, 6, 11]
     # plan: pure filter over the scan, no exchange
     plan = drop_noindex(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_robots_header_gate(spark):
+    from pdf_to_text_extraction_service_spark.operators.robots import (
+        drop_noindex,
+        robots_flags,
+    )
+
+    rows = [
+        (0, b"<head></head>", None),
+        (1, b"<head></head>", "noindex"),
+        (2, b"<head></head>", "NONE"),
+        (3, b"<head></head>", "nofollow, noarchive"),
+        # meta OR header — either source sets the flag
+        (4, b'<head><meta name="robots" content="noindex">', "nofollow"),
+        # agent-prefixed forms are out of the gate subset (documented)
+        (5, b"<head></head>", "googlebot: noindex"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html binary, hdr string")
+    got = {r["doc_id"]: (r["noindex"], r["nofollow"])
+           for r in robots_flags(df, headers_col="hdr").collect()}
+    assert got == {0: (0, 0), 1: (1, 0), 2: (1, 1), 3: (0, 1),
+                   4: (1, 1), 5: (0, 0)}
+    kept = sorted(r["doc_id"] for r in
+                  drop_noindex(df, headers_col="hdr").collect())
+    assert kept == [0, 3, 5]
 
 
 def test_filter_blocked_domains_broadcast_anti(spark):
