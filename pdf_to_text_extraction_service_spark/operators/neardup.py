@@ -172,7 +172,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", shingle_n: int = 3,
                       num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.8,
-                      max_bucket: int = 64) -> DataFrame:
+                      max_bucket: int = 64,
+                      eager: bool = True) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and verified
@@ -187,6 +188,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     expected size max_bucket (recall inside a flood is sampled, and
     the exact-Jaccard verification below means sampling can only
     lose pairs, never fabricate them).
+
+    ``eager`` (default): the scalar pair output is materialized
+    (localCheckpoint) and the signature cache released before
+    returning — without this the persisted shingle signatures pin
+    executor memory for the session lifetime, and a second identical
+    call trips CacheManager's already-cached warning.  Pass
+    ``eager=False`` to keep the lazy composable plan (plan audits,
+    custom caching).
     """
     rows_per_band = num_perm // bands
     sh = (
@@ -259,10 +268,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             / F.size(F.array_union("_h_a", "_h_b")),
         )
     )
-    return (
+    out = (
         jac.filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist()
+    return out
 
 
 # --------------------------------------------------------------- simhash
@@ -360,7 +373,8 @@ def simhash64_udf():
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
                   max_hamming: int = 3,
-                  max_bucket: int = 4096) -> DataFrame:
+                  max_bucket: int = 4096,
+                  eager: bool = True) -> DataFrame:
     """Candidate near-dup pairs with SimHash Hamming distance <=
     max_hamming. Blocking: 4 16-bit bands (any pair within Hamming 3
     of a 64-bit signature shares at least one exact band).
@@ -369,7 +383,10 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     (operators/floodcap.py) — identical-signature floods (boilerplate
     at web scale) otherwise make the band self-join quadratic.
     Buckets at or under the cap are exact; flooded buckets keep a
-    deterministic hash-prefix sample."""
+    deterministic hash-prefix sample.  ``eager`` materializes the
+    scalar pair output and releases the banded-signature cache
+    (minhash_lsh_pairs' contract); ``eager=False`` keeps the lazy
+    plan for audits/composition."""
     sig = df.select(F.col(id_col).alias("_id"),
                     simhash64_udf()(sim_token_hashes(text_col))
                     .alias("_sig"))
@@ -389,7 +406,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                          F.col("_sig").alias("sig_a"))
     right = capped.select("band", "key", F.col("_id").alias("id_b"),
                           F.col("_sig").alias("sig_b"))
-    return (
+    out = (
         left.join(right, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
@@ -397,6 +414,10 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        banded.unpersist()
+    return out
 
 
 # --------------------------------------------------- exact n-gram jaccard

@@ -63,6 +63,11 @@ def pack_sequences(df: DataFrame, budget: int = 2048,
         "_blk_off", F.coalesce(F.sum("_bt").over(w_blk), F.lit(0)))
 
     sblk_tot = blk_tot.groupBy("_sblk").agg(F.sum("_bt").alias("_st"))
+    # partition-less window = single task BY DESIGN, and bounded: one
+    # row per superblock (block² ≈ 16.7M ids each), so even 10^12
+    # docs yield only ~60k rows here — the WindowExec
+    # "no partition defined" warning in bench tails is this, and it
+    # is noise, not a scale risk.
     w_sblk = Window.orderBy("_sblk") \
         .rowsBetween(Window.unboundedPreceding, -1)
     sblk_off = sblk_tot.withColumn(

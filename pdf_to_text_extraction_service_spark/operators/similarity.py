@@ -109,7 +109,8 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             threshold: float = 0.99,
                             tables: int = 4, bits: int = 8,
                             seed: int = 11,
-                            max_bucket: int = 256) -> DataFrame:
+                            max_bucket: int = 256,
+                            eager: bool = True) -> DataFrame:
     """Embedding-cosine NEAR-DUP pairs (the dedup counterpart of
     lsh_topk's search): multi-table random-hyperplane blocking, then
     exact cosine verification inside buckets only — never all-pairs.
@@ -127,6 +128,11 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     deterministic hash-prefix sample (operators/floodcap.py) — the
     exact verify means sampling only loses flood-internal pairs,
     never fabricates them.
+
+    ``eager`` (default) materializes the scalar pair output and
+    releases the vector/banded caches before returning
+    (minhash_lsh_pairs' contract); ``eager=False`` keeps the lazy
+    plan for audits/composition.
     """
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
@@ -166,7 +172,12 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
         "cosine",
         _dot("_va", "_vb") / (_norm("_va") * _norm("_vb")),
     )
-    return (
+    out = (
         scored.filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        banded.unpersist()
+        base.unpersist()
+    return out

@@ -62,7 +62,9 @@ def test_floodcap_rejects_bad_cap(spark):
 @pytest.mark.parametrize("op", ["minhash", "simhash", "embedding"])
 def test_neardup_plans_have_no_bucket_window(spark, op):
     """Each LSH blocker's executed plan must show the partial-agg
-    flood count and no Window (the r5 skew-funnel fix)."""
+    flood count and no Window (the r5 skew-funnel fix).  eager=False
+    keeps the lazy plan inspectable (the default eagerly checkpoints
+    the pair output and releases the signature caches)."""
     if op == "minhash":
         from pdf_to_text_extraction_service_spark.operators.neardup import (
             minhash_lsh_pairs,
@@ -72,7 +74,7 @@ def test_neardup_plans_have_no_bucket_window(spark, op):
              for i in range(40)],
             "doc_id long, text string",
         )
-        out = minhash_lsh_pairs(docs, max_bucket=8)
+        out = minhash_lsh_pairs(docs, max_bucket=8, eager=False)
     elif op == "simhash":
         from pdf_to_text_extraction_service_spark.operators.neardup import (
             simhash_pairs,
@@ -82,7 +84,7 @@ def test_neardup_plans_have_no_bucket_window(spark, op):
              for i in range(40)],
             "doc_id long, text string",
         )
-        out = simhash_pairs(docs, max_bucket=8)
+        out = simhash_pairs(docs, max_bucket=8, eager=False)
     else:
         from pdf_to_text_extraction_service_spark.operators.similarity import (
             embedding_neardup_pairs,
@@ -91,7 +93,7 @@ def test_neardup_plans_have_no_bucket_window(spark, op):
             [(i, [float(i % 5), 1.0, 2.0]) for i in range(40)],
             "vec_id long, embedding array<float>",
         )
-        out = embedding_neardup_pairs(vecs, max_bucket=8)
+        out = embedding_neardup_pairs(vecs, max_bucket=8, eager=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan
     assert "Window" not in plan and "row_number" not in plan
