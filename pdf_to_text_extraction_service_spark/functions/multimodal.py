@@ -36,6 +36,69 @@ if TYPE_CHECKING:
 FAKE_IMG_MAGIC = b"FAKEIMG1"
 FAKE_VID_MAGIC = b"FAKEVID1"
 
+
+def sniff_media(p: bytes) -> str | None:
+    """THE media magic table: one family token per payload, shared by
+    every dispatcher below (media_features and the per-family
+    container_audio/image_breadth/video_container operators), so a
+    format added here is detected identically everywhere.
+
+    Order is load-bearing: strong magics first; ADTS before MP3
+    (0xFFF sync with layer bits 00 vs MPEG-1 Layer III's 01); the
+    ftyp brand splits AVIF (image) from MP4/MOV; the weak
+    '<svg' containment sniff runs LAST so binary payloads whose
+    early bytes happen to spell it (ID3 text, WAV samples) hit their
+    strong magic first.  Returns None for unrecognized payloads.
+    """
+    from ..kernel.imgcodec import PNG_SIG
+    from ..kernel.videobox import _ASF_HEADER_GUID
+
+    if p.startswith(b"%PDF-"):
+        return "pdf"
+    if p.startswith(PNG_SIG):
+        return "png"
+    if p.startswith(b"\xff\xd8"):
+        return "jpeg"
+    if p.startswith(b"BM"):
+        return "bmp"
+    if p.startswith(b"GIF8"):
+        return "gif"
+    if p.startswith(b"II*\x00") or p.startswith(b"MM\x00*"):
+        return "tiff"
+    if p.startswith(FAKE_IMG_MAGIC):
+        return "fakeimg"
+    if p.startswith(FAKE_VID_MAGIC):
+        return "fakevid"
+    if p.startswith(b"RIFF"):
+        sub = p[8:12]
+        if sub == b"WEBP":
+            return "webp"
+        if sub == b"WAVE":
+            return "wav"
+        if sub == b"AVI ":
+            return "avi"
+        return None
+    if p.startswith(b"fLaC"):
+        return "flac"
+    if p.startswith(b"OggS"):
+        return "ogg"
+    if len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xF6) == 0xF0:
+        return "adts"
+    if p.startswith(b"ID3") or (
+            len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0):
+        return "mp3"
+    if p.startswith(b"\x1a\x45\xdf\xa3"):
+        return "matroska"
+    if p.startswith(_ASF_HEADER_GUID):
+        return "asf"
+    if p.startswith(b"FLV"):
+        return "flv"
+    if p[4:8] == b"ftyp":
+        return "avif" if p[8:12] in (b"avif", b"avis") else "mp4"
+    if b"<svg" in p[:256].lower():
+        return "svg"
+    return None
+
 IMAGE_FEATURES_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("width", IntegerType()),
@@ -617,15 +680,13 @@ def container_audio_features(df: DataFrame, id_col: str = "media_id",
                 payload = bytes(payload) if payload is not None else b""
                 out["media_id"].append(mid)
                 try:
-                    if payload.startswith(b"fLaC"):
+                    fam = sniff_media(payload)
+                    if fam == "flac":
                         st = audiocodec.parse_flac(payload)
                         st = {"codec": "flac", **st}
-                    elif payload.startswith(b"OggS"):
+                    elif fam == "ogg":
                         st = audiocodec.parse_ogg(payload)
-                    elif len(payload) >= 2 and payload[0] == 0xFF \
-                            and (payload[1] & 0xF6) == 0xF0:
-                        # ADTS: 0xFFF sync with layer bits 00 (an MP3
-                        # MPEG-1 Layer III header has layer bits 01)
+                    elif fam == "adts":
                         st = audiocodec.parse_adts(payload)
                         st = {"codec": "aac", **st}
                     else:
@@ -679,31 +740,29 @@ def image_breadth_features(df: DataFrame, id_col: str = "media_id",
                 out["media_id"].append(mid)
                 try:
                     mean = None
-                    if payload.startswith(b"BM"):
+                    fam = sniff_media(payload)
+                    if fam == "bmp":
                         arr = imgcodec.decode_bmp(payload)
                         codec = "bmp"
                         w, h = arr.shape[1], arr.shape[0]
                         mean = int(arr.astype("int64").sum()) // arr.size
-                    elif payload.startswith(b"GIF8"):
+                    elif fam == "gif":
                         arr = imgcodec.decode_gif(payload)
                         codec = "gif"
                         w, h = arr.shape[1], arr.shape[0]
                         mean = int(arr.astype("int64").sum()) // arr.size
-                    elif payload.startswith(b"II*\x00") \
-                            or payload.startswith(b"MM\x00*"):
+                    elif fam == "tiff":
                         arr = imgcodec.decode_tiff(payload)
                         codec = "tiff"
                         w, h = arr.shape[1], arr.shape[0]
                         mean = int(arr.astype("int64").sum()) // arr.size
-                    elif payload.startswith(b"RIFF") \
-                            and payload[8:12] == b"WEBP":
+                    elif fam == "webp":
                         variant, w, h = imgcodec.webp_dims(payload)
                         codec = "webp-" + variant
-                    elif payload[4:8] == b"ftyp" \
-                            and payload[8:12] in (b"avif", b"avis"):
+                    elif fam == "avif":
                         brand, w, h = mp4box.parse_avif_dims(payload)
                         codec = "avif"
-                    elif b"<svg" in payload[:256].lower():
+                    elif fam == "svg":
                         w, h = imgcodec.svg_dims(payload)
                         codec = "svg"
                     else:
@@ -742,10 +801,9 @@ def video_container_features(df: DataFrame, id_col: str = "media_id",
     kernel/mp4box) — duration / track inventory / dimensions without
     codec decode, plus FLV AMF onMetaData — the reference's full
     video extension list.  Fields a container does not carry are
-    NULL (AVI/ASF track kinds, ASF dims, FLV track counts).  NOTE
-    the per-family sniff also exists in media_features (unified row
-    shape) and image_breadth_features (image families) — when adding
-    a format, update all three dispatchers."""
+    NULL (AVI/ASF track kinds, ASF dims, FLV track counts).  All
+    dispatchers share the one magic table (:func:`sniff_media`) —
+    add a format there and every dispatcher sees it."""
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -761,7 +819,8 @@ def video_container_features(df: DataFrame, id_col: str = "media_id",
                 out["media_id"].append(mid)
                 try:
                     row = dict.fromkeys(cols[1:-1])
-                    if payload.startswith(b"\x1a\x45\xdf\xa3"):
+                    fam = sniff_media(payload)
+                    if fam == "matroska":
                         st = videobox.parse_matroska(payload)
                         row.update(container=st["doctype"],
                                    duration_ms=st["duration_ms"],
@@ -769,20 +828,21 @@ def video_container_features(df: DataFrame, id_col: str = "media_id",
                                    has_video=int(st["has_video"]),
                                    width=st["width"],
                                    height=st["height"])
-                    elif payload.startswith(b"RIFF") \
-                            and payload[8:12] == b"AVI ":
+                    elif fam == "avi":
                         st = videobox.parse_avi(payload)
                         row.update(container="avi",
                                    duration_ms=st["duration_ms"],
                                    n_tracks=st["n_streams"],
                                    width=st["width"],
                                    height=st["height"])
-                    elif payload.startswith(
-                            videobox._ASF_HEADER_GUID):
+                    elif fam == "asf":
                         st = videobox.parse_asf(payload)
                         row.update(container="asf",
                                    duration_ms=st["duration_ms"])
-                    elif payload[4:8] == b"ftyp":
+                    elif fam == "mp4":
+                        # NOTE: an AVIF/AVIS brand sniffs as an IMAGE
+                        # family and errors here (it previously fell
+                        # into parse_mp4 — a misclassification)
                         st = mp4box.parse_mp4(payload)
                         row.update(container="mp4",
                                    duration_ms=st["duration_ms"],
@@ -790,7 +850,7 @@ def video_container_features(df: DataFrame, id_col: str = "media_id",
                                    has_video=int(st["has_video"]),
                                    width=st["width"],
                                    height=st["height"])
-                    elif payload.startswith(b"FLV"):
+                    elif fam == "flv":
                         st = videobox.parse_flv(payload)
                         row.update(container="flv",
                                    duration_ms=st["duration_ms"],
@@ -849,101 +909,86 @@ def media_features(df: DataFrame, id_col: str = "media_id",
 
         def classify(p: bytes) -> dict:
             row: dict = dict.fromkeys(cols[1:-1])
-            if p.startswith(b"%PDF-"):
+            fam = sniff_media(p)
+            if fam == "pdf":
                 doc = pdfk.PDFDoc(p)
                 row.update(kind="document", format="pdf",
                            n_pages=doc.page_count)
-            elif p.startswith(imgcodec.PNG_SIG) \
-                    or p.startswith(b"\xff\xd8") \
-                    or p.startswith(b"BM") or p.startswith(b"GIF8") \
-                    or p.startswith(b"II*\x00") \
-                    or p.startswith(b"MM\x00*") \
-                    or p.startswith(FAKE_IMG_MAGIC):
-                fmt = ("png" if p.startswith(imgcodec.PNG_SIG) else
-                       "jpeg" if p.startswith(b"\xff\xd8") else
-                       "bmp" if p.startswith(b"BM") else
-                       "gif" if p.startswith(b"GIF8") else
-                       "tiff" if p[:1] in (b"I", b"M") else "fake")
+            elif fam in ("png", "jpeg", "bmp", "gif", "tiff",
+                         "fakeimg"):
+                fmt = "fake" if fam == "fakeimg" else fam
                 w, h, _gray = _decode_gray(p)
                 row.update(kind="image", format=fmt, width=w, height=h)
-            elif p.startswith(b"RIFF") and p[8:12] == b"WEBP":
+            elif fam == "webp":
                 variant, w, h = imgcodec.webp_dims(p)
                 row.update(kind="image", format="webp-" + variant,
                            width=w, height=h)
-            elif p.startswith(b"RIFF") and p[8:12] == b"WAVE":
+            elif fam == "wav":
                 rate, ch, samples = audiocodec.decode_wav(p)
                 row.update(kind="audio", format="wav",
                            sample_rate=rate, channels=ch,
                            duration_ms=samples.shape[0] * 1000 // rate)
-            elif p.startswith(b"fLaC"):
+            elif fam == "flac":
                 st = audiocodec.parse_flac(p)
                 row.update(kind="audio", format="flac",
                            sample_rate=st["sample_rate"],
                            channels=st["channels"],
                            duration_ms=st["duration_ms"])
-            elif p.startswith(b"OggS"):
+            elif fam == "ogg":
                 st = audiocodec.parse_ogg(p)
                 row.update(kind="audio", format=st["codec"],
                            sample_rate=st["sample_rate"],
                            channels=st["channels"],
                            duration_ms=st["duration_ms"])
-            elif len(p) >= 2 and p[0] == 0xFF \
-                    and (p[1] & 0xF6) == 0xF0:
+            elif fam == "adts":
                 st = audiocodec.parse_adts(p)
                 row.update(kind="audio", format="aac",
                            sample_rate=st["sample_rate"],
                            channels=st["channels"],
                            duration_ms=st["duration_ms"])
-            elif p.startswith(b"ID3") or (
-                    len(p) >= 2 and p[0] == 0xFF
-                    and (p[1] & 0xE0) == 0xE0):
+            elif fam == "mp3":
                 st = audiocodec.parse_mp3(p)
                 row.update(kind="audio", format="mp3",
                            sample_rate=st["sample_rate"],
                            channels=st["channels"],
                            duration_ms=st["duration_ms"])
-            elif p.startswith(b"\x1a\x45\xdf\xa3"):
+            elif fam == "matroska":
                 st = videobox.parse_matroska(p)
                 row.update(kind="video", format=st["doctype"],
                            width=st["width"] or None,
                            height=st["height"] or None,
                            duration_ms=st["duration_ms"])
-            elif p.startswith(b"RIFF") and p[8:12] == b"AVI ":
+            elif fam == "avi":
                 st = videobox.parse_avi(p)
                 row.update(kind="video", format="avi",
                            width=st["width"], height=st["height"],
                            duration_ms=st["duration_ms"])
-            elif p.startswith(videobox._ASF_HEADER_GUID):
+            elif fam == "asf":
                 st = videobox.parse_asf(p)
                 row.update(kind="video", format="asf",
                            duration_ms=st["duration_ms"])
-            elif p.startswith(b"FLV"):
+            elif fam == "flv":
                 st = videobox.parse_flv(p)
                 row.update(kind="video", format="flv",
                            width=st["width"] or None,
                            height=st["height"] or None,
                            duration_ms=st["duration_ms"])
-            elif p[4:8] == b"ftyp":
-                brand = p[8:12].decode("latin-1", "replace").strip()
-                if brand in ("avif", "avis"):
-                    _b, w, h = mp4box.parse_avif_dims(p)
-                    row.update(kind="image", format="avif",
-                               width=w, height=h)
-                else:
-                    st = mp4box.parse_mp4(p)
-                    row.update(
-                        kind="video" if st["has_video"] else "audio",
-                        format="mp4", width=st["width"] or None,
-                        height=st["height"] or None,
-                        duration_ms=st["duration_ms"])
-            elif p.startswith(FAKE_VID_MAGIC):
+            elif fam == "avif":
+                _b, w, h = mp4box.parse_avif_dims(p)
+                row.update(kind="image", format="avif",
+                           width=w, height=h)
+            elif fam == "mp4":
+                st = mp4box.parse_mp4(p)
+                row.update(
+                    kind="video" if st["has_video"] else "audio",
+                    format="mp4", width=st["width"] or None,
+                    height=st["height"] or None,
+                    duration_ms=st["duration_ms"])
+            elif fam == "fakevid":
                 frames, w, h = struct.unpack(">III", p[8:20])
                 row.update(kind="video", format="fakevid",
                            width=w, height=h)
-            elif b"<svg" in p[:256].lower():
-                # weak containment sniff LAST: binary headers whose
-                # first bytes happen to spell '<svg' (ID3 text, WAV
-                # samples) must hit their strong magic first
+            elif fam == "svg":
                 w, h = imgcodec.svg_dims(p)
                 row.update(kind="image", format="svg",
                            width=w, height=h)
