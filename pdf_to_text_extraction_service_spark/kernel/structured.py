@@ -283,10 +283,6 @@ def _parse_block_scalar(lines: list[str], idx: int, indent: int,
     style = m.group(1)
     digit = m.group(2) or m.group(5)
     chomp = m.group(3) if m.group(3) is not None else (m.group(4) or "")
-    if style == ">" and chomp == "+":
-        # folded + keep interacts with trailing-blank folding rules
-        # this emitter can't reproduce: outside the subset
-        return None
     body: list[str] = []
     j = idx + 1
     content_indent: int | None = int(digit) + indent if digit else None
@@ -303,30 +299,46 @@ def _parse_block_scalar(lines: list[str], idx: int, indent: int,
             content_indent = cur
         if cur < content_indent:
             return None
-        if style == ">" and cur > content_indent:
-            # more-indented lines in a folded scalar KEEP their breaks
-            # (spec folding rules) — outside this emitter's subset
-            return None
         body.append(ln[content_indent:])
         j += 1
-    if chomp != "+":
-        while body and body[-1] == "":
-            body.pop()
-    if not body or all(ln == "" for ln in body):
+    # trailing blank lines: chomped unless keep; counted for '+'
+    trailing = 0
+    while body and body[-1] == "":
+        body.pop()
+        trailing += 1
+    if not body:
         return None
     if style == "|":
         s = "\n".join(body)
-    else:  # folded: single breaks become spaces, blank lines newline
-        parts: list[str] = []
+    else:
+        # Folded style (YAML spec §8.1.3 folding rules): a single
+        # break between two NON-more-indented text lines folds to a
+        # space; k blank lines between them yield k line feeds (the
+        # fold absorbs one break); any break ADJACENT to a
+        # more-indented line is kept literally (so more-indented
+        # blocks keep their internal breaks exactly), and the extra
+        # indentation itself is part of the content.
+        out: list[str] = []
+        prev: str | None = None   # 'text' | 'indented' | None
+        blanks = 0
         for ln in body:
             if ln == "":
-                parts.append("\n")
-            elif parts and not parts[-1].endswith("\n"):
-                parts.append(" " + ln)
+                blanks += 1
+                continue
+            indented = ln.startswith(" ") or ln.startswith("\t")
+            if prev is None:
+                out.append("\n" * blanks)      # leading blanks literal
+            elif prev == "text" and not indented:
+                out.append(" " if blanks == 0 else "\n" * blanks)
             else:
-                parts.append(ln)
-        s = "".join(parts)
-    if chomp != "-":
+                out.append("\n" * (blanks + 1))
+            out.append(ln)
+            prev = "indented" if indented else "text"
+            blanks = 0
+        s = "".join(out)
+    if chomp == "+":
+        s += "\n" * (trailing + 1)
+    elif chomp != "-":
         s += "\n"
     return s, j
 
