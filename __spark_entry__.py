@@ -1527,7 +1527,8 @@ def _q_video_container_features(spark: SparkSession,
 
 def _q_image_codec_breadth(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
-    """BMP/GIF/TIFF real decode + WebP/AVIF dimension sniff over
+    """BMP/GIF/TIFF/WebP-VP8L real decode + WebP-lossy/AVIF
+    dimension sniff over
     synthetic images whose stats are CLOSED FORM from doc_id: kind
     cycles flat gray BMP / flat RGB BMP / flat gray GIF / WebP header
     / AVIF header / flat gray TIFF (endianness and PackBits cycling)
@@ -1583,6 +1584,17 @@ def _q_image_codec_breadth(spark: SparkSession,
                 np.full((3 + i % 6, 4 + i % 9), v, np.uint8))
         if kind == 3:
             variant = ("vp8", "vp8l", "vp8x")[i % 3]
+            if variant == "vp8l":
+                # r6: REAL lossless payload (kernel/vp8l from-spec
+                # codec) — flat RGBA decodes to exact fill values,
+                # so mean_sample = (r+g+b+255)//4 closed-form
+                from pdf_to_text_extraction_service_spark.kernel \
+                    import vp8l
+                fill = np.array([(i * 17) % 256, (i * 29) % 256,
+                                 (i * 5) % 256, 255], np.uint8)
+                img = np.broadcast_to(
+                    fill, (80 + i % 40, 100 + i % 50, 4)).copy()
+                return vp8l.encode_webp_lossless(img)
             return imgcodec.encode_webp_header(
                 100 + i % 50, 80 + i % 40, variant)
         return mp4box.encode_avif_header(320 + i % 100, 200 + i % 80)
@@ -3210,7 +3222,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Image-codec-breadth oracle: flat BMP/GIF decode to their
         # fill value (mean_sample = value, or (r+g+b)//3 for RGB);
-        # WebP/AVIF are dimension-only (NULL mean).
+        # r6: WebP VP8L rows REALLY decode (flat RGBA -> exact fill,
+        # mean = (r+g+b+255)//4); lossy WebP/AVIF stay dims-only.
         "image_codec_breadth": """
             WITH p AS (
                 SELECT doc_id AS media_id,
@@ -3257,6 +3270,9 @@ def oracle_sql() -> dict[str, str]:
                         WHEN kind = 1 THEN rgbmean
                         WHEN kind = 2 THEN gifv
                         WHEN kind = 5 THEN tiffv
+                        WHEN kind = 3 AND media_id % 3 = 1 THEN
+                          ((media_id * 17) % 256 + (media_id * 29) % 256
+                           + (media_id * 5) % 256 + 255) // 4
                         ELSE NULL END
                        ::BIGINT AS mean_sample,
                    CASE WHEN bad THEN 'unsupported image container'

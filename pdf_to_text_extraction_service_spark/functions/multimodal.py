@@ -759,6 +759,15 @@ def image_breadth_features(df: DataFrame, id_col: str = "media_id",
                     elif fam == "webp":
                         variant, w, h = imgcodec.webp_dims(payload)
                         codec = "webp-" + variant
+                        if variant == "vp8l":
+                            # r6: real lossless decode (kernel/vp8l)
+                            from ..kernel import vp8l as vp8l_codec
+
+                            arr = vp8l_codec.decode_webp_lossless(
+                                payload)
+                            h, w = arr.shape[0], arr.shape[1]
+                            mean = int(arr.astype("int64").sum()) \
+                                // arr.size
                     elif fam == "avif":
                         brand, w, h = mp4box.parse_avif_dims(payload)
                         codec = "avif"
