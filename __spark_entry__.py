@@ -1755,58 +1755,9 @@ def _q_audio_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries (office extracts, TPC-H trio, url/window dedup,
 # resize-thumbs — all r4 hash-green and stable) rotate out.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- HEAD: driver-checked this round ---
-    "extract_html_docs": _q_extract_html_docs,
-    "extract_lang_agg": _q_extract_lang_agg,
-    "extract_warc_docs": _q_extract_warc,
-    "dedup_video_signature": _q_dedup_video_sig,   # never driver-checked
-    "audio_wav_features": _q_audio_wav_features,   # never driver-checked
-    "domain_stats": _q_domain_stats,               # modified r5 (PSL)
-    "paragraph_dedup": _q_paragraph_dedup,         # modified r5 (partial agg)
-    "extract_xml_docs": _q_extract_xml,            # unchecked r4
-    "extract_notebook_docs": _q_extract_notebook,  # unchecked r4
-    "extract_latex_docs": _q_extract_latex,        # unchecked r4
-    "extract_markdown_docs": _q_extract_markdown_docs,  # unchecked r4
-    "extract_json_docs": _q_extract_json,          # unchecked r4
-    "extract_code_docs": _q_extract_code,          # unchecked r4
-    "extract_rtf_docs": _q_extract_rtf,            # unchecked r4
-    "extract_csv_docs": _q_extract_csv,            # unchecked r4
-    "extract_epub_docs": _q_extract_epub,          # unchecked r4
-    "extract_odt_docs": _q_extract_odt,            # unchecked r4
-    "pdf_page_stats": _q_pdf_page_stats,
-    "pdf_image_ocr": _q_pdf_image_ocr,             # NEW r5
-    "preview_truncation": _q_preview_truncation,
-    "ocr_clean_docs": _q_ocr_clean_docs,
-    "audio_transcripts": _q_audio_transcripts,
-    "audio_mp3_features": _q_audio_mp3_features,   # NEW r5
-    "media_mp4_features": _q_media_mp4_features,   # NEW r5
-    "audio_container_features": _q_audio_container_features,  # NEW r5
-    "image_codec_breadth": _q_image_codec_breadth,            # NEW r5
-    "video_container_features": _q_video_container_features,  # NEW r5
-    "media_features_unified": _q_media_features_unified,      # NEW r5
-    "robots_meta_gate": _q_robots_meta_gate,                  # NEW r5
-    "domain_blocklist_gate": _q_domain_blocklist_gate,        # NEW r5
-    "multimodal_image_features": _q_multimodal_features,
-    "dedup_image_dhash": _q_dedup_image_dhash,
-    "decontam_benchmark": _q_decontam_benchmark,
-    "dup_span_stats": _q_dup_span_stats,
-    "dedup_remove_spans": _q_remove_dup_spans,
-    "pack_sequences": _q_pack_sequences,
-    "unigram_lm_quality": _q_unigram_quality,
-    "dedup_exact": _q_dedup_exact,
-    "dedup_minhash_lsh": _q_minhash_lsh,
-    "neardup_components": _q_neardup_components,
-    "dedup_ngram_jaccard": _q_ngram_jaccard,
-    "dedup_simhash": _q_simhash_pairs,
-    "ann_cosine_topk": _q_ann_cosine_topk,
-    "dedup_embedding_cosine": _q_embedding_neardup,
-    "ann_lsh_topk": _q_ann_lsh_topk,
-    "ann_ivf_topk": _q_ann_ivf_topk,
-    "canonical_urls": _q_canonical_urls,
-    "boilerplate_filter": _q_boilerplate_filter,
-    "multimodal_resize_thumbs": _q_multimodal_resize,  # dispatch grew r5
-    "extract_yaml_docs": _q_extract_yaml,  # YAML subset extended r5
-    # --- TAIL: r4 hash-green, stable, pytest-parity-covered ---
+    # --- HEAD (first 50 = driver-checked): the 21 r4-rotation
+    # queries come back first (nothing goes 2 rounds unchecked),
+    # then every query modified in r6, then stable flagships ---
     "scrub_pii_docs": _q_scrub_pii,
     "repetition_stats_docs": _q_repetition_stats,
     "normalize_nfc_docs": _q_normalize_nfc,
@@ -1828,6 +1779,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_lineitem_agg": _q1_lineitem_agg,
     "join_topk_customers": _q_join_topk_customers,
     "anti_join_manifest": _q_anti_join_manifest,
+    "pdf_image_ocr": _q_pdf_image_ocr,  # modified r6 (CCITT pages)
+    "pdf_page_stats": _q_pdf_page_stats,  # pdfk touched r6
+    "robots_meta_gate": _q_robots_meta_gate,  # modified r6 (attr order/unquoted/header)
+    "domain_stats": _q_domain_stats,  # modified r6 (PSL suffix-only NULL)
+    "domain_blocklist_gate": _q_domain_blocklist_gate,  # PSL change r6
+    "image_codec_breadth": _q_image_codec_breadth,  # modified r6 (VP8L real decode)
+    "extract_yaml_docs": _q_extract_yaml,  # modified r6 (folded scalars)
+    "audio_mp3_features": _q_audio_mp3_features,  # trailing tags r6
+    "audio_container_features": _q_audio_container_features,  # trailing tags + sniff table r6
+    "media_features_unified": _q_media_features_unified,  # sniff table r6
+    "video_container_features": _q_video_container_features,  # sniff table r6
+    "media_mp4_features": _q_media_mp4_features,  # sniff table r6
+    "dedup_minhash_lsh": _q_minhash_lsh,  # floodcap + eager r6
+    "dedup_simhash": _q_simhash_pairs,  # floodcap + eager r6
+    "dedup_embedding_cosine": _q_embedding_neardup,  # floodcap + eager r6
+    "dedup_image_dhash": _q_dedup_image_dhash,  # floodcap r6
+    "neardup_components": _q_neardup_components,  # minhash path r6
+    "multimodal_image_features": _q_multimodal_features,  # imgcodec budget r6
+    "multimodal_resize_thumbs": _q_multimodal_resize,  # imgcodec budget r6
+    "extract_html_docs": _q_extract_html_docs,
+    "extract_lang_agg": _q_extract_lang_agg,
+    "extract_warc_docs": _q_extract_warc,
+    "dedup_exact": _q_dedup_exact,
+    "dedup_ngram_jaccard": _q_ngram_jaccard,
+    "ann_cosine_topk": _q_ann_cosine_topk,
+    "ann_lsh_topk": _q_ann_lsh_topk,
+    "ann_ivf_topk": _q_ann_ivf_topk,
+    "canonical_urls": _q_canonical_urls,
+    "boilerplate_filter": _q_boilerplate_filter,
+    # --- TAIL: r5 hash-green, untouched this round, rotate back r7 ---
+    "dedup_video_signature": _q_dedup_video_sig,
+    "audio_wav_features": _q_audio_wav_features,
+    "paragraph_dedup": _q_paragraph_dedup,
+    "extract_xml_docs": _q_extract_xml,
+    "extract_notebook_docs": _q_extract_notebook,
+    "extract_latex_docs": _q_extract_latex,
+    "extract_markdown_docs": _q_extract_markdown_docs,
+    "extract_json_docs": _q_extract_json,
+    "extract_code_docs": _q_extract_code,
+    "extract_rtf_docs": _q_extract_rtf,
+    "extract_csv_docs": _q_extract_csv,
+    "extract_epub_docs": _q_extract_epub,
+    "extract_odt_docs": _q_extract_odt,
+    "preview_truncation": _q_preview_truncation,
+    "ocr_clean_docs": _q_ocr_clean_docs,
+    "audio_transcripts": _q_audio_transcripts,
+    "decontam_benchmark": _q_decontam_benchmark,
+    "dup_span_stats": _q_dup_span_stats,
+    "dedup_remove_spans": _q_remove_dup_spans,
+    "pack_sequences": _q_pack_sequences,
+    "unigram_lm_quality": _q_unigram_quality,
 }
 
 # DuckDB mirror of the language-ID stopword scores (same formula as
