@@ -1564,9 +1564,18 @@ def _q_image_codec_breadth(spark: SparkSession,
             return (f'<?xml version="1.0"?><svg viewBox="0 0 {w} {h}">'
                     f'</svg>').encode()
         if kind == 5:
+            bh, bw = 3 + i % 6, 4 + i % 9
+            if i % 5 == 4:
+                # r6: CCITT fax TIFF (kernel/ccitt.py) — top
+                # k = i % (bh+1) rows black; decoded gray is 0/255,
+                # so mean_sample = 255*(bh-k)*bw // (bh*bw)
+                fimg = np.zeros((bh, bw), dtype=bool)
+                fimg[: i % (bh + 1)] = True
+                return imgcodec.encode_tiff(
+                    fimg, fax=(4 if i % 2 else 3), rows_per_strip=2)
             v = (i * 13) % 256
             return imgcodec.encode_tiff(
-                np.full((3 + i % 6, 4 + i % 9), v, np.uint8),
+                np.full((bh, bw), v, np.uint8),
                 big_endian=(i % 3 == 0), packbits=bool(i % 2),
                 rows_per_strip=2)
         if kind == 0:
@@ -3271,6 +3280,9 @@ def oracle_sql() -> dict[str, str]:
                         WHEN kind = 0 THEN gv
                         WHEN kind = 1 THEN rgbmean
                         WHEN kind = 2 THEN gifv
+                        WHEN kind = 5 AND media_id % 5 = 4 THEN
+                          255 * (bh - media_id % (bh + 1)) * bw
+                              // (bh * bw)
                         WHEN kind = 5 THEN tiffv
                         WHEN kind = 3 AND media_id % 3 = 1 THEN
                           ((media_id * 17) % 256 + (media_id * 29) % 256

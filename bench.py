@@ -194,12 +194,51 @@ def _bench_once(cpus: int, sf_dir: str, repeats: int = 3):
     return timings, extras
 
 
+def _microbench_control() -> float:
+    """Single-threaded router extraction of one fixed ~5.8 KB HTML
+    page, run BEFORE Spark spins up (box otherwise idle).  The
+    returned µs/page is the box-speed control: round-over-round suite
+    deltas are interpretable only relative to it (the sandbox drifts
+    ±15%+ between sessions).  Deterministic construction — corpus
+    seed 7, page item25 inflated with two other pages' bodies — so
+    the number is comparable across rounds."""
+    import re
+
+    from pdf_to_text_extraction_service_spark.kernel.router import (
+        extract_document,
+    )
+    from pdf_to_text_extraction_service_spark.sources.corpus import (
+        generate_corpus_rows,
+    )
+
+    rows = {r[0]: r[2] for r in generate_corpus_rows(60, seed=7)}
+    base = rows["https://corpus.example/pages/item25.html"]
+    extra = b""
+    for u in ("https://corpus.example/pages/item26.html",
+              "https://corpus.example/pages/item27.html"):
+        body = rows.get(u, b"")
+        m = re.search(rb"<body[^>]*>(.*)</body>", body, re.DOTALL)
+        if m:
+            extra += m.group(1)
+    page = base.replace(b"</body>", extra + b"</body>")
+    url = "https://corpus.example/pages/control.html"
+    extract_document(url, page)              # warm imports/regexes
+    n = 200
+    t0 = time.perf_counter()
+    for _ in range(n):
+        extract_document(url, page)
+    dt = time.perf_counter() - t0
+    return dt / n * 1e6
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    control_us = _microbench_control()
     timings, extras = _bench_once(cpus, sf_dir)
+    extras["control_us_per_page"] = control_us
     result = {
         "metric": "documents/sec extraction throughput "
                   "(byte-identical text per url)",

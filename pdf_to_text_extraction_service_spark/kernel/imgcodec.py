@@ -1712,7 +1712,11 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     rows_per_strip = one(278, h)
     if w == 0 or h == 0 or w * h > MAX_PIXELS:
         raise ValueError("tiff: bad dimensions")
-    if comp not in (1, 32773) or spp not in (1, 3) \
+    fax = comp in (2, 3, 4)   # CCITT RLE / Group 3 / Group 4
+    if fax:
+        if spp != 1 or bits != [1] or photo not in (0, 1):
+            raise ValueError("tiff: unsupported fax format")
+    elif comp not in (1, 32773) or spp not in (1, 3) \
             or any(b != 8 for b in bits) \
             or photo not in (0, 1, 2) \
             or (photo == 2) != (spp == 3):
@@ -1730,6 +1734,25 @@ def _decode_tiff(data: bytes) -> np.ndarray:
         rows = min(rows_per_strip, h - i * rows_per_strip)
         if rows <= 0:
             raise ValueError("tiff: too many strips")
+        if fax:
+            # fax coding restarts per strip (TIFF 6.0 §Section 2);
+            # decoded black/white maps to 1-bit SAMPLE space scaled
+            # to 8 bits, so the photometric inversion below applies
+            # uniformly (photo 0 MinIsWhite: sample 1 = black)
+            from . import ccitt
+
+            if comp == 4:
+                bits_arr = ccitt.decode_g4(strip, w, rows)
+            elif comp == 3:
+                t4opts = one(292, 0)
+                bits_arr = ccitt.decode_g3(
+                    strip, w, rows, two_dim=bool(t4opts & 1),
+                    byte_align=bool(t4opts & 4))
+            else:                        # 2 = Modified Huffman
+                bits_arr = ccitt.decode_g3(strip, w, rows)
+            sample = bits_arr if photo == 0 else ~bits_arr
+            out += (sample.astype(np.uint8) * 255).tobytes()
+            continue
         expect = rows * w * spp
         if comp == 32773:
             strip = _tiff_packbits(strip, expect)
@@ -1749,19 +1772,38 @@ def _decode_tiff(data: bytes) -> np.ndarray:
 
 def encode_tiff(img: np.ndarray, big_endian: bool = False,
                 packbits: bool = False,
-                rows_per_strip: int | None = None) -> bytes:
+                rows_per_strip: int | None = None,
+                fax: int | None = None) -> bytes:
     """uint8 (h, w) gray or (h, w, 3) RGB -> TIFF (photometric 1/2,
-    striped, optional PackBits)."""
+    striped, optional PackBits).  ``fax`` (2, 3 or 4) encodes a BOOL
+    array (True = black) as a CCITT fax TIFF instead: 1 bit/sample,
+    photometric 0 (MinIsWhite), strips coded per kernel/ccitt.py."""
     import struct as _s
 
     bo = ">" if big_endian else "<"
-    arr = np.asarray(img, dtype=np.uint8)
-    gray = arr.ndim == 2
+    if fax is not None:
+        if fax not in (2, 3, 4):
+            raise ValueError("tiff: fax must be 2, 3 or 4")
+        arr = np.asarray(img, dtype=bool)
+        if arr.ndim != 2:
+            raise ValueError("tiff: fax needs a 2-D bool array")
+        gray = True
+    else:
+        arr = np.asarray(img, dtype=np.uint8)
+        gray = arr.ndim == 2
     h, w = arr.shape[:2]
     spp = 1 if gray else 3
     rps = rows_per_strip or h
     strips = []
     for r0 in range(0, h, rps):
+        if fax is not None:
+            from . import ccitt
+
+            band = arr[r0:r0 + rps]
+            raw = ccitt.encode_g4(band) if fax == 4 \
+                else ccitt.encode_g3_1d(band, with_eol=(fax == 3))
+            strips.append(raw)
+            continue
         raw = arr[r0:r0 + rps].tobytes()
         if packbits:
             enc = bytearray()
@@ -1792,9 +1834,10 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False,
     strip_sizes = [len(s) for s in strips]
     entry(256, 4, [w])
     entry(257, 4, [h])
-    entry(258, 3, [8] * spp)
-    entry(259, 3, [32773 if packbits else 1])
-    entry(262, 3, [2 if spp == 3 else 1])
+    entry(258, 3, ([1] if fax is not None else [8] * spp))
+    entry(259, 3, [fax if fax is not None
+                   else (32773 if packbits else 1)])
+    entry(262, 3, [0 if fax is not None else (2 if spp == 3 else 1)])
     entry(273, 4, [0] * n_strips)      # patched below
     entry(277, 3, [spp])
     entry(278, 4, [rps])

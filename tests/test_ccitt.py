@@ -218,3 +218,25 @@ def test_pdf_ccitt_byte_align_and_corrupt_fallback():
     assert st["n_images"] == 1 and st["n_decoded"] == 0
     assert pdfk.extract_pdf(bad, "application/pdf",
                             doc=doc).pages[0].method == "needs-ocr"
+
+
+def test_ccitt_fax_tiff_round_trip():
+    """TIFF compressions 2/3/4 route through the fax codec: strips
+    restart coding, photometric 0 maps sample 1 (black) to ink 0."""
+    from pdf_to_text_extraction_service_spark.kernel import imgcodec
+
+    rng = np.random.default_rng(23)
+    img = rng.random((11, 17)) < 0.35
+    want = np.where(img, 0, 255).astype(np.uint8)
+    for fax in (2, 3, 4):
+        t = imgcodec.encode_tiff(img, fax=fax, rows_per_strip=4)
+        assert np.array_equal(imgcodec.decode_tiff(t), want)
+    with pytest.raises(ValueError):
+        imgcodec.encode_tiff(img, fax=5)
+    # corrupt fax payload raises ValueError (never another type)
+    t = bytearray(imgcodec.encode_tiff(img, fax=4))
+    t[-3] ^= 0x55
+    try:
+        imgcodec.decode_tiff(bytes(t))
+    except ValueError:
+        pass
