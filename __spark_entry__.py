@@ -1097,10 +1097,22 @@ def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         fk = i % (fh + 1)
         fax = np.zeros((fh, 16), dtype=bool)
         fax[:fk] = True
-        fenc = (ccitt.encode_g3_1d if i % 2 else ccitt.encode_g4)
-        fax_entry = pdfgen.ccitt_image_entry(
-            fenc(fax, byte_align=(i % 5 == 0)), 16, fh,
-            k=(0 if i % 2 else -1), byte_align=(i % 5 == 0))
+        if i % 7 == 3:
+            # r6: every 7th-ish fax page ships as JBIG2 instead of
+            # raw CCITT (MMR for odd ids, MQ-arithmetic generic
+            # region for even) — pixel stats identical, so the
+            # oracle's closed form is untouched
+            from pdf_to_text_extraction_service_spark.kernel \
+                import jbig2
+            fax_entry = (
+                b"/Width 16 /Height %d /BitsPerComponent 1 "
+                b"/ColorSpace /DeviceGray /Filter /JBIG2Decode" % fh,
+                jbig2.build_embedded(fax, mmr=bool(i % 2)))
+        else:
+            fenc = (ccitt.encode_g3_1d if i % 2 else ccitt.encode_g4)
+            fax_entry = pdfgen.ccitt_image_entry(
+                fenc(fax, byte_align=(i % 5 == 0)), 16, fh,
+                k=(0 if i % 2 else -1), byte_align=(i % 5 == 0))
         payload = pdfgen.build_pdf_jpeg_pages([
             (pdfgen.single_column_page(good), []),
             ([], [jpeg]),

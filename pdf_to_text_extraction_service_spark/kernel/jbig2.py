@@ -1,0 +1,494 @@
+"""JBIG2 (ITU-T T.88) — embedded-stream subset, from spec.
+
+Scanned PDFs use two bilevel codecs: CCITT G4 (kernel/ccitt.py, r6)
+and JBIG2.  This module decodes the GENERIC-REGION subset of JBIG2 as
+embedded in PDF streams (PDF 32000-1:2008 §7.4.7: no file header,
+sequential segment organization):
+
+- segment headers (number / flags / referred-to segments / page
+  association / data length),
+- page information (type 48) and end markers (49/50/51),
+- immediate (lossless) generic regions (types 38/39) coded either
+  with **MMR** (T.6, routed through kernel/ccitt.decode_g4) or with
+  the **MQ arithmetic coder** (T.88 Annex E) over generic-region
+  template 0, including TPGDON typical-prediction rows,
+- region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE).
+
+Symbol-dictionary / text-region / halftone / refinement segments (the
+output of symbol-coding encoders like jbig2enc) raise ValueError —
+callers keep the conservative size-only needs-ocr behavior, exactly
+as for any undecodable image.  The MQ coder ships with an ENCODER so
+generic-region round-trips are testable without external tools.
+
+All errors raise ValueError; dimensions are budget-capped before
+allocation.  Bit order inside the arithmetic decoder follows T.88's
+flowcharts (INITDEC / DECODE / BYTEIN with 0xFF stuffing).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAX_PIXELS = 1 << 26
+
+# T.88 Table E.1 — MQ-coder probability state machine
+# (Qe, NMPS, NLPS, SWITCH); identical table in JPEG 2000.
+_QE = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+
+
+class MQDecoder:
+    """T.88 Annex E arithmetic decoder (software conventions)."""
+
+    __slots__ = ("data", "bp", "c", "a", "ct")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        b0 = data[0] if data else 0xFF
+        self.c = b0 << 16
+        self._bytein_init()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _byte(self, i: int) -> int:
+        return self.data[i] if i < len(self.data) else 0xFF
+
+    def _bytein_init(self) -> None:
+        self._bytein()
+
+    def _bytein(self) -> None:
+        if self._byte(self.bp) == 0xFF:
+            if self._byte(self.bp + 1) > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp += 1
+                self.c += self._byte(self.bp) << 9
+                self.ct = 7
+        else:
+            self.bp += 1
+            self.c += self._byte(self.bp) << 8
+            self.ct = 8
+        self.c &= 0xFFFFFFFF
+
+    def decode(self, cx: list) -> int:
+        """Decode one bit with context state cx = [index, mps]."""
+        icx, mps = cx
+        qe = _QE[icx][0]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange path
+            if self.a < qe:
+                d = mps
+                cx[0] = _QE[icx][1]
+            else:
+                d = 1 - mps
+                if _QE[icx][3]:
+                    cx[1] = 1 - mps
+                cx[0] = _QE[icx][2]
+            self.a = qe
+            # renormalize
+            while True:
+                if self.ct == 0:
+                    self._bytein()
+                self.a = (self.a << 1) & 0xFFFF
+                self.c = (self.c << 1) & 0xFFFFFFFF
+                self.ct -= 1
+                if self.a & 0x8000:
+                    break
+            return d
+        self.c = (self.c - (qe << 16)) & 0xFFFFFFFF
+        if (self.a & 0x8000) == 0:
+            # MPS exchange path
+            if self.a < qe:
+                d = 1 - mps
+                if _QE[icx][3]:
+                    cx[1] = 1 - mps
+                cx[0] = _QE[icx][2]
+            else:
+                d = mps
+                cx[0] = _QE[icx][1]
+            while True:
+                if self.ct == 0:
+                    self._bytein()
+                self.a = (self.a << 1) & 0xFFFF
+                self.c = (self.c << 1) & 0xFFFFFFFF
+                self.ct -= 1
+                if self.a & 0x8000:
+                    break
+            return d
+    # fast path: no renormalization needed
+        return mps
+
+
+class MQEncoder:
+    """T.88 Annex E arithmetic encoder (software conventions — the
+    same BYTEOUT/FLUSH structure as the public openjpeg/jasper MQ
+    coders): fixture-side mirror of :class:`MQDecoder`."""
+
+    __slots__ = ("buf", "c", "a", "ct")
+
+    def __init__(self):
+        # buf[0] is the INITENC scratch byte (BP = BPST - 1, B = 0);
+        # it absorbs a possible first carry and is dropped on flush
+        self.buf = bytearray([0])
+        self.c = 0
+        self.a = 0x8000
+        self.ct = 12
+
+    def _byteout(self) -> None:
+        if self.buf[-1] == 0xFF:
+            self.buf.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            self.buf.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            self.buf[-1] += 1             # carry propagation
+            if self.buf[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                self.buf.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                self.buf.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def _renorm(self) -> None:
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def encode(self, cx: list, d: int) -> None:
+        icx, mps = cx
+        qe = _QE[icx][0]
+        if d == mps:                      # CODEMPS
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe              # fast path, no renorm
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            cx[0] = _QE[icx][1]
+            self._renorm()
+        else:                             # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if _QE[icx][3]:
+                cx[1] = 1 - mps
+            cx[0] = _QE[icx][2]
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # SETBITS
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        return bytes(self.buf[1:])        # drop the INITENC scratch
+
+
+# ------------------------------------------------- generic region (GB)
+
+# template-0 context: 10 fixed neighbors + 4 adaptive (nominal AT
+# positions per T.88 6.2.5.3); the context layout follows the spec's
+# figure ordering so encoder and decoder agree bit-for-bit.
+_AT_DEFAULT = ((3, -1), (-3, -1), (2, -2), (-2, -2))
+_TPGDON_CTX0 = 0x9B25
+
+
+def _gb_context(bitmap: np.ndarray, x: int, y: int, w: int,
+                at: tuple) -> int:
+    def px(dx, dy):
+        xx, yy = x + dx, y + dy
+        if yy < 0 or xx < 0 or xx >= w:
+            return 0
+        return int(bitmap[yy, xx])
+
+    a1, a2, a3, a4 = at
+    return (
+        (px(*a4) << 15) | (px(-1, -2) << 14) | (px(0, -2) << 13)
+        | (px(1, -2) << 12) | (px(*a3) << 11)
+        | (px(*a2) << 10) | (px(-2, -1) << 9) | (px(-1, -1) << 8)
+        | (px(0, -1) << 7) | (px(1, -1) << 6) | (px(2, -1) << 5)
+        | (px(*a1) << 4)
+        | (px(-4, 0) << 3) | (px(-3, 0) << 2) | (px(-2, 0) << 1)
+        | px(-1, 0)
+    )
+
+
+def decode_generic_region(data: bytes, w: int, h: int,
+                          tpgdon: bool = False,
+                          at: tuple = _AT_DEFAULT) -> np.ndarray:
+    """MQ-coded generic region, template 0 → bool array."""
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ValueError("jbig2: bad region dimensions")
+    dec = MQDecoder(data)
+    cx = [[0, 0] for _ in range(1 << 16)]
+    out = np.zeros((h, w), dtype=np.uint8)
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            if dec.decode(cx[_TPGDON_CTX0]):
+                ltp ^= 1
+            if ltp:
+                if y > 0:
+                    out[y] = out[y - 1]
+                continue
+        for x in range(w):
+            ctx = _gb_context(out, x, y, w, at)
+            out[y, x] = dec.decode(cx[ctx])
+    return out.astype(bool)
+
+
+def encode_generic_region(img: np.ndarray, tpgdon: bool = False,
+                          at: tuple = _AT_DEFAULT) -> bytes:
+    """MQ-coded generic region (template 0) — fixture encoder."""
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim != 2 or a.size == 0:
+        raise ValueError("jbig2: encoder needs a 2-D nonempty array")
+    h, w = a.shape
+    enc = MQEncoder()
+    cx = [[0, 0] for _ in range(1 << 16)]
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            typical = y > 0 and bool((a[y] == a[y - 1]).all())
+            want_ltp = 1 if typical else 0
+            enc.encode(cx[_TPGDON_CTX0], 1 if want_ltp != ltp else 0)
+            ltp = want_ltp
+            if ltp:
+                continue
+        for x in range(w):
+            ctx = _gb_context(a, x, y, w, at)
+            enc.encode(cx[ctx], int(a[y, x]))
+    return enc.flush()
+
+
+# ------------------------------------------------------ segment layer
+
+
+def _region_info(data: bytes) -> tuple[int, int, int, int, int]:
+    if len(data) < 17:
+        raise ValueError("jbig2: truncated region info")
+    w, h, x, y = struct.unpack(">IIII", data[:16])
+    return w, h, x, y, data[16] & 0x7
+
+
+def _parse_segment_headers(data: bytes):
+    """Yield (seg_type, page, payload) for each segment in an
+    embedded (PDF) JBIG2 stream — sequential organization, no file
+    header (T.88 Annex D / PDF §7.4.7)."""
+    pos = 0
+    n = len(data)
+    count = 0
+    while pos + 11 <= n:
+        count += 1
+        if count > 1 << 16:
+            raise ValueError("jbig2: too many segments")
+        seg_num = struct.unpack(">I", data[pos:pos + 4])[0]
+        flags = data[pos + 4]
+        seg_type = flags & 0x3F
+        page_assoc_4 = bool(flags & 0x40)
+        pos += 5
+        rts = data[pos]
+        ref_count = rts >> 5
+        if ref_count == 7:
+            ref_count = struct.unpack(
+                ">I", data[pos:pos + 4])[0] & 0x1FFFFFFF
+            pos += 4 + (ref_count + 8) // 8   # long form + retain bits
+        else:
+            pos += 1
+        ref_size = 1 if seg_num <= 256 else (
+            2 if seg_num <= 65536 else 4)
+        pos += ref_count * ref_size
+        if page_assoc_4:
+            page = struct.unpack(">I", data[pos:pos + 4])[0]
+            pos += 4
+        else:
+            page = data[pos] if pos < n else 0
+            pos += 1
+        if pos + 4 > n:
+            raise ValueError("jbig2: truncated segment header")
+        length = struct.unpack(">I", data[pos:pos + 4])[0]
+        pos += 4
+        if length == 0xFFFFFFFF:
+            raise ValueError("jbig2: unknown-length segment")
+        if pos + length > n:
+            raise ValueError("jbig2: truncated segment payload")
+        yield seg_type, page, data[pos:pos + length]
+        pos += length
+
+
+_UNSUPPORTED = {
+    0: "symbol dictionary", 4: "text region", 6: "text region",
+    7: "text region", 16: "pattern dictionary", 20: "halftone region",
+    22: "halftone region", 23: "halftone region",
+    36: "intermediate generic region", 40: "refinement region",
+    42: "refinement region", 43: "refinement region",
+}
+
+
+def decode_embedded(data: bytes,
+                    globals_data: bytes | None = None) -> np.ndarray:
+    """PDF-embedded JBIG2 stream (+ optional /JBIG2Globals) → bool
+    page bitmap (True = black).  Generic-region subset; any
+    symbol/text/halftone/refinement segment raises ValueError.
+    ValueError-only contract (untrusted bytes): every structural
+    failure surfaces as ValueError."""
+    try:
+        return _decode_embedded(data, globals_data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError,
+            MemoryError, RecursionError) as exc:
+        raise ValueError(
+            f"jbig2: malformed stream ({type(exc).__name__})")
+
+
+def _decode_embedded(data: bytes,
+                     globals_data: bytes | None = None) -> np.ndarray:
+    page_w = page_h = None
+    page = None
+    default_pixel = 0
+    streams = ([globals_data] if globals_data else []) + [data]
+    for blob in streams:
+        for seg_type, _pg, payload in _parse_segment_headers(blob):
+            if seg_type in _UNSUPPORTED:
+                raise ValueError(
+                    f"jbig2: unsupported segment "
+                    f"({_UNSUPPORTED[seg_type]})")
+            if seg_type == 48:            # page information
+                if len(payload) < 19:
+                    raise ValueError("jbig2: truncated page info")
+                page_w, page_h = struct.unpack(">II", payload[:8])
+                if page_h == 0xFFFFFFFF:
+                    raise ValueError("jbig2: striped unknown height")
+                if page_w * page_h > MAX_PIXELS:
+                    raise ValueError(
+                        "jbig2: page exceeds decode budget")
+                default_pixel = (payload[16] >> 2) & 1
+                page = np.full((page_h, page_w), bool(default_pixel),
+                               dtype=bool)
+            elif seg_type in (38, 39):    # immediate generic region
+                if page is None:
+                    raise ValueError("jbig2: region before page info")
+                rw, rh, rx, ry, combop = _region_info(payload)
+                body = payload[17:]
+                if len(body) < 1:
+                    raise ValueError("jbig2: truncated region")
+                gflags = body[0]
+                mmr = gflags & 1
+                template = (gflags >> 1) & 3
+                tpgdon = bool(gflags & 8)
+                body = body[1:]
+                if mmr:
+                    from . import ccitt
+
+                    bitmap = ccitt.decode_g4(body, rw, rh)
+                else:
+                    if template != 0:
+                        raise ValueError(
+                            "jbig2: only GB template 0 supported")
+                    if len(body) < 8:
+                        raise ValueError("jbig2: truncated AT pixels")
+                    at = tuple(
+                        (struct.unpack("b", body[i:i + 1])[0],
+                         struct.unpack("b", body[i + 1:i + 2])[0])
+                        for i in range(0, 8, 2))
+                    bitmap = decode_generic_region(
+                        body[8:], rw, rh, tpgdon=tpgdon, at=at)
+                if rx + rw > page.shape[1] or ry + rh > page.shape[0]:
+                    raise ValueError("jbig2: region outside page")
+                tgt = page[ry:ry + rh, rx:rx + rw]
+                if combop == 0:
+                    page[ry:ry + rh, rx:rx + rw] = tgt | bitmap
+                elif combop == 1:
+                    page[ry:ry + rh, rx:rx + rw] = tgt & bitmap
+                elif combop == 2:
+                    page[ry:ry + rh, rx:rx + rw] = tgt ^ bitmap
+                elif combop == 3:
+                    page[ry:ry + rh, rx:rx + rw] = ~(tgt ^ bitmap)
+                else:
+                    page[ry:ry + rh, rx:rx + rw] = bitmap
+            elif seg_type in (49, 50, 51, 62):
+                continue                  # end/extension markers
+            elif seg_type == 53:
+                continue                  # custom tables: ignorable
+            else:
+                raise ValueError(
+                    f"jbig2: unsupported segment type {seg_type}")
+    if page is None:
+        raise ValueError("jbig2: no page information segment")
+    return page
+
+
+# ------------------------------------------------- fixture stream gen
+
+
+def build_embedded(img: np.ndarray, mmr: bool = False,
+                   tpgdon: bool = False) -> bytes:
+    """Minimal embedded JBIG2 stream: page info + one immediate
+    lossless generic region covering the page."""
+    a = np.ascontiguousarray(img, dtype=bool)
+    h, w = a.shape
+
+    def segment(num: int, styp: int, payload: bytes) -> bytes:
+        return (struct.pack(">IB", num, styp)    # page-assoc 1 byte
+                + b"\x00"                        # 0 referred segments
+                + b"\x01"                        # page 1
+                + struct.pack(">I", len(payload)) + payload)
+
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00\x00\x00"
+    out = segment(0, 48, page_info)
+    if mmr:
+        from . import ccitt
+
+        body = b"\x01" + ccitt.encode_g4(a)
+    else:
+        gflags = 0x08 if tpgdon else 0x00
+        at_bytes = b"".join(struct.pack("bb", dx, dy)
+                            for dx, dy in _AT_DEFAULT)
+        body = bytes([gflags]) + at_bytes \
+            + encode_generic_region(a, tpgdon=tpgdon)
+    region = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + body
+    out += segment(1, 39, region)
+    out += segment(2, 49, b"")            # end of page
+    return out

@@ -605,7 +605,8 @@ class PDFDoc:
                     if raw is None:
                         raise PDFError("image: missing stream")
                     out.append(_decode_image_payload(
-                        "xobject", head, raw, _img_filters(head)))
+                        "xobject", head, raw, _img_filters(head),
+                        objs=self.objs))
                 except (PDFError, ValueError, OverflowError,
                         MemoryError):
                     out.append(ImageStats("xobject", w, h))
@@ -783,7 +784,9 @@ def _stats_from_array(kind: str, arr) -> ImageStats:
 
 
 def _decode_image_payload(kind: str, head: bytes, raw: bytes,
-                          filters: list[str]) -> ImageStats:
+                          filters: list[str],
+                          objs: dict[int, bytes] | None = None) \
+        -> ImageStats:
     """Decode one image stream into pixel stats.  Integer-only stats
     (counts and sums) so a fixture oracle is closed-form.  Raises
     PDFError/ValueError on anything undecodable; callers downgrade to
@@ -822,7 +825,22 @@ def _decode_image_payload(kind: str, head: bytes, raw: bytes,
             # representation, which this path never materializes
             arr = np.where(bits, 0, 255).astype("uint8")
             return _stats_from_array(kind, arr)
-        if name in ("JPXDecode", "JBIG2Decode"):
+        if name == "JBIG2Decode":
+            if i != len(filters) - 1:
+                raise PDFError("image: JBIG2 not last in chain")
+            from . import jbig2
+
+            gdata = None
+            gm = re.search(rb"/JBIG2Globals\s+(\d+)\s+0\s+R", head)
+            if gm is not None and objs is not None:
+                gbody = objs.get(int(gm.group(1)))
+                if gbody is not None:
+                    gdata = _stream_bytes(gbody, objs)
+            bits = jbig2.decode_embedded(raw, gdata)
+            # JBIG2 bit 1 = black; map to 8-bit luma like the fax path
+            arr = np.where(bits, 0, 255).astype("uint8")
+            return _stats_from_array(kind, arr)
+        if name == "JPXDecode":
             raise PDFError(f"image: unsupported codec /{name}")
         raw = _apply_filter(name, raw)
     # no image codec: raw samples (8-bit gray or RGB only)
