@@ -32,6 +32,13 @@ import struct
 import numpy as np
 
 MAX_PIXELS = 1 << 26
+# The MQ generic-region decoder is a per-pixel Python loop (~µs/px):
+# a claimed 64 MP arithmetic region would burn minutes on one row of
+# one document — the decode-bomb shape the reference's per-file
+# timeout exists for (config.go:120-127).  Arithmetic regions get a
+# tighter budget; MMR regions ride kernel/ccitt.py's run-length walk
+# and keep the full pixel cap.
+ARITH_MAX_PIXELS = 1 << 22
 
 # T.88 Table E.1 — MQ-coder probability state machine
 # (Qe, NMPS, NLPS, SWITCH); identical table in JPEG 2000.
@@ -258,8 +265,8 @@ def decode_generic_region(data: bytes, w: int, h: int,
                           tpgdon: bool = False,
                           at: tuple = _AT_DEFAULT) -> np.ndarray:
     """MQ-coded generic region, template 0 → bool array."""
-    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
-        raise ValueError("jbig2: bad region dimensions")
+    if w <= 0 or h <= 0 or w * h > ARITH_MAX_PIXELS:
+        raise ValueError("jbig2: region exceeds arithmetic budget")
     dec = MQDecoder(data)
     cx = [[0, 0] for _ in range(1 << 16)]
     out = np.zeros((h, w), dtype=np.uint8)

@@ -42,7 +42,11 @@ from __future__ import annotations
 
 import numpy as np
 
-MAX_PIXELS = 1 << 26   # same ceiling as imgcodec.MAX_PIXELS
+# The entropy loop is per-pixel Python (~µs/px): a claimed 64 MP
+# payload would burn minutes in one task — the decode-bomb shape the
+# reference bounds with per-file timeouts.  4 MP covers real crawl
+# lossless WebP (logos/screenshots); larger claims become error rows.
+MAX_PIXELS = 1 << 22
 
 _CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16,
                       6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
