@@ -1,24 +1,31 @@
-"""JBIG2 (ITU-T T.88) — embedded-stream subset, from spec.
+"""JBIG2 (ITU-T T.88) — embedded-stream decoder, from spec.
 
 Scanned PDFs use two bilevel codecs: CCITT G4 (kernel/ccitt.py, r6)
-and JBIG2.  This module decodes the GENERIC-REGION subset of JBIG2 as
-embedded in PDF streams (PDF 32000-1:2008 §7.4.7: no file header,
-sequential segment organization):
+and JBIG2.  This module decodes JBIG2 as embedded in PDF streams
+(PDF 32000-1:2008 §7.4.7: no file header, sequential segment
+organization):
 
-- segment headers (number / flags / referred-to segments / page
+- segment headers (number / flags / referred-to segment lists / page
   association / data length),
 - page information (type 48) and end markers (49/50/51),
 - immediate (lossless) generic regions (types 38/39) coded either
   with **MMR** (T.6, routed through kernel/ccitt.decode_g4) or with
   the **MQ arithmetic coder** (T.88 Annex E) over generic-region
   template 0, including TPGDON typical-prediction rows,
+- **symbol coding** — the jbig2enc/production-encoder shape:
+  arithmetic symbol dictionaries (type 0; height classes via
+  IADH/IADW, shared generic-region state per T.88 6.5.8.1, IAEX
+  export runs, symbols accumulated across referred-to dictionaries
+  incl. /JBIG2Globals) and immediate text regions (types 6/7; strip
+  decoding with IADT/IAFS/IADS/IAIT, IAID symbol-id trees, all four
+  REFCORNER modes, TRANSPOSED placement, SBDSOFFSET),
 - region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE).
 
-Symbol-dictionary / text-region / halftone / refinement segments (the
-output of symbol-coding encoders like jbig2enc) raise ValueError —
-callers keep the conservative size-only needs-ocr behavior, exactly
-as for any undecodable image.  The MQ coder ships with an ENCODER so
-generic-region round-trips are testable without external tools.
+Out of the subset (raise ValueError → size-only needs-ocr entries):
+Huffman-table variants, refinement/aggregate coding, halftone
+regions, intermediate regions.  The MQ coder and the IAx/IAID
+procedures ship with ENCODERS so dictionary/text/generic round-trips
+are testable without external tools.
 
 All errors raise ValueError; dimensions are budget-capped before
 allocation.  Bit order inside the arithmetic decoder follows T.88's
@@ -261,14 +268,14 @@ def _gb_context(bitmap: np.ndarray, x: int, y: int, w: int,
     )
 
 
-def decode_generic_region(data: bytes, w: int, h: int,
-                          tpgdon: bool = False,
-                          at: tuple = _AT_DEFAULT) -> np.ndarray:
-    """MQ-coded generic region, template 0 → bool array."""
+def _decode_generic_core(dec: "MQDecoder", cx: list, w: int, h: int,
+                         tpgdon: bool = False,
+                         at: tuple = _AT_DEFAULT) -> np.ndarray:
+    """Generic-region decoding procedure over an EXISTING decoder and
+    GB context set — symbol dictionaries decode every symbol bitmap
+    through one shared arithmetic state (T.88 6.5.8.1)."""
     if w <= 0 or h <= 0 or w * h > ARITH_MAX_PIXELS:
         raise ValueError("jbig2: region exceeds arithmetic budget")
-    dec = MQDecoder(data)
-    cx = [[0, 0] for _ in range(1 << 16)]
     out = np.zeros((h, w), dtype=np.uint8)
     ltp = 0
     for y in range(h):
@@ -285,15 +292,19 @@ def decode_generic_region(data: bytes, w: int, h: int,
     return out.astype(bool)
 
 
-def encode_generic_region(img: np.ndarray, tpgdon: bool = False,
-                          at: tuple = _AT_DEFAULT) -> bytes:
-    """MQ-coded generic region (template 0) — fixture encoder."""
-    a = np.ascontiguousarray(img, dtype=np.uint8)
-    if a.ndim != 2 or a.size == 0:
-        raise ValueError("jbig2: encoder needs a 2-D nonempty array")
-    h, w = a.shape
-    enc = MQEncoder()
+def decode_generic_region(data: bytes, w: int, h: int,
+                          tpgdon: bool = False,
+                          at: tuple = _AT_DEFAULT) -> np.ndarray:
+    """MQ-coded generic region, template 0 → bool array."""
+    dec = MQDecoder(data)
     cx = [[0, 0] for _ in range(1 << 16)]
+    return _decode_generic_core(dec, cx, w, h, tpgdon, at)
+
+
+def _encode_generic_core(enc: "MQEncoder", cx: list, a: np.ndarray,
+                         tpgdon: bool = False,
+                         at: tuple = _AT_DEFAULT) -> None:
+    h, w = a.shape
     ltp = 0
     for y in range(h):
         if tpgdon:
@@ -306,7 +317,311 @@ def encode_generic_region(img: np.ndarray, tpgdon: bool = False,
         for x in range(w):
             ctx = _gb_context(a, x, y, w, at)
             enc.encode(cx[ctx], int(a[y, x]))
+
+
+def encode_generic_region(img: np.ndarray, tpgdon: bool = False,
+                          at: tuple = _AT_DEFAULT) -> bytes:
+    """MQ-coded generic region (template 0) — fixture encoder."""
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim != 2 or a.size == 0:
+        raise ValueError("jbig2: encoder needs a 2-D nonempty array")
+    enc = MQEncoder()
+    cx = [[0, 0] for _ in range(1 << 16)]
+    _encode_generic_core(enc, cx, a, tpgdon, at)
     return enc.flush()
+
+
+# ------------------------------ integer arithmetic decoding (A.2/A.3)
+
+OOB = object()          # out-of-band sentinel (T.88 A.2 step 4)
+
+# (prefix-path, value-bit-count, offset) buckets of the IAx tree
+_IA_BUCKETS = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340),
+               (32, 4436))
+
+
+class _IntCtx:
+    """One IAx procedure's 512-entry context set."""
+
+    __slots__ = ("cx",)
+
+    def __init__(self):
+        self.cx = [[0, 0] for _ in range(512)]
+
+
+def _ia_decode(dec: MQDecoder, ic: _IntCtx):
+    """IAx integer decoding procedure (T.88 A.2) → int or OOB."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(ic.cx[prev])
+        prev = ((prev << 1) | b) if prev < 256 \
+            else ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    s = bit()
+    for i, (nbits, offset) in enumerate(_IA_BUCKETS):
+        if i < len(_IA_BUCKETS) - 1 and bit():
+            continue
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | bit()
+        v += offset
+        break
+    if s and v == 0:
+        return OOB
+    return -v if s else v
+
+
+def _ia_encode(enc: MQEncoder, ic: _IntCtx, value) -> None:
+    """IAx integer encoding — inverse of :func:`_ia_decode`."""
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        enc.encode(ic.cx[prev], b)
+        prev = ((prev << 1) | b) if prev < 256 \
+            else ((((prev << 1) | b) & 511) | 256)
+
+    if value is OOB:
+        s, v = 1, 0
+    else:
+        s = 1 if value < 0 else 0
+        v = -value if value < 0 else value
+    bit(s)
+    for i, (nbits, offset) in enumerate(_IA_BUCKETS):
+        last = i == len(_IA_BUCKETS) - 1
+        upper = offset + (1 << nbits)
+        if v < upper or last:
+            if not last:
+                bit(0)
+            rem = v - offset
+            if rem < 0 or rem >= (1 << nbits):
+                raise ValueError("jbig2: IA value out of range")
+            for k in range(nbits - 1, -1, -1):
+                bit((rem >> k) & 1)
+            return
+        bit(1)
+
+
+def _iaid_decode(dec: MQDecoder, cx: list, codelen: int) -> int:
+    """IAID decoding procedure (T.88 A.3)."""
+    prev = 1
+    for _ in range(codelen):
+        prev = (prev << 1) | dec.decode(cx[prev])
+    return prev - (1 << codelen)
+
+
+def _iaid_encode(enc: MQEncoder, cx: list, codelen: int,
+                 value: int) -> None:
+    prev = 1
+    for k in range(codelen - 1, -1, -1):
+        b = (value >> k) & 1
+        enc.encode(cx[prev], b)
+        prev = (prev << 1) | b
+
+
+def _ceil_log2(n: int) -> int:
+    return max(0, (n - 1).bit_length())
+
+
+# --------------------------------------- symbol dictionary (T.88 6.5)
+
+
+def _decode_symbol_dict(payload: bytes,
+                        input_syms: list[np.ndarray]) -> list:
+    """Arithmetic symbol dictionary (SDHUFF=0, SDREFAGG=0) → exported
+    symbol bitmaps."""
+    if len(payload) < 2:
+        raise ValueError("jbig2: truncated symbol dictionary")
+    flags = struct.unpack(">H", payload[:2])[0]
+    sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
+    template = (flags >> 10) & 3
+    if sdhuff:
+        raise ValueError("jbig2: huffman symbol dictionary")
+    if sdrefagg:
+        raise ValueError("jbig2: refinement/aggregate symbol coding")
+    if template != 0:
+        raise ValueError("jbig2: only GB template 0 supported")
+    pos = 2
+    at = tuple(
+        (struct.unpack("b", payload[pos + i:pos + i + 1])[0],
+         struct.unpack("b", payload[pos + i + 1:pos + i + 2])[0])
+        for i in range(0, 8, 2))
+    pos += 8
+    num_ex, num_new = struct.unpack(">II", payload[pos:pos + 8])
+    pos += 8
+    if num_new > 1 << 16 or num_ex > 1 << 16:
+        raise ValueError("jbig2: symbol count exceeds budget")
+
+    dec = MQDecoder(payload[pos:])
+    gb_cx = [[0, 0] for _ in range(1 << 16)]
+    iadh, iadw, iaex, iaai = (_IntCtx() for _ in range(4))
+    new_syms: list[np.ndarray] = []
+    hcheight = 0
+    guard = 0
+    while len(new_syms) < num_new:
+        guard += 1
+        if guard > num_new + 8:
+            raise ValueError("jbig2: runaway height classes")
+        dh = _ia_decode(dec, iadh)
+        if dh is OOB:
+            raise ValueError("jbig2: OOB height delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 1 << 14:
+            raise ValueError("jbig2: bad symbol height")
+        symwidth = 0
+        while True:
+            dw = _ia_decode(dec, iadw)
+            if dw is OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 1 << 14:
+                raise ValueError("jbig2: bad symbol width")
+            if len(new_syms) >= num_new:
+                raise ValueError("jbig2: too many symbols")
+            new_syms.append(_decode_generic_core(
+                dec, gb_cx, symwidth, hcheight, at=at))
+    # export flags: alternating IAEX run lengths over input ∪ new
+    allsyms = list(input_syms) + new_syms
+    exported: list[np.ndarray] = []
+    i = 0
+    cur = 0
+    while i < len(allsyms):
+        run = _ia_decode(dec, iaex)
+        if run is OOB or run < 0:
+            raise ValueError("jbig2: bad export run")
+        if cur:
+            exported.extend(allsyms[i:i + run])
+        i += run
+        cur ^= 1
+    if len(exported) != num_ex:
+        raise ValueError("jbig2: export count mismatch")
+    return exported
+
+
+# --------------------------------------------- text region (T.88 6.4)
+
+
+def _decode_text_region(payload: bytes, syms: list) -> tuple:
+    """Arithmetic text region (SBHUFF=0, SBREFINE=0) → (bitmap, x, y,
+    combop)."""
+    rw, rh, rx, ry, combop = _region_info(payload)
+    pos = 17
+    if len(payload) < pos + 2:
+        raise ValueError("jbig2: truncated text region")
+    flags = struct.unpack(">H", payload[pos:pos + 2])[0]
+    pos += 2
+    sbhuff = flags & 1
+    sbrefine = (flags >> 1) & 1
+    logstrips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    sbcombop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32                    # 5-bit two's complement
+    if sbhuff:
+        raise ValueError("jbig2: huffman text region")
+    if sbrefine:
+        raise ValueError("jbig2: refinement text region")
+    strips = 1 << logstrips
+    num_instances = struct.unpack(">I", payload[pos:pos + 4])[0]
+    pos += 4
+    if num_instances > 1 << 20:
+        raise ValueError("jbig2: instance count exceeds budget")
+    if not syms:
+        raise ValueError("jbig2: text region without symbols")
+    if rw <= 0 or rh <= 0 or rw * rh > ARITH_MAX_PIXELS:
+        raise ValueError("jbig2: region exceeds arithmetic budget")
+    codelen = _ceil_log2(len(syms))
+
+    dec = MQDecoder(payload[pos:])
+    iadt, iafs, iads, iait = (_IntCtx() for _ in range(4))
+    iaid_cx = [[0, 0] for _ in range(1 << (codelen + 1))]
+    out = np.full((rh, rw), bool(defpixel), dtype=bool)
+
+    dt0 = _ia_decode(dec, iadt)
+    if dt0 is OOB:
+        raise ValueError("jbig2: OOB strip T")
+    stript = -dt0 * strips
+    firsts = 0
+    ninst = 0
+    guard = 0
+    while ninst < num_instances:
+        guard += 1
+        if guard > num_instances + 8:
+            raise ValueError("jbig2: runaway strips")
+        dt = _ia_decode(dec, iadt)
+        if dt is OOB:
+            raise ValueError("jbig2: OOB strip delta")
+        stript += dt * strips
+        dfs = _ia_decode(dec, iafs)
+        if dfs is OOB:
+            raise ValueError("jbig2: OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while ninst < num_instances:
+            if not first:
+                ids = _ia_decode(dec, iads)
+                if ids is OOB:
+                    break                 # end of strip
+                curs += ids + dsoffset
+            first = False
+            curt = _ia_decode(dec, iait) if strips > 1 else 0
+            if curt is OOB:
+                raise ValueError("jbig2: OOB T offset")
+            ti = stript + curt
+            sid = _iaid_decode(dec, iaid_cx, codelen)
+            if sid >= len(syms):
+                raise ValueError("jbig2: symbol id out of range")
+            sym = syms[sid]
+            hi, wi = sym.shape
+            if not transposed:
+                if refcorner in (2, 3):   # BOTTOMRIGHT / TOPRIGHT
+                    curs += wi - 1
+                x0 = curs - (wi - 1) if refcorner in (2, 3) else curs
+                y0 = ti if refcorner in (1, 3) else ti - (hi - 1)
+                _draw(out, sym, x0, y0, sbcombop)
+                if refcorner in (0, 1):   # BOTTOMLEFT / TOPLEFT
+                    curs += wi - 1
+            else:
+                if refcorner in (0, 2):   # BOTTOM corners
+                    curs += hi - 1
+                y0 = curs - (hi - 1) if refcorner in (0, 2) else curs
+                x0 = ti if refcorner in (0, 1) else ti - (wi - 1)
+                _draw(out, sym, x0, y0, sbcombop)
+                if refcorner in (1, 3):   # TOP corners
+                    curs += hi - 1
+            ninst += 1
+    return out, rx, ry, combop
+
+
+def _draw(page: np.ndarray, sym: np.ndarray, x0: int, y0: int,
+          op: int) -> None:
+    """Compose a symbol bitmap at (x0, y0), clipped to the region."""
+    h, w = sym.shape
+    ph, pw = page.shape
+    sx0, sy0 = max(0, -x0), max(0, -y0)
+    x1, y1 = min(pw, x0 + w), min(ph, y0 + h)
+    if x1 <= max(0, x0) or y1 <= max(0, y0):
+        return
+    tgt = page[max(0, y0):y1, max(0, x0):x1]
+    src = sym[sy0:sy0 + tgt.shape[0], sx0:sx0 + tgt.shape[1]]
+    if op == 0:
+        tgt |= src
+    elif op == 1:
+        tgt &= src
+    elif op == 2:
+        tgt ^= src
+    elif op == 3:
+        tgt[...] = ~(tgt ^ src)
+    else:
+        tgt[...] = src
 
 
 # ------------------------------------------------------ segment layer
@@ -320,9 +635,9 @@ def _region_info(data: bytes) -> tuple[int, int, int, int, int]:
 
 
 def _parse_segment_headers(data: bytes):
-    """Yield (seg_type, page, payload) for each segment in an
-    embedded (PDF) JBIG2 stream — sequential organization, no file
-    header (T.88 Annex D / PDF §7.4.7)."""
+    """Yield (seg_num, seg_type, referred, payload) for each segment
+    in an embedded (PDF) JBIG2 stream — sequential organization, no
+    file header (T.88 Annex D / PDF §7.4.7)."""
     pos = 0
     n = len(data)
     count = 0
@@ -340,12 +655,20 @@ def _parse_segment_headers(data: bytes):
         if ref_count == 7:
             ref_count = struct.unpack(
                 ">I", data[pos:pos + 4])[0] & 0x1FFFFFFF
+            if ref_count > 1 << 16:
+                raise ValueError("jbig2: too many referred segments")
             pos += 4 + (ref_count + 8) // 8   # long form + retain bits
         else:
             pos += 1
         ref_size = 1 if seg_num <= 256 else (
             2 if seg_num <= 65536 else 4)
-        pos += ref_count * ref_size
+        referred = []
+        for _ in range(ref_count):
+            chunk = data[pos:pos + ref_size]
+            if len(chunk) < ref_size:
+                raise ValueError("jbig2: truncated referred list")
+            referred.append(int.from_bytes(chunk, "big"))
+            pos += ref_size
         if page_assoc_4:
             page = struct.unpack(">I", data[pos:pos + 4])[0]
             pos += 4
@@ -360,16 +683,16 @@ def _parse_segment_headers(data: bytes):
             raise ValueError("jbig2: unknown-length segment")
         if pos + length > n:
             raise ValueError("jbig2: truncated segment payload")
-        yield seg_type, page, data[pos:pos + length]
+        yield seg_num, seg_type, referred, data[pos:pos + length]
         pos += length
 
 
 _UNSUPPORTED = {
-    0: "symbol dictionary", 4: "text region", 6: "text region",
-    7: "text region", 16: "pattern dictionary", 20: "halftone region",
-    22: "halftone region", 23: "halftone region",
-    36: "intermediate generic region", 40: "refinement region",
-    42: "refinement region", 43: "refinement region",
+    4: "intermediate text region", 16: "pattern dictionary",
+    20: "halftone region", 22: "halftone region",
+    23: "halftone region", 36: "intermediate generic region",
+    40: "refinement region", 42: "refinement region",
+    43: "refinement region",
 }
 
 
@@ -395,13 +718,35 @@ def _decode_embedded(data: bytes,
     page_w = page_h = None
     page = None
     default_pixel = 0
+    sym_store: dict[int, list] = {}
     streams = ([globals_data] if globals_data else []) + [data]
     for blob in streams:
-        for seg_type, _pg, payload in _parse_segment_headers(blob):
+        for seg_num, seg_type, referred, payload \
+                in _parse_segment_headers(blob):
             if seg_type in _UNSUPPORTED:
                 raise ValueError(
                     f"jbig2: unsupported segment "
                     f"({_UNSUPPORTED[seg_type]})")
+            if seg_type == 0:             # symbol dictionary
+                input_syms: list = []
+                for r in referred:
+                    input_syms.extend(sym_store.get(r, []))
+                sym_store[seg_num] = _decode_symbol_dict(
+                    payload, input_syms)
+                continue
+            if seg_type in (6, 7):        # immediate text region
+                if page is None:
+                    raise ValueError("jbig2: region before page info")
+                syms: list = []
+                for r in referred:
+                    syms.extend(sym_store.get(r, []))
+                bitmap, rx, ry, combop = _decode_text_region(
+                    payload, syms)
+                rh, rw = bitmap.shape
+                if rx + rw > page.shape[1] or ry + rh > page.shape[0]:
+                    raise ValueError("jbig2: region outside page")
+                _draw(page, bitmap, rx, ry, combop)
+                continue
             if seg_type == 48:            # page information
                 if len(payload) < 19:
                     raise ValueError("jbig2: truncated page info")
@@ -470,18 +815,104 @@ def _decode_embedded(data: bytes,
 # ------------------------------------------------- fixture stream gen
 
 
+def encode_symbol_dict(symbols: list[np.ndarray]) -> bytes:
+    """Arithmetic symbol-dictionary payload exporting ``symbols``
+    (fixture encoder; symbols MUST be sorted by ascending height —
+    the height-class delta coding requires it)."""
+    heights = [s.shape[0] for s in symbols]
+    if heights != sorted(heights):
+        raise ValueError("jbig2: symbols must be height-sorted")
+    flags = 0                              # SDHUFF=0 SDREFAGG=0 T0
+    out = struct.pack(">H", flags)
+    out += b"".join(struct.pack("bb", dx, dy) for dx, dy in _AT_DEFAULT)
+    out += struct.pack(">II", len(symbols), len(symbols))
+    enc = MQEncoder()
+    gb_cx = [[0, 0] for _ in range(1 << 16)]
+    iadh, iadw, iaex, iaai = (_IntCtx() for _ in range(4))
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        j = i
+        while j < len(symbols) and symbols[j].shape[0] \
+                == symbols[i].shape[0]:
+            j += 1
+        _ia_encode(enc, iadh, symbols[i].shape[0] - hcheight)
+        hcheight = symbols[i].shape[0]
+        symwidth = 0
+        for k in range(i, j):
+            _ia_encode(enc, iadw, symbols[k].shape[1] - symwidth)
+            symwidth = symbols[k].shape[1]
+            _encode_generic_core(
+                enc, gb_cx, np.ascontiguousarray(
+                    symbols[k], dtype=np.uint8))
+        _ia_encode(enc, iadw, OOB)
+        i = j
+    # export all symbols: run of 0 unexported, then run of N exported
+    _ia_encode(enc, iaex, 0)
+    _ia_encode(enc, iaex, len(symbols))
+    return out + enc.flush()
+
+
+def encode_text_region(w: int, h: int, sym_widths: list[int],
+                       instances: list[tuple[int, int, int]]) -> bytes:
+    """Arithmetic text-region payload placing symbol ids at top-left
+    (x, y) positions (fixture encoder: SBSTRIPS=1, REFCORNER=TOPLEFT,
+    OR composition).  ``instances`` = [(x, y, sym_id)], any order;
+    ``sym_widths`` are the dictionary symbols' widths in id order
+    (needed because the decoder advances CURS by width-1 per draw)."""
+    flags = (1 << 4)                       # REFCORNER=TOPLEFT
+    out = struct.pack(">IIII", w, h, 0, 0) + b"\x00"
+    out += struct.pack(">H", flags)
+    out += struct.pack(">I", len(instances))
+    codelen = _ceil_log2(len(sym_widths))
+    enc = MQEncoder()
+    iadt, iafs, iads, iait = (_IntCtx() for _ in range(4))
+    iaid_cx = [[0, 0] for _ in range(1 << (codelen + 1))]
+    rows: dict[int, list[tuple[int, int]]] = {}
+    for x, y, sid in instances:
+        rows.setdefault(y, []).append((x, sid))
+    stript = 0
+    _ia_encode(enc, iadt, 0)               # initial STRIPT = 0
+    firsts = 0
+    for y in sorted(rows):
+        _ia_encode(enc, iadt, y - stript)
+        stript = y
+        insts = sorted(rows[y])
+        curs = 0
+        for k, (x, sid) in enumerate(insts):
+            if k == 0:
+                _ia_encode(enc, iafs, x - firsts)
+                firsts = x
+            else:
+                _ia_encode(enc, iads, x - curs)
+            _iaid_encode(enc, iaid_cx, codelen, sid)
+            # decoder post-advances CURS by width-1 after a TOPLEFT
+            # draw; mirror it so the next delta lines up
+            curs = x + sym_widths[sid] - 1
+        _ia_encode(enc, iads, OOB)
+    return out + enc.flush()
+
+
+def _segment(num: int, styp: int, payload: bytes,
+             refs: tuple = ()) -> bytes:
+    """One segment with short-form referred-to list (1-byte numbers —
+    valid while segment numbers stay <= 256)."""
+    if len(refs) > 4:
+        raise ValueError("jbig2: fixture refs limited to short form")
+    head = struct.pack(">IB", num, styp)
+    head += bytes([len(refs) << 5])
+    head += bytes(refs)
+    head += b"\x01"                              # page 1
+    return head + struct.pack(">I", len(payload)) + payload
+
+
 def build_embedded(img: np.ndarray, mmr: bool = False,
                    tpgdon: bool = False) -> bytes:
     """Minimal embedded JBIG2 stream: page info + one immediate
     lossless generic region covering the page."""
     a = np.ascontiguousarray(img, dtype=bool)
     h, w = a.shape
-
-    def segment(num: int, styp: int, payload: bytes) -> bytes:
-        return (struct.pack(">IB", num, styp)    # page-assoc 1 byte
-                + b"\x00"                        # 0 referred segments
-                + b"\x01"                        # page 1
-                + struct.pack(">I", len(payload)) + payload)
+    segment = _segment
 
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00\x00\x00"
     out = segment(0, 48, page_info)
@@ -498,4 +929,19 @@ def build_embedded(img: np.ndarray, mmr: bool = False,
     region = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + body
     out += segment(1, 39, region)
     out += segment(2, 49, b"")            # end of page
+    return out
+
+
+def build_embedded_text(w: int, h: int, symbols: list[np.ndarray],
+                        instances: list[tuple[int, int, int]]) -> bytes:
+    """Embedded JBIG2 stream using SYMBOL coding (the jbig2enc
+    shape): page info + arithmetic symbol dictionary + immediate
+    text region referring to it."""
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00\x00\x00"
+    out = _segment(0, 48, page_info)
+    out += _segment(1, 0, encode_symbol_dict(symbols))
+    widths = [sym.shape[1] for sym in symbols]
+    out += _segment(2, 6, encode_text_region(w, h, widths, instances),
+                    refs=(1,))
+    out += _segment(3, 49, b"")
     return out

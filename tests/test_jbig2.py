@@ -1,10 +1,12 @@
-"""JBIG2 generic-region subset (kernel/jbig2.py).
+"""JBIG2 decoder (kernel/jbig2.py).
 
 The reference routes scanned PDFs through poppler + OCR escalation
 (internal/extractor/poppler.go:112-121); this engine decodes the
-JBIG2 payloads itself (MQ arithmetic coder per T.88 Annex E, generic
-region template 0 with TPGDON, MMR regions via kernel/ccitt.py) so
-the pixel-driven blank-page pruning covers both scanned-PDF codecs.
+JBIG2 payloads itself — MQ arithmetic coder per T.88 Annex E,
+generic regions (template 0, TPGDON, MMR via kernel/ccitt.py), and
+the symbol-coding path real encoders emit (arithmetic symbol
+dictionaries + text regions) — so the pixel-driven blank-page
+pruning covers both scanned-PDF codecs in their production shapes.
 """
 
 import numpy as np
@@ -62,13 +64,19 @@ def test_embedded_stream_round_trip(kwargs):
 
 
 def test_unsupported_segments_raise():
-    # type 0 = symbol dictionary (the jbig2enc path)
-    blob = (b"\x00\x00\x00\x00"      # segment number
-            b"\x00"                  # flags: type 0
-            b"\x00"                  # no referred segments
-            b"\x01"                  # page 1
-            b"\x00\x00\x00\x04" b"abcd")
-    with pytest.raises(ValueError, match="symbol dictionary"):
+    import struct
+
+    # huffman-coded symbol dictionary (flags bit 0) is out of subset
+    blob = jbig2._segment(0, 0, struct.pack(">H", 1) + b"\x00" * 16)
+    with pytest.raises(ValueError, match="huffman"):
+        jbig2.decode_embedded(blob)
+    # halftone region
+    blob = jbig2._segment(0, 20, b"\x00" * 20)
+    with pytest.raises(ValueError, match="halftone"):
+        jbig2.decode_embedded(blob)
+    # garbage symbol dictionary payload fails as a ValueError too
+    blob = jbig2._segment(0, 0, b"abcd")
+    with pytest.raises(ValueError):
         jbig2.decode_embedded(blob)
     with pytest.raises(ValueError):
         jbig2.decode_embedded(b"")        # no page info
@@ -83,8 +91,11 @@ def test_unsupported_segments_raise():
 def test_mutation_fuzz_valueerror_only():
     rng = np.random.default_rng(17)
     img = rng.random((10, 30)) < 0.4
+    g = np.ones((2, 2), dtype=bool)
     bases = [bytearray(jbig2.build_embedded(img, mmr=m))
              for m in (False, True)]
+    bases.append(bytearray(jbig2.build_embedded_text(
+        10, 6, [g], [(0, 0, 0), (4, 2, 0)])))
     for trial in range(300):
         for base in bases:
             data = bytearray(base)
@@ -142,3 +153,97 @@ def test_pdf_jbig2_xobject_and_blank_pruning():
     assert st["n_images"] == 1 and st["n_decoded"] == 0
     assert pdfk.extract_pdf(pdf, "application/pdf",
                             doc=doc).pages[0].method == "needs-ocr"
+
+
+def test_ia_integer_procedures_round_trip():
+    """IAx buckets (2/4/6/8/12/32-bit) + OOB + sign, interleaved
+    across procedures on one MQ stream."""
+    from pdf_to_text_extraction_service_spark.kernel.jbig2 import (
+        OOB,
+        MQDecoder,
+        MQEncoder,
+        _IntCtx,
+        _ia_decode,
+        _ia_encode,
+    )
+
+    values = [0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+              100000, -1, -5, -340, OOB, 2, OOB, -4436]
+    enc = MQEncoder()
+    ca, cb = _IntCtx(), _IntCtx()
+    for i, v in enumerate(values):
+        _ia_encode(enc, ca if i % 2 else cb, v)
+    dec = MQDecoder(enc.flush())
+    ca2, cb2 = _IntCtx(), _IntCtx()
+    for i, v in enumerate(values):
+        got = _ia_decode(dec, ca2 if i % 2 else cb2)
+        assert got is v if v is OOB else got == v, (i, v, got)
+
+
+def test_symbol_dictionary_round_trip():
+    rng = np.random.default_rng(23)
+    syms = []
+    for h in (2, 2, 3, 5):
+        w = int(rng.integers(1, 7))
+        syms.append(rng.random((h, w)) < 0.5)
+    sd = jbig2.encode_symbol_dict(syms)
+    out = jbig2._decode_symbol_dict(sd, [])
+    assert len(out) == len(syms)
+    for a, b in zip(out, syms):
+        assert np.array_equal(a, b)
+    with pytest.raises(ValueError, match="height-sorted"):
+        jbig2.encode_symbol_dict(list(reversed(syms)))
+
+
+def test_symbol_text_page_round_trip():
+    """Full jbig2enc-shaped stream: dictionary + text region with
+    repeated glyph placements, multiple rows, overlap clipping."""
+    g_o = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]], dtype=bool)
+    g_l = np.array([[1, 0], [1, 0], [1, 1]], dtype=bool)
+    g_dot = np.array([[1]], dtype=bool)
+    syms = [g_dot, g_l, g_o]              # height-sorted 1, 3, 3
+    inst = [(0, 0, 2), (4, 0, 1), (7, 0, 2), (11, 0, 0),
+            (1, 5, 1), (5, 5, 2), (9, 5, 0), (12, 5, 2),
+            (0, 9, 0), (2, 9, 0), (4, 9, 0)]
+    w, h = 16, 13
+    blob = jbig2.build_embedded_text(w, h, syms, inst)
+    page = jbig2.decode_embedded(blob)
+    want = np.zeros((h, w), bool)
+    for x, y, sid in inst:
+        g = syms[sid]
+        want[y:y + g.shape[0], x:x + g.shape[1]] |= g
+    assert np.array_equal(page, want)
+
+
+def test_symbol_dict_in_globals_stream():
+    """A dictionary carried in /JBIG2Globals feeds a text region in
+    the page stream via referred-to segment numbers."""
+    import struct
+
+    g = np.array([[1, 1], [1, 1]], dtype=bool)
+    syms = [g]
+    glob = jbig2._segment(1, 0, jbig2.encode_symbol_dict(syms))
+    w, h = 6, 4
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00\x00\x00"
+    data = jbig2._segment(0, 48, page_info)
+    data += jbig2._segment(
+        2, 6, jbig2.encode_text_region(w, h, [2], [(1, 1, 0)]),
+        refs=(1,))
+    page = jbig2.decode_embedded(data, globals_data=glob)
+    want = np.zeros((h, w), bool)
+    want[1:3, 1:3] = True
+    assert np.array_equal(page, want)
+
+
+def test_pdf_jbig2_symbol_coded_xobject():
+    from pdf_to_text_extraction_service_spark.kernel import pdfk
+    from pdf_to_text_extraction_service_spark.sources import pdfgen
+
+    g = np.ones((2, 3), dtype=bool)
+    blob = jbig2.build_embedded_text(12, 6, [g], [(0, 0, 0), (6, 3, 0)])
+    pdf = pdfgen.build_pdf_jpeg_pages([
+        ([], [(b"/Width 12 /Height 6 /BitsPerComponent 1 "
+               b"/ColorSpace /DeviceGray /Filter /JBIG2Decode",
+               blob)])])
+    st = pdfk.PDFDoc(pdf).page_image_stats(1)
+    assert st["n_decoded"] == 1 and st["ink_samples"] == 12
