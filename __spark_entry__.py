@@ -1618,6 +1618,19 @@ def _q_image_codec_breadth(spark: SparkSession,
                 return vp8l.encode_webp_lossless(img)
             return imgcodec.encode_webp_header(
                 100 + i % 50, 80 + i % 40, variant)
+        if i % 2:
+            # r6: JPEG 2000 header walk (JP2 box container) —
+            # dims-only like AVIF, same closed-form dims
+            w2, h2 = 320 + i % 100, 200 + i % 80
+            ihdr_body = (h2.to_bytes(4, "big") + w2.to_bytes(4, "big")
+                         + (3).to_bytes(2, "big") + bytes([7, 7, 0, 0]))
+            ihdr = ((8 + len(ihdr_body)).to_bytes(4, "big") + b"ihdr"
+                    + ihdr_body)
+            jp2h = (8 + len(ihdr)).to_bytes(4, "big") + b"jp2h" + ihdr
+            ftyp = ((20).to_bytes(4, "big") + b"ftypjp2 "
+                    + b"\x00" * 4 + b"jp2 ")
+            return (b"\x00\x00\x00\x0cjP  \r\n\x87\n" + ftyp
+                    + jp2h)
         return mp4box.encode_avif_header(320 + i % 100, 200 + i % 80)
 
     media = spark.createDataFrame(
@@ -3277,6 +3290,7 @@ def oracle_sql() -> dict[str, str]:
                           (CASE media_id % 3 WHEN 0 THEN 'vp8'
                                WHEN 1 THEN 'vp8l' ELSE 'vp8x' END)
                         WHEN kind = 5 THEN 'tiff'
+                        WHEN media_id % 2 = 1 THEN 'jp2'
                         ELSE 'avif' END AS codec,
                    CASE WHEN bad THEN NULL
                         WHEN is_svg THEN svgw

@@ -93,6 +93,9 @@ def sniff_media(p: bytes) -> str | None:
         return "asf"
     if p.startswith(b"FLV"):
         return "flv"
+    if p[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" \
+            or p[:4] == b"\xff\x4f\xff\x51":
+        return "jp2"
     if p[4:8] == b"ftyp":
         return "avif" if p[8:12] in (b"avif", b"avis") else "mp4"
     if b"<svg" in p[:256].lower():
@@ -771,6 +774,9 @@ def image_breadth_features(df: DataFrame, id_col: str = "media_id",
                     elif fam == "avif":
                         brand, w, h = mp4box.parse_avif_dims(payload)
                         codec = "avif"
+                    elif fam == "jp2":
+                        codec, w, h, _nc, _d = \
+                            mp4box.parse_jp2_dims(payload)
                     elif fam == "svg":
                         w, h = imgcodec.svg_dims(payload)
                         codec = "svg"
@@ -985,6 +991,10 @@ def media_features(df: DataFrame, id_col: str = "media_id",
             elif fam == "avif":
                 _b, w, h = mp4box.parse_avif_dims(p)
                 row.update(kind="image", format="avif",
+                           width=w, height=h)
+            elif fam == "jp2":
+                fmt, w, h, _nc, _d = mp4box.parse_jp2_dims(p)
+                row.update(kind="image", format=fmt,
                            width=w, height=h)
             elif fam == "mp4":
                 st = mp4box.parse_mp4(p)

@@ -241,3 +241,70 @@ def encode_avif_header(w: int, h: int, brand: str = "avif") -> bytes:
     ftyp = _box(b"ftyp",
                 brand.encode("latin-1").ljust(4) + b"\x00" * 8)
     return ftyp + meta
+
+
+def parse_jp2_dims(data: bytes) -> tuple[str, int, int, int, int]:
+    """JPEG 2000 header walk → (container, width, height, components,
+    bit_depth).  Accepts the JP2/JPX box container (signature box +
+    'jp2h'/'ihdr', ISO 15444-1 §I.5) and raw codestreams (SOC + SIZ
+    marker, §A.5.1).  Pixel decode (wavelets/EBCOT) is out of scope —
+    this upgrades the size-only entries PDF JPXDecode images produce.
+    Raises ValueError on anything that is not JPEG 2000."""
+    if data[:4] == b"\xff\x4f\xff\x51":          # SOC + SIZ
+        if len(data) < 42:
+            raise ValueError("jp2: truncated SIZ")
+        xsiz = int.from_bytes(data[8:12], "big")
+        ysiz = int.from_bytes(data[12:16], "big")
+        x0 = int.from_bytes(data[16:20], "big")
+        y0 = int.from_bytes(data[20:24], "big")
+        csiz = int.from_bytes(data[40:42], "big")
+        if len(data) < 42 + 3 * csiz or csiz == 0:
+            raise ValueError("jp2: truncated SIZ components")
+        depth = (data[42] & 0x7F) + 1
+        w, h = xsiz - x0, ysiz - y0
+        if w <= 0 or h <= 0:
+            raise ValueError("jp2: bad SIZ grid")
+        return "j2k", w, h, csiz, depth
+    if data[:12] != b"\x00\x00\x00\x0cjP  \r\n\x87\n":
+        raise ValueError("jp2: bad signature box")
+    pos = 12
+    n = len(data)
+    guard = 0
+    while pos + 8 <= n:
+        guard += 1
+        if guard > 1 << 12:
+            raise ValueError("jp2: box walk runaway")
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        box = data[pos + 4:pos + 8]
+        body_off = pos + 8
+        if size == 1:
+            if pos + 16 > n:
+                raise ValueError("jp2: truncated extended box")
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            body_off = pos + 16
+        if size == 0:
+            size = n - pos
+        if size < 8 or pos + size > n:
+            raise ValueError("jp2: bad box size")
+        if box == b"jp2h":
+            # superbox: scan its children for ihdr
+            cpos = body_off
+            while cpos + 8 <= pos + size:
+                csize = int.from_bytes(data[cpos:cpos + 4], "big")
+                cbox = data[cpos + 4:cpos + 8]
+                if csize < 8 or cpos + csize > pos + size:
+                    raise ValueError("jp2: bad jp2h child")
+                if cbox == b"ihdr":
+                    if csize < 8 + 10:
+                        raise ValueError("jp2: truncated ihdr")
+                    h = int.from_bytes(data[cpos + 8:cpos + 12], "big")
+                    w = int.from_bytes(data[cpos + 12:cpos + 16], "big")
+                    nc = int.from_bytes(data[cpos + 16:cpos + 18], "big")
+                    depth = (data[cpos + 18] & 0x7F) + 1
+                    if w == 0 or h == 0 or nc == 0:
+                        raise ValueError("jp2: bad ihdr")
+                    return "jp2", w, h, nc, depth
+                cpos += csize
+            raise ValueError("jp2: jp2h without ihdr")
+        pos += size
+    raise ValueError("jp2: no jp2h box")

@@ -841,7 +841,13 @@ def _decode_image_payload(kind: str, head: bytes, raw: bytes,
             arr = np.where(bits, 0, 255).astype("uint8")
             return _stats_from_array(kind, arr)
         if name == "JPXDecode":
-            raise PDFError(f"image: unsupported codec /{name}")
+            # wavelet decode is out of scope, but the JP2/J2K header
+            # gives truthful dimensions for the size-only entry
+            # (the /Width//Height dict keys can lie)
+            from . import mp4box
+
+            _c, jw, jh, _nc, _d = mp4box.parse_jp2_dims(raw)
+            return ImageStats(kind, jw, jh)
         raw = _apply_filter(name, raw)
     # no image codec: raw samples (8-bit gray or RGB only)
     bpc = _img_int(head, b"BitsPerComponent", b"BPC")

@@ -166,6 +166,9 @@ def _sniff_breadth(head: bytes) -> str | None:
         return "application/wasm"
     if head.startswith(b"PAR1"):
         return "application/vnd.apache.parquet"
+    if head.startswith(b"\x00\x00\x00\x0cjP  \r\n\x87\n") \
+            or head.startswith(b"\xff\x4f\xff\x51"):
+        return "image/jp2"
     stripped = head.lstrip(b" \t\n\r")
     if stripped.startswith(b"<?xml"):
         if b"<svg" in head:

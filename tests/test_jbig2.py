@@ -247,3 +247,25 @@ def test_pdf_jbig2_symbol_coded_xobject():
                blob)])])
     st = pdfk.PDFDoc(pdf).page_image_stats(1)
     assert st["n_decoded"] == 1 and st["ink_samples"] == 12
+
+
+def test_pdf_jpx_header_dims():
+    """JPXDecode stays undecoded but the size-only entry now carries
+    the TRUTHFUL JP2/J2K header dimensions, not the dict's claims."""
+    from pdf_to_text_extraction_service_spark.kernel import pdfk
+    from pdf_to_text_extraction_service_spark.sources import pdfgen
+
+    w2, h2 = 64, 48
+    ihdr_body = (h2.to_bytes(4, "big") + w2.to_bytes(4, "big")
+                 + (1).to_bytes(2, "big") + bytes([7, 7, 0, 0]))
+    ihdr = (8 + len(ihdr_body)).to_bytes(4, "big") + b"ihdr" + ihdr_body
+    jp2h = (8 + len(ihdr)).to_bytes(4, "big") + b"jp2h" + ihdr
+    payload = b"\x00\x00\x00\x0cjP  \r\n\x87\n" + jp2h
+    # dict LIES about the dimensions; the header wins
+    pdf = pdfgen.build_pdf_jpeg_pages([
+        ([], [(b"/Width 500 /Height 500 /BitsPerComponent 8 "
+               b"/ColorSpace /DeviceGray /Filter /JPXDecode",
+               payload)])])
+    st = pdfk.PDFDoc(pdf).page_image_stats(1)
+    assert st["n_images"] == 1 and st["n_decoded"] == 0
+    assert st["pixels"] == w2 * h2
