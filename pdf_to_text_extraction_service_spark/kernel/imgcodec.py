@@ -1744,12 +1744,18 @@ def _decode_tiff(data: bytes) -> np.ndarray:
             if comp == 4:
                 bits_arr = ccitt.decode_g4(strip, w, rows)
             elif comp == 3:
+                # T4Options bit 2 (fill bits so each EOL ends on a
+                # byte boundary) needs NO special handling: the
+                # EOL-skip logic consumes fill zeros; mapping it to
+                # per-line alignment would mis-seek into the EOL
                 t4opts = one(292, 0)
                 bits_arr = ccitt.decode_g3(
-                    strip, w, rows, two_dim=bool(t4opts & 1),
-                    byte_align=bool(t4opts & 4))
+                    strip, w, rows, two_dim=bool(t4opts & 1))
             else:                        # 2 = Modified Huffman
-                bits_arr = ccitt.decode_g3(strip, w, rows)
+                # TIFF 6.0 §10: each MH-coded row begins on a byte
+                # boundary
+                bits_arr = ccitt.decode_g3(strip, w, rows,
+                                           byte_align=True)
             sample = bits_arr if photo == 0 else ~bits_arr
             out += (sample.astype(np.uint8) * 255).tobytes()
             continue
@@ -1800,8 +1806,12 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False,
             from . import ccitt
 
             band = arr[r0:r0 + rps]
-            raw = ccitt.encode_g4(band) if fax == 4 \
-                else ccitt.encode_g3_1d(band, with_eol=(fax == 3))
+            if fax == 4:
+                raw = ccitt.encode_g4(band)
+            elif fax == 3:
+                raw = ccitt.encode_g3_1d(band, with_eol=True)
+            else:            # 2 = MH: rows byte-aligned (TIFF §10)
+                raw = ccitt.encode_g3_1d(band, byte_align=True)
             strips.append(raw)
             continue
         raw = arr[r0:r0 + rps].tobytes()

@@ -270,12 +270,23 @@ def _gb_context(bitmap: np.ndarray, x: int, y: int, w: int,
 
 def _decode_generic_core(dec: "MQDecoder", cx: list, w: int, h: int,
                          tpgdon: bool = False,
-                         at: tuple = _AT_DEFAULT) -> np.ndarray:
+                         at: tuple = _AT_DEFAULT,
+                         budget: list | None = None) -> np.ndarray:
     """Generic-region decoding procedure over an EXISTING decoder and
     GB context set — symbol dictionaries decode every symbol bitmap
-    through one shared arithmetic state (T.88 6.5.8.1)."""
+    through one shared arithmetic state (T.88 6.5.8.1).
+
+    ``budget`` is a single-element mutable pixel pool shared across
+    ALL arithmetic decodes of one embedded stream: per-bitmap caps
+    alone do not stop a bomb that decodes thousands of cheap all-white
+    bitmaps (MQ-coded uniform regions cost ~0 stream bits each)."""
     if w <= 0 or h <= 0 or w * h > ARITH_MAX_PIXELS:
         raise ValueError("jbig2: region exceeds arithmetic budget")
+    if budget is not None:
+        budget[0] -= w * h
+        if budget[0] < 0:
+            raise ValueError(
+                "jbig2: stream exceeds aggregate arithmetic budget")
     out = np.zeros((h, w), dtype=np.uint8)
     ltp = 0
     for y in range(h):
@@ -430,7 +441,8 @@ def _ceil_log2(n: int) -> int:
 
 
 def _decode_symbol_dict(payload: bytes,
-                        input_syms: list[np.ndarray]) -> list:
+                        input_syms: list[np.ndarray],
+                        budget: list | None = None) -> list:
     """Arithmetic symbol dictionary (SDHUFF=0, SDREFAGG=0) → exported
     symbol bitmaps."""
     if len(payload) < 2:
@@ -483,13 +495,20 @@ def _decode_symbol_dict(payload: bytes,
             if len(new_syms) >= num_new:
                 raise ValueError("jbig2: too many symbols")
             new_syms.append(_decode_generic_core(
-                dec, gb_cx, symwidth, hcheight, at=at))
+                dec, gb_cx, symwidth, hcheight, at=at,
+                budget=budget))
     # export flags: alternating IAEX run lengths over input ∪ new
     allsyms = list(input_syms) + new_syms
     exported: list[np.ndarray] = []
     i = 0
     cur = 0
+    guard = 0
     while i < len(allsyms):
+        guard += 1
+        if guard > 2 * len(allsyms) + 8:
+            # zero-length runs are legal but a crafted stream of
+            # them must not spin forever
+            raise ValueError("jbig2: runaway export runs")
         run = _ia_decode(dec, iaex)
         if run is OOB or run < 0:
             raise ValueError("jbig2: bad export run")
@@ -699,10 +718,12 @@ _UNSUPPORTED = {
 def decode_embedded(data: bytes,
                     globals_data: bytes | None = None) -> np.ndarray:
     """PDF-embedded JBIG2 stream (+ optional /JBIG2Globals) → bool
-    page bitmap (True = black).  Generic-region subset; any
-    symbol/text/halftone/refinement segment raises ValueError.
-    ValueError-only contract (untrusted bytes): every structural
-    failure surfaces as ValueError."""
+    page bitmap (True = black).  Decodes generic regions (MMR and MQ
+    arithmetic) AND the symbol-coding shape (arithmetic symbol
+    dictionaries + immediate text regions); Huffman variants,
+    refinement/aggregate coding, halftone and intermediate regions
+    raise ValueError.  ValueError-only contract (untrusted bytes):
+    every structural failure surfaces as ValueError."""
     try:
         return _decode_embedded(data, globals_data)
     except ValueError:
@@ -719,6 +740,7 @@ def _decode_embedded(data: bytes,
     page = None
     default_pixel = 0
     sym_store: dict[int, list] = {}
+    arith_budget = [ARITH_MAX_PIXELS]     # shared across the stream
     streams = ([globals_data] if globals_data else []) + [data]
     for blob in streams:
         for seg_num, seg_type, referred, payload \
@@ -732,7 +754,7 @@ def _decode_embedded(data: bytes,
                 for r in referred:
                     input_syms.extend(sym_store.get(r, []))
                 sym_store[seg_num] = _decode_symbol_dict(
-                    payload, input_syms)
+                    payload, input_syms, budget=arith_budget)
                 continue
             if seg_type in (6, 7):        # immediate text region
                 if page is None:

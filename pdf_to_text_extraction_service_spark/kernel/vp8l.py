@@ -656,9 +656,12 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> None:
         bw.write(cl_lengths[sym], 3)
     cl_codes = _canonical_codes(cl_lengths)
     bw.write(0, 1)                       # no length limit
-    for ln in lengths:
-        c, n = cl_codes[ln]
-        bw.write_code(c, n)
+    # a single-symbol code-length code decodes with ZERO bits per
+    # symbol (the decoder's single path) — emit nothing
+    if len(cl_codes) > 1:
+        for ln in lengths:
+            c, n = cl_codes[ln]
+            bw.write_code(c, n)
 
 
 def encode_vp8l(rgba: np.ndarray, subtract_green: bool = False,
