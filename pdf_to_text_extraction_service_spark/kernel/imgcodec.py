@@ -1638,6 +1638,64 @@ def encode_webp_header(w: int, h: int, variant: str = "vp8") -> bytes:
 # (photometric 2), uncompressed or PackBits, any strip layout.
 
 
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF/PDF LZW encoder (MSB-first, 9-12 bit codes, early width
+    change) — fixture-side counterpart of pdfk._lzw_decode.  The code
+    width follows the DECODER's table-growth schedule: the decoder
+    adds no entry for the first code after a clear, so its table lags
+    the encoder's next_code by one."""
+    out_bits = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out_bits.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258, 9, 258, True
+
+    table, next_code, width, dsize, first = fresh()
+    emit(256, width)                      # leading ClearCode
+
+    def after_data_emit():
+        # mirror the decoder: append (except on the first code after
+        # a clear), then early-change width bump
+        nonlocal dsize, first, width
+        if first:
+            first = False
+            return
+        dsize += 1
+        if dsize >= (1 << width) and width < 12:
+            width += 1
+
+    seq = b""
+    for byte in data:
+        cand = seq + bytes([byte])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        after_data_emit()
+        table[cand] = next_code
+        next_code += 1
+        if next_code >= 4094:             # table nearly full: clear
+            emit(256, width)
+            table, next_code, width, dsize, first = fresh()
+        seq = bytes([byte])
+    if seq:
+        emit(table[seq], width)
+        after_data_emit()
+    emit(257, width)                      # EOI
+    if nbits:
+        out_bits.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out_bits)
+
+
 def _tiff_packbits(data: bytes, expect: int) -> bytes:
     out = bytearray()
     i = 0
@@ -1716,11 +1774,15 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     if fax:
         if spp != 1 or bits != [1] or photo not in (0, 1):
             raise ValueError("tiff: unsupported fax format")
-    elif comp not in (1, 32773) or spp not in (1, 3) \
+    elif comp not in (1, 5, 32773) or spp not in (1, 3) \
             or any(b != 8 for b in bits) \
             or photo not in (0, 1, 2) \
             or (photo == 2) != (spp == 3):
         raise ValueError("tiff: unsupported format")
+    predictor = one(317, 1)
+    if predictor not in (1, 2) or (predictor == 2 and comp != 5):
+        if predictor != 1:
+            raise ValueError("tiff: unsupported predictor")
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -1762,9 +1824,24 @@ def _decode_tiff(data: bytes) -> np.ndarray:
         expect = rows * w * spp
         if comp == 32773:
             strip = _tiff_packbits(strip, expect)
+        elif comp == 5:
+            # TIFF LZW == the PDF LZWDecode variant with EarlyChange
+            from .pdfk import PDFError, _lzw_decode
+
+            try:
+                strip = _lzw_decode(strip)
+            except PDFError as exc:
+                raise ValueError(f"tiff: {exc}")
         if len(strip) < expect:
             raise ValueError("tiff: truncated strip")
-        out += strip[:expect]
+        strip = strip[:expect]
+        if predictor == 2:
+            # horizontal differencing: cumulative sum per row/sample
+            arr2 = np.frombuffer(strip, dtype=np.uint8).astype(
+                np.int64).reshape(rows, w, spp)
+            strip = (arr2.cumsum(axis=1) & 0xFF).astype(
+                np.uint8).tobytes()
+        out += strip
     if len(out) < need_total:
         raise ValueError("tiff: missing pixel data")
     arr = np.frombuffer(bytes(out[:need_total]), dtype=np.uint8)
@@ -1779,7 +1856,9 @@ def _decode_tiff(data: bytes) -> np.ndarray:
 def encode_tiff(img: np.ndarray, big_endian: bool = False,
                 packbits: bool = False,
                 rows_per_strip: int | None = None,
-                fax: int | None = None) -> bytes:
+                fax: int | None = None,
+                lzw: bool = False,
+                predictor: bool = False) -> bytes:
     """uint8 (h, w) gray or (h, w, 3) RGB -> TIFF (photometric 1/2,
     striped, optional PackBits).  ``fax`` (2, 3 or 4) encodes a BOOL
     array (True = black) as a CCITT fax TIFF instead: 1 bit/sample,
@@ -1814,7 +1893,16 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False,
                 raw = ccitt.encode_g3_1d(band, byte_align=True)
             strips.append(raw)
             continue
-        raw = arr[r0:r0 + rps].tobytes()
+        band = arr[r0:r0 + rps]
+        if lzw and predictor:
+            d = band.astype(np.int64).reshape(band.shape[0], w, spp)
+            d = np.concatenate([d[:, :1], np.diff(d, axis=1)], axis=1)
+            band = (d & 0xFF).astype(np.uint8)
+        raw = band.tobytes()
+        if lzw:
+            raw = _tiff_lzw_encode(raw)
+            strips.append(raw)
+            continue
         if packbits:
             enc = bytearray()
             i = 0
@@ -1846,8 +1934,10 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False,
     entry(257, 4, [h])
     entry(258, 3, ([1] if fax is not None else [8] * spp))
     entry(259, 3, [fax if fax is not None
-                   else (32773 if packbits else 1)])
+                   else (5 if lzw else (32773 if packbits else 1))])
     entry(262, 3, [0 if fax is not None else (2 if spp == 3 else 1)])
+    if lzw and predictor:
+        entry(317, 3, [2])
     entry(273, 4, [0] * n_strips)      # patched below
     entry(277, 3, [spp])
     entry(278, 4, [rps])

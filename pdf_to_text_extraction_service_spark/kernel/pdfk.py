@@ -849,13 +849,42 @@ def _decode_image_payload(kind: str, head: bytes, raw: bytes,
             _c, jw, jh, _nc, _d = mp4box.parse_jp2_dims(raw)
             return ImageStats(kind, jw, jh)
         raw = _apply_filter(name, raw)
-    # no image codec: raw samples (8-bit gray or RGB only)
+    # no image codec: raw samples — 8-bit gray/RGB, or sub-byte
+    # (1/2/4-bit) gray incl. /ImageMask stencils (scanned PDFs often
+    # carry 1-bit rasters without any compression filter)
     bpc = _img_int(head, b"BitsPerComponent", b"BPC")
     cs = _img_name(head, b"ColorSpace", b"CS")
+    is_mask = re.search(rb"/(?:ImageMask|IM)\s+true", head) is not None
+    if is_mask:
+        bpc = 1
+        cs = None
     ncomp = {"DeviceGray": 1, "G": 1, "DeviceRGB": 3, "RGB": 3,
              None: 1}.get(cs)
-    if bpc != 8 or ncomp is None:
+    if ncomp is None or (bpc != 8 and (ncomp != 1
+                                       or bpc not in (1, 2, 4))):
         raise PDFError("image: unsupported raw sample format")
+    if bpc != 8:
+        # rows are padded to byte boundaries (PDF 32000-1 §8.9.3)
+        import numpy as np
+
+        stride = (w * bpc + 7) // 8
+        need = stride * h
+        if len(raw) < need:
+            raise PDFError("image: truncated samples")
+        rows_bits = np.unpackbits(
+            np.frombuffer(raw[:need], dtype=np.uint8).reshape(
+                h, stride), axis=1)
+        vals = rows_bits[:, :w * bpc].reshape(h, w, bpc)
+        weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.int64)
+        samples = (vals * weights).sum(axis=2)
+        maxv = (1 << bpc) - 1
+        if is_mask:
+            # stencil: sample 0 paints (ink) under the default
+            # /Decode [0 1]; painted -> luma 0
+            arr = np.where(samples == 0, 0, 255).astype("uint8")
+        else:
+            arr = (samples * 255 // maxv).astype("uint8")
+        return _stats_from_array(kind, arr)
     need = w * h * ncomp
     if len(raw) < need:
         raise PDFError("image: truncated samples")

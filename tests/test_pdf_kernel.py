@@ -734,3 +734,68 @@ class TestEmbeddedImageStats:
         # width is PIXELS (2), not samples-per-row (6)
         assert (s.width, s.height, s.n_samples) == (2, 2, 12)
         assert s.ink_samples == 12  # all zero bytes are ink
+
+
+class TestRawSubByteImages:
+    def test_1bit_gray_and_imagemask(self):
+        import numpy as np
+
+        from pdf_to_text_extraction_service_spark.kernel import pdfk
+        from pdf_to_text_extraction_service_spark.sources import pdfgen
+
+        h, w = 8, 10
+        bits = np.ones((h, w), np.uint8)
+        bits[:3] = 0                       # top 3 rows sample 0
+        payload = np.packbits(bits, axis=1).tobytes()
+        for head, ink in (
+                (b"/Width 10 /Height 8 /BitsPerComponent 1 "
+                 b"/ColorSpace /DeviceGray", 30),
+                # ImageMask stencil: sample 0 paints (ink)
+                (b"/Width 10 /Height 8 /ImageMask true", 30)):
+            pdf = pdfgen.build_pdf_jpeg_pages([([], [(head, payload)])])
+            st = pdfk.PDFDoc(pdf).page_image_stats(1)
+            assert st["n_decoded"] == 1 and st["ink_samples"] == ink
+            assert st["sum_luma"] == (h * w - ink) * 255
+
+    def test_4bit_gray_scaling(self):
+        import numpy as np
+
+        from pdf_to_text_extraction_service_spark.kernel import pdfk
+        from pdf_to_text_extraction_service_spark.sources import pdfgen
+
+        # 5 columns of 4-bit value 15 (white) over 2 rows, then 0s
+        img4 = np.zeros((4, 5), np.uint8)
+        img4[:2] = 15
+        rows = []
+        for r in img4:
+            bits = np.unpackbits(r[:, None], axis=1)[:, 4:].flatten()
+            bits = np.concatenate(
+                [bits, np.zeros((-len(bits)) % 8, np.uint8)])
+            rows.append(np.packbits(bits).tobytes())
+        payload = b"".join(rows)
+        head = (b"/Width 5 /Height 4 /BitsPerComponent 4 "
+                b"/ColorSpace /DeviceGray")
+        pdf = pdfgen.build_pdf_jpeg_pages([([], [(head, payload)])])
+        st = pdfk.PDFDoc(pdf).page_image_stats(1)
+        assert st["sum_luma"] == 2 * 5 * 255
+        assert st["ink_samples"] == 2 * 5
+
+
+def test_tiff_lzw_round_trip_and_predictor():
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.kernel import imgcodec
+
+    rng = np.random.default_rng(9)
+    gray = rng.integers(0, 256, (12, 33), np.uint8)
+    rgb = rng.integers(0, 256, (7, 19, 3), np.uint8)
+    grad = np.tile(np.arange(256, dtype=np.uint8), 40).reshape(40, 256)
+    for img in (gray, rgb, grad):
+        for pred in (False, True):
+            t = imgcodec.encode_tiff(img, lzw=True, predictor=pred,
+                                     rows_per_strip=5)
+            assert np.array_equal(imgcodec.decode_tiff(t), img)
+    # incompressible payload crosses the 4094-entry table clear
+    noise = rng.integers(0, 256, (60, 256), np.uint8)
+    t = imgcodec.encode_tiff(noise, lzw=True)
+    assert np.array_equal(imgcodec.decode_tiff(t), noise)
