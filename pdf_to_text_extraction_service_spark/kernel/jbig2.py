@@ -21,9 +21,14 @@ organization):
   REFCORNER modes, TRANSPOSED placement, SBDSOFFSET),
 - region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE).
 
+- **halftone coding**: pattern dictionaries (type 16, arithmetic or
+  MMR) and immediate halftone regions (types 22/23; gray-coded
+  bitplanes over the 8.8 fixed-point skewable grid, pattern
+  stamping with the region combinators).
+
 Out of the subset (raise ValueError → size-only needs-ocr entries):
-Huffman-table variants, refinement/aggregate coding, halftone
-regions, intermediate regions.  The MQ coder and the IAx/IAID
+Huffman-table variants, refinement/aggregate coding, halftone skip
+coding, intermediate regions.  The MQ coder and the IAx/IAID
 procedures ship with ENCODERS so dictionary/text/generic round-trips
 are testable without external tools.
 
@@ -620,6 +625,101 @@ def _decode_text_region(payload: bytes, syms: list) -> tuple:
     return out, rx, ry, combop
 
 
+def _decode_pattern_dict(payload: bytes,
+                         budget: list | None = None) -> list:
+    """Pattern dictionary (T.88 6.7, arithmetic or MMR): one wide
+    generic region sliced into HDPATS = GRAYMAX+1 patterns."""
+    if len(payload) < 7:
+        raise ValueError("jbig2: truncated pattern dictionary")
+    flags = payload[0]
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw = payload[1]
+    hdph = payload[2]
+    graymax = struct.unpack(">I", payload[3:7])[0]
+    if hdpw == 0 or hdph == 0:
+        raise ValueError("jbig2: bad pattern size")
+    if graymax > 1 << 12:
+        raise ValueError("jbig2: pattern count exceeds budget")
+    if not hdmmr and template != 0:
+        raise ValueError("jbig2: only GB template 0 supported")
+    total_w = (graymax + 1) * hdpw
+    body = payload[7:]
+    if hdmmr:
+        from . import ccitt
+
+        big = ccitt.decode_g4(body, total_w, hdph)
+    else:
+        # fixed AT positions per 6.7.5: AT1 = (-HDPW, 0)
+        at = ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+        dec = MQDecoder(body)
+        cx = [[0, 0] for _ in range(1 << 16)]
+        big = _decode_generic_core(dec, cx, total_w, hdph, at=at,
+                                   budget=budget)
+    return [big[:, i * hdpw:(i + 1) * hdpw]
+            for i in range(graymax + 1)]
+
+
+def _decode_halftone_region(payload: bytes, patterns: list,
+                            budget: list | None = None) -> tuple:
+    """Halftone region (T.88 6.6): gray-coded bitplanes select a
+    pattern per grid cell; cells stamp onto the region bitmap."""
+    rw, rh, rx, ry, combop = _region_info(payload)
+    pos = 17
+    if len(payload) < pos + 1 + 16 + 4:
+        raise ValueError("jbig2: truncated halftone region")
+    flags = payload[pos]
+    pos += 1
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    enable_skip = (flags >> 3) & 1
+    hcombop = (flags >> 4) & 7
+    defpixel = (flags >> 7) & 1
+    if enable_skip:
+        raise ValueError("jbig2: halftone skip coding unsupported")
+    if not hmmr and template != 0:
+        raise ValueError("jbig2: only GB template 0 supported")
+    hgw, hgh = struct.unpack(">II", payload[pos:pos + 8])
+    hgx, hgy = struct.unpack(">ii", payload[pos + 8:pos + 16])
+    hrx, hry = struct.unpack(">HH", payload[pos + 16:pos + 20])
+    pos += 20
+    if not patterns:
+        raise ValueError("jbig2: halftone region without patterns")
+    if rw <= 0 or rh <= 0 or rw * rh > ARITH_MAX_PIXELS             or hgw * hgh > ARITH_MAX_PIXELS:
+        raise ValueError("jbig2: region exceeds arithmetic budget")
+    bits = max(1, _ceil_log2(len(patterns)))
+    body = payload[pos:]
+    # grayscale image: BITS bitplanes, MSB first (Annex C); arith
+    # planes share one decoder + stats, MMR planes share one stream
+    planes = []
+    if hmmr:
+        from . import ccitt
+
+        big = ccitt.decode_g4(body, hgw, hgh * bits)
+        for j in range(bits):
+            planes.append(big[j * hgh:(j + 1) * hgh])
+    else:
+        dec = MQDecoder(body)
+        cx = [[0, 0] for _ in range(1 << 16)]
+        for _ in range(bits):
+            planes.append(_decode_generic_core(
+                dec, cx, hgw, hgh, budget=budget))
+    gray = planes[0].astype(np.int64)
+    for j in range(1, bits):
+        gray = (gray << 1) | (planes[j] ^ (gray & 1))
+    if int(gray.max(initial=0)) >= len(patterns):
+        raise ValueError("jbig2: gray value out of pattern range")
+    out = np.full((rh, rw), bool(defpixel), dtype=bool)
+    for m in range(hgh):
+        for n in range(hgw):
+            # 8.8 fixed-point skewable grid (spec 6.6.5)
+            x = (hgx + m * hry + n * hrx) >> 8
+            y = (hgy + m * hrx - n * hry) >> 8
+            _draw(out, patterns[int(gray[m, n])], x, y, hcombop & 3
+                  if hcombop < 4 else 4)
+    return out, rx, ry, combop
+
+
 def _draw(page: np.ndarray, sym: np.ndarray, x0: int, y0: int,
           op: int) -> None:
     """Compose a symbol bitmap at (x0, y0), clipped to the region."""
@@ -707,11 +807,9 @@ def _parse_segment_headers(data: bytes):
 
 
 _UNSUPPORTED = {
-    4: "intermediate text region", 16: "pattern dictionary",
-    20: "halftone region", 22: "halftone region",
-    23: "halftone region", 36: "intermediate generic region",
-    40: "refinement region", 42: "refinement region",
-    43: "refinement region",
+    4: "intermediate text region", 20: "intermediate halftone region",
+    36: "intermediate generic region", 40: "refinement region",
+    42: "refinement region", 43: "refinement region",
 }
 
 
@@ -749,6 +847,24 @@ def _decode_embedded(data: bytes,
                 raise ValueError(
                     f"jbig2: unsupported segment "
                     f"({_UNSUPPORTED[seg_type]})")
+            if seg_type == 16:            # pattern dictionary
+                sym_store[seg_num] = _decode_pattern_dict(
+                    payload, budget=arith_budget)
+                continue
+            if seg_type in (22, 23):      # immediate halftone region
+                if page is None:
+                    raise ValueError("jbig2: region before page info")
+                pats: list = []
+                for r in referred:
+                    pats.extend(sym_store.get(r, []))
+                bitmap, rx, ry, combop = _decode_halftone_region(
+                    payload, pats, budget=arith_budget)
+                rh2, rw2 = bitmap.shape
+                if rx + rw2 > page.shape[1] \
+                        or ry + rh2 > page.shape[0]:
+                    raise ValueError("jbig2: region outside page")
+                _draw(page, bitmap, rx, ry, combop)
+                continue
             if seg_type == 0:             # symbol dictionary
                 input_syms: list = []
                 for r in referred:
@@ -926,6 +1042,78 @@ def _segment(num: int, styp: int, payload: bytes,
     head += bytes(refs)
     head += b"\x01"                              # page 1
     return head + struct.pack(">I", len(payload)) + payload
+
+
+def encode_pattern_dict(patterns: list[np.ndarray],
+                        mmr: bool = False) -> bytes:
+    """Pattern-dictionary payload (fixture encoder): equal-sized
+    patterns packed side by side into one generic region."""
+    hdph, hdpw = patterns[0].shape
+    if any(pt.shape != (hdph, hdpw) for pt in patterns):
+        raise ValueError("jbig2: patterns must share one size")
+    big = np.concatenate([np.ascontiguousarray(pt, dtype=np.uint8)
+                          for pt in patterns], axis=1)
+    out = bytes([1 if mmr else 0, hdpw, hdph])
+    out += struct.pack(">I", len(patterns) - 1)
+    if mmr:
+        from . import ccitt
+
+        return out + ccitt.encode_g4(big.astype(bool))
+    at = ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+    enc = MQEncoder()
+    cx = [[0, 0] for _ in range(1 << 16)]
+    _encode_generic_core(enc, cx, big, at=at)
+    return out + enc.flush()
+
+
+def encode_halftone_region(rw: int, rh: int, gray: np.ndarray,
+                           n_patterns: int, cell: int,
+                           mmr: bool = False) -> bytes:
+    """Halftone-region payload (fixture encoder): axis-aligned grid
+    of ``cell``-pixel square spacing, gray-coded bitplanes."""
+    hgh, hgw = gray.shape
+    if int(np.asarray(gray).max(initial=0)) >= n_patterns:
+        raise ValueError("jbig2: gray value out of pattern range")
+    bits = max(1, _ceil_log2(n_patterns))
+    # binary → gray planes, MSB first
+    planes = []
+    prev = None
+    for j in range(bits - 1, -1, -1):
+        b = (gray >> j) & 1
+        planes.append(b if prev is None else (b ^ prev))
+        prev = b
+    flags = 1 if mmr else 0
+    out = struct.pack(">IIII", rw, rh, 0, 0) + b"\x00"
+    out += bytes([flags])
+    out += struct.pack(">II", hgw, hgh)
+    out += struct.pack(">ii", 0, 0)
+    out += struct.pack(">HH", cell << 8, 0)
+    if mmr:
+        from . import ccitt
+
+        big = np.concatenate([pl.astype(bool) for pl in planes],
+                             axis=0)
+        return out + ccitt.encode_g4(big)
+    enc = MQEncoder()
+    cx = [[0, 0] for _ in range(1 << 16)]
+    for pl in planes:
+        _encode_generic_core(enc, cx, pl.astype(np.uint8))
+    return out + enc.flush()
+
+
+def build_embedded_halftone(rw: int, rh: int,
+                            patterns: list[np.ndarray],
+                            gray: np.ndarray, cell: int,
+                            mmr: bool = False) -> bytes:
+    """Embedded stream: page info + pattern dictionary + immediate
+    halftone region referring to it."""
+    page_info = struct.pack(">IIII", rw, rh, 0, 0) + b"\x00\x00\x00"
+    out = _segment(0, 48, page_info)
+    out += _segment(1, 16, encode_pattern_dict(patterns, mmr=mmr))
+    out += _segment(2, 22, encode_halftone_region(
+        rw, rh, gray, len(patterns), cell, mmr=mmr), refs=(1,))
+    out += _segment(3, 49, b"")
+    return out
 
 
 def build_embedded(img: np.ndarray, mmr: bool = False,

@@ -269,3 +269,45 @@ def test_pdf_jpx_header_dims():
     st = pdfk.PDFDoc(pdf).page_image_stats(1)
     assert st["n_images"] == 1 and st["n_decoded"] == 0
     assert st["pixels"] == w2 * h2
+
+
+def test_halftone_region_round_trip():
+    """Pattern dictionary + halftone region (arith and MMR): gray-
+    coded bitplanes select ink-density patterns per grid cell."""
+    rng = np.random.default_rng(29)
+    pats = []
+    for k in range(8):                    # 8 patterns → 3 bitplanes
+        pt = np.zeros((3, 3), bool)
+        pt.flat[:k + 1] = True
+        pats.append(pt)
+    gray = rng.integers(0, 8, (4, 7))
+    for mmr in (False, True):
+        blob = jbig2.build_embedded_halftone(21, 12, pats, gray, 3,
+                                             mmr=mmr)
+        page = jbig2.decode_embedded(blob)
+        want = np.zeros((12, 21), bool)
+        for m in range(4):
+            for n in range(7):
+                want[m * 3:(m + 1) * 3, n * 3:(n + 1) * 3] |= \
+                    pats[int(gray[m, n])]
+        assert np.array_equal(page, want), mmr
+    # out-of-range gray value rejected at encode time
+    with pytest.raises(ValueError):
+        jbig2.build_embedded_halftone(
+            9, 6, pats[:2], np.full((2, 3), 5), 3)
+
+
+def test_halftone_mutation_fuzz():
+    rng = np.random.default_rng(31)
+    pats = [np.eye(3, dtype=bool), ~np.eye(3, dtype=bool)]
+    base = bytearray(jbig2.build_embedded_halftone(
+        9, 6, pats, rng.integers(0, 2, (2, 3)), 3))
+    for _ in range(200):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            data[int(rng.integers(0, len(data)))] = \
+                int(rng.integers(0, 256))
+        try:
+            jbig2.decode_embedded(bytes(data))
+        except ValueError:
+            pass
