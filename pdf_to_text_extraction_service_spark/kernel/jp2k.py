@@ -1,0 +1,1096 @@
+"""JPEG 2000 Part 1 codec (lossless subset), from the public ITU-T
+T.800 / ISO 15444-1 spec.
+
+Brings real pixel decode to the JPXDecode payloads that previously
+only dimension-sniffed (mp4box.parse_jp2_dims): PDF scanned pages and
+crawl .jp2 files inside the subset decode to exact pixels, driving
+the pixel-stat needs-ocr decision (kernel/pdfk.py) and the
+image-breadth features (functions/multimodal.py).  The reference
+shells these bytes out to poppler/vision APIs
+(internal/extractor/poppler.go, internal/extractors/image/image.go);
+nothing here ports its code — this is a clean-room implementation of
+the published codestream syntax.
+
+Implemented subset (everything else raises ValueError and callers
+fall back to the size-only header walk):
+
+- single tile, zero grid/tile offsets, no subsampling (XRsiz=YRsiz=1)
+- 8-bit unsigned components, 1 (grey) or 3 (RGB, optional RCT)
+- reversible 5/3 wavelet only (SPcod transform = 1), 0..32 levels
+- one quality layer, LRCP progression, default precincts (no Scod
+  bits: no SOP/EPH), code-block style 0 (no bypass/termall/causal/
+  predictable termination/segmentation symbols)
+- QCD no-quantization style shared by all components (QCC/COC/POC/
+  RGN/PPM/PPT are rejected; COM/TLM/PLM/PLT/CRG are skipped)
+
+The MQ arithmetic coder is the T.88 Annex E machine already used by
+kernel/jbig2.py — T.800 Annex C specifies the identical state table
+and procedures, so the classes are imported, not re-derived.
+
+Tier-1 (EBCOT) context formation follows T.800 Annex D: 9 zero-coding
+contexts per band class, 5 sign contexts with XOR prediction, 3
+magnitude-refinement contexts, run-length and uniform contexts, the
+4-row stripe scan, and the significance-propagation / refinement /
+cleanup pass sequence (cleanup only on the first bit-plane).
+
+The fixture encoder is an exact mirror (same pass logic, same tag
+trees, same packet assembly), so round-trip oracles are closed-form:
+encode(img) -> decode -> img, bit-identical.
+
+All decode errors raise ValueError (the shared untrusted-bytes
+contract); dimensions are budget-capped before any allocation.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jbig2 import MQDecoder, MQEncoder
+
+# The EBCOT bit-plane coder is a per-coefficient Python loop visiting
+# every sample ~3x per bit-plane (~8 planes for 8-bit content): a
+# claimed 64 MP image would burn tens of minutes in one task — the
+# decode-bomb shape the reference bounds with per-file timeouts
+# (config.go:120-127).  2^18 samples (512x512 grey / 295x295 RGB)
+# keeps the worst case in the same single-digit-seconds band as the
+# other arithmetic codecs; larger claims become error rows and ride
+# the size-only header walk.
+MAX_SAMPLES = 1 << 18
+
+_GUARD_BITS = 2
+
+# ----------------------------------------------------------- contexts
+# T.800 Annex D context numbering used throughout this module:
+# 0-8 zero coding, 9-13 sign, 14-16 refinement, 17 run-length,
+# 18 uniform.  Initial states per Table D.7.
+_CTX_RL = 17
+_CTX_UNI = 18
+_N_CTX = 19
+
+
+def _init_cx() -> list:
+    cx = [[0, 0] for _ in range(_N_CTX)]
+    cx[0][0] = 4       # zero-coding context 0
+    cx[_CTX_RL][0] = 3
+    cx[_CTX_UNI][0] = 46
+    return cx
+
+
+def _zc_ctx(h: int, v: int, d: int, band: str) -> int:
+    """Zero-coding context (T.800 Table D.1).  ``band`` is one of
+    'll'/'lh'/'hl'/'hh'; HL swaps the horizontal/vertical roles."""
+    if band == "hl":
+        h, v = v, h
+    if band != "hh":
+        if h == 2:
+            return 8
+        if h == 1:
+            if v >= 1:
+                return 7
+            return 6 if d >= 1 else 5
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else (1 if d == 1 else 0)
+    hv = h + v
+    if d >= 3:
+        return 8
+    if d == 2:
+        return 7 if hv >= 1 else 6
+    if d == 1:
+        return 5 if hv >= 2 else (4 if hv == 1 else 3)
+    return 2 if hv >= 2 else (1 if hv == 1 else 0)
+
+
+# T.800 Table D.3: (H, V) -> (sign context, XOR bit), each of H/V the
+# clamped sum of the two neighbour contributions (+1 significant
+# positive, -1 significant negative).
+_SC = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+
+# ------------------------------------------------- packet-header bits
+class _PHReader:
+    """Packet-header bit reader with the B.10.1 stuffing rule: a byte
+    following 0xFF carries only 7 bits (its MSB is a stuffed zero)."""
+
+    __slots__ = ("data", "pos", "cur", "ct")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.ct = 0
+
+    def bit(self) -> int:
+        if self.ct == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jp2k: packet header overrun")
+            prev = self.cur
+            self.cur = self.data[self.pos]
+            self.pos += 1
+            self.ct = 7 if prev == 0xFF else 8
+            if self.ct == 7 and self.cur > 0x7F:
+                raise ValueError("jp2k: bad bit stuffing")
+        self.ct -= 1
+        return (self.cur >> self.ct) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        # end of packet header: drop partial bits; a trailing 0xFF
+        # byte is followed by a stuffing byte that belongs to the
+        # header (the header itself may not end in 0xFF)
+        if self.cur == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("jp2k: packet header overrun")
+            self.pos += 1
+        self.cur = 0
+        self.ct = 0
+
+
+class _PHWriter:
+    """Mirror of :class:`_PHReader` for the fixture encoder."""
+
+    __slots__ = ("out", "cur", "ct")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.ct = 8
+
+    def bit(self, b: int) -> None:
+        if self.ct == 0:
+            self.out.append(self.cur)
+            self.ct = 7 if self.cur == 0xFF else 8
+            self.cur = 0
+        self.ct -= 1
+        self.cur |= (b & 1) << self.ct
+    def bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bit((v >> i) & 1)
+
+    def align(self) -> bytes:
+        if self.ct < 8:
+            self.out.append(self.cur)
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)
+        self.cur = 0
+        self.ct = 8
+        return bytes(self.out)
+
+
+# ----------------------------------------------------------- tag trees
+def _tt_sizes(nx: int, ny: int) -> list:
+    sizes = [(nx, ny)]
+    while sizes[-1] != (1, 1):
+        lx, ly = sizes[-1]
+        sizes.append(((lx + 1) // 2, (ly + 1) // 2))
+    return sizes
+
+
+class _TTDec:
+    """Tag-tree decoder (B.10.2): per-node lower bound + known value,
+    threshold queries consume incremental bits."""
+
+    __slots__ = ("sizes", "low", "val")
+
+    def __init__(self, nx: int, ny: int):
+        self.sizes = _tt_sizes(nx, ny)
+        self.low = [[0] * (sx * sy) for sx, sy in self.sizes]
+        self.val = [[None] * (sx * sy) for sx, sy in self.sizes]
+
+    def _path(self, x: int, y: int):
+        out = []
+        for li, (sx, _sy) in enumerate(self.sizes):
+            out.append((li, y * sx + x))
+            x >>= 1
+            y >>= 1
+        return reversed(out)
+
+    def decode(self, r: _PHReader, x: int, y: int,
+               threshold: int) -> bool:
+        """True iff the leaf value is known to be < threshold."""
+        low = 0
+        for li, idx in self._path(x, y):
+            if self.low[li][idx] < low:
+                self.low[li][idx] = low
+            v = self.val[li][idx]
+            while v is None and self.low[li][idx] < threshold:
+                if r.bit():
+                    v = self.low[li][idx]
+                    self.val[li][idx] = v
+                else:
+                    self.low[li][idx] += 1
+            low = self.low[li][idx] if v is None else v
+            if low >= threshold:
+                return False
+        return True
+
+    def full(self, r: _PHReader, x: int, y: int, cap: int) -> int:
+        """Decode the exact leaf value (zero-bit-plane trees)."""
+        t = 1
+        while not self.decode(r, x, y, t):
+            t += 1
+            if t > cap:
+                raise ValueError("jp2k: tag tree runaway")
+        return t - 1
+
+
+class _TTEnc:
+    """Tag-tree encoder mirror: values fixed up front (parents =
+    min of children), emission state persists across thresholds."""
+
+    __slots__ = ("sizes", "low", "done", "value")
+
+    def __init__(self, nx: int, ny: int, leaf_values: list):
+        self.sizes = _tt_sizes(nx, ny)
+        self.value = [list(leaf_values)]
+        for li in range(1, len(self.sizes)):
+            px, py = self.sizes[li]
+            cx, cy = self.sizes[li - 1]
+            prev = self.value[li - 1]
+            cur = []
+            for y in range(py):
+                for x in range(px):
+                    best = None
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            xx, yy = 2 * x + dx, 2 * y + dy
+                            if xx < cx and yy < cy:
+                                v = prev[yy * cx + xx]
+                                if best is None or v < best:
+                                    best = v
+                    cur.append(best)
+            self.value.append(cur)
+        self.low = [[0] * (sx * sy) for sx, sy in self.sizes]
+        self.done = [[False] * (sx * sy) for sx, sy in self.sizes]
+
+    def _path(self, x: int, y: int):
+        out = []
+        for li, (sx, _sy) in enumerate(self.sizes):
+            out.append((li, y * sx + x))
+            x >>= 1
+            y >>= 1
+        return reversed(out)
+
+    def encode(self, w: _PHWriter, x: int, y: int,
+               threshold: int) -> None:
+        low = 0
+        for li, idx in self._path(x, y):
+            if self.low[li][idx] < low:
+                self.low[li][idx] = low
+            while self.low[li][idx] < threshold \
+                    and not self.done[li][idx]:
+                if self.low[li][idx] < self.value[li][idx]:
+                    w.bit(0)
+                    self.low[li][idx] += 1
+                else:
+                    w.bit(1)
+                    self.done[li][idx] = True
+            low = self.value[li][idx] if self.done[li][idx] \
+                else self.low[li][idx]
+            if low >= threshold:
+                return
+
+
+def _read_npasses(r: _PHReader) -> int:
+    # T.800 Table B.4 comma code
+    if not r.bit():
+        return 1
+    if not r.bit():
+        return 2
+    v = r.bits(2)
+    if v < 3:
+        return 3 + v
+    v = r.bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + r.bits(7)
+
+
+def _write_npasses(w: _PHWriter, n: int) -> None:
+    if n == 1:
+        w.bit(0)
+    elif n == 2:
+        w.bits(2, 2)
+    elif n <= 5:
+        w.bits(3, 2)
+        w.bits(n - 3, 2)
+    elif n <= 36:
+        w.bits(0xF, 4)
+        w.bits(n - 6, 5)
+    else:
+        w.bits(0x1FF, 9)
+        w.bits(n - 37, 7)
+
+# -------------------------------------------------- Tier-1 bit planes
+def _pass_list(numbps: int) -> list:
+    """(kind, plane) sequence: cleanup only on the first plane, then
+    significance-propagation / refinement / cleanup per plane."""
+    out = []
+    for p in range(numbps - 1, -1, -1):
+        if p == numbps - 1:
+            out.append((2, p))
+        else:
+            out.extend([(0, p), (1, p), (2, p)])
+    return out
+
+
+def _t1_decode(data: bytes, w: int, h: int, numbps: int,
+               npasses: int, band: str) -> list:
+    """Decode one code-block's codeword segment into signed
+    coefficients (row-major list).  Mirrors :func:`_t1_encode`."""
+    n = w * h
+    sig = [0] * n
+    sgn = [0] * n
+    vis = [0] * n
+    ref = [0] * n
+    mag = [0] * n
+    cx = _init_cx()
+    dec = MQDecoder(data)
+    decode = dec.decode
+
+    def hvd(x: int, y: int):
+        hN = vN = dN = 0
+        i = y * w + x
+        if x > 0:
+            if sig[i - 1]:
+                hN += 1
+            if y > 0 and sig[i - 1 - w]:
+                dN += 1
+            if y < h - 1 and sig[i - 1 + w]:
+                dN += 1
+        if x < w - 1:
+            if sig[i + 1]:
+                hN += 1
+            if y > 0 and sig[i + 1 - w]:
+                dN += 1
+            if y < h - 1 and sig[i + 1 + w]:
+                dN += 1
+        if y > 0 and sig[i - w]:
+            vN += 1
+        if y < h - 1 and sig[i + w]:
+            vN += 1
+        return hN, vN, dN
+
+    def code_sign(x: int, y: int, i: int, plane: int) -> None:
+        hc = vc = 0
+        if x > 0 and sig[i - 1]:
+            hc += -1 if sgn[i - 1] else 1
+        if x < w - 1 and sig[i + 1]:
+            hc += -1 if sgn[i + 1] else 1
+        if y > 0 and sig[i - w]:
+            vc += -1 if sgn[i - w] else 1
+        if y < h - 1 and sig[i + w]:
+            vc += -1 if sgn[i + w] else 1
+        hc = 1 if hc > 0 else (-1 if hc < 0 else 0)
+        vc = 1 if vc > 0 else (-1 if vc < 0 else 0)
+        ctx, xor = _SC[(hc, vc)]
+        sgn[i] = decode(cx[ctx]) ^ xor
+        sig[i] = 1
+        mag[i] += 1 << plane
+
+    for kind, plane in _pass_list(numbps)[:npasses]:
+        if kind == 0:                      # significance propagation
+            for k0 in range(0, h, 4):
+                kmax = min(k0 + 4, h)
+                for x in range(w):
+                    for y in range(k0, kmax):
+                        i = y * w + x
+                        if sig[i]:
+                            continue
+                        hN, vN, dN = hvd(x, y)
+                        if hN + vN + dN == 0:
+                            continue
+                        vis[i] = 1
+                        if decode(cx[_zc_ctx(hN, vN, dN, band)]):
+                            code_sign(x, y, i, plane)
+        elif kind == 1:                    # magnitude refinement
+            for k0 in range(0, h, 4):
+                kmax = min(k0 + 4, h)
+                for x in range(w):
+                    for y in range(k0, kmax):
+                        i = y * w + x
+                        if not sig[i] or vis[i]:
+                            continue
+                        if ref[i]:
+                            ctx = 16
+                        else:
+                            hN, vN, dN = hvd(x, y)
+                            ctx = 15 if hN + vN + dN else 14
+                            ref[i] = 1
+                        if decode(cx[ctx]):
+                            mag[i] += 1 << plane
+        else:                              # cleanup
+            for k0 in range(0, h, 4):
+                kmax = min(k0 + 4, h)
+                for x in range(w):
+                    y = k0
+                    if kmax - k0 == 4:
+                        rl_ok = True
+                        for yy in range(k0, kmax):
+                            j = yy * w + x
+                            if sig[j] or vis[j]:
+                                rl_ok = False
+                                break
+                            a, b, c = hvd(x, yy)
+                            if a + b + c:
+                                rl_ok = False
+                                break
+                        if rl_ok:
+                            if not decode(cx[_CTX_RL]):
+                                continue
+                            u = cx[_CTX_UNI]
+                            r = (decode(u) << 1) | decode(u)
+                            y = k0 + r
+                            i = y * w + x
+                            code_sign(x, y, i, plane)
+                            y += 1
+                    while y < kmax:
+                        i = y * w + x
+                        if not sig[i] and not vis[i]:
+                            hN, vN, dN = hvd(x, y)
+                            if decode(cx[_zc_ctx(hN, vN, dN, band)]):
+                                code_sign(x, y, i, plane)
+                        y += 1
+            for i in range(n):
+                vis[i] = 0
+    return [-mag[i] if sgn[i] else mag[i] for i in range(n)]
+
+
+def _t1_encode(coefs: list, w: int, h: int, band: str):
+    """Encode one code-block; returns (bytes, numbps, npasses).
+    Exact mirror of :func:`_t1_decode`."""
+    n = w * h
+    amag = [abs(c) for c in coefs]
+    numbps = max(amag).bit_length() if n else 0
+    if numbps == 0:
+        return b"", 0, 0
+    sig = [0] * n
+    sgn_t = [1 if c < 0 else 0 for c in coefs]
+    sgn = [0] * n
+    vis = [0] * n
+    ref = [0] * n
+    cx = _init_cx()
+    enc = MQEncoder()
+    encode = enc.encode
+
+    def hvd(x: int, y: int):
+        hN = vN = dN = 0
+        i = y * w + x
+        if x > 0:
+            if sig[i - 1]:
+                hN += 1
+            if y > 0 and sig[i - 1 - w]:
+                dN += 1
+            if y < h - 1 and sig[i - 1 + w]:
+                dN += 1
+        if x < w - 1:
+            if sig[i + 1]:
+                hN += 1
+            if y > 0 and sig[i + 1 - w]:
+                dN += 1
+            if y < h - 1 and sig[i + 1 + w]:
+                dN += 1
+        if y > 0 and sig[i - w]:
+            vN += 1
+        if y < h - 1 and sig[i + w]:
+            vN += 1
+        return hN, vN, dN
+
+    def code_sign(x: int, y: int, i: int) -> None:
+        hc = vc = 0
+        if x > 0 and sig[i - 1]:
+            hc += -1 if sgn[i - 1] else 1
+        if x < w - 1 and sig[i + 1]:
+            hc += -1 if sgn[i + 1] else 1
+        if y > 0 and sig[i - w]:
+            vc += -1 if sgn[i - w] else 1
+        if y < h - 1 and sig[i + w]:
+            vc += -1 if sgn[i + w] else 1
+        hc = 1 if hc > 0 else (-1 if hc < 0 else 0)
+        vc = 1 if vc > 0 else (-1 if vc < 0 else 0)
+        ctx, xor = _SC[(hc, vc)]
+        encode(cx[ctx], sgn_t[i] ^ xor)
+        sgn[i] = sgn_t[i]
+        sig[i] = 1
+
+    passes = _pass_list(numbps)
+    for kind, plane in passes:
+        if kind == 0:
+            for k0 in range(0, h, 4):
+                kmax = min(k0 + 4, h)
+                for x in range(w):
+                    for y in range(k0, kmax):
+                        i = y * w + x
+                        if sig[i]:
+                            continue
+                        hN, vN, dN = hvd(x, y)
+                        if hN + vN + dN == 0:
+                            continue
+                        vis[i] = 1
+                        bit = (amag[i] >> plane) & 1
+                        encode(cx[_zc_ctx(hN, vN, dN, band)], bit)
+                        if bit:
+                            code_sign(x, y, i)
+        elif kind == 1:
+            for k0 in range(0, h, 4):
+                kmax = min(k0 + 4, h)
+                for x in range(w):
+                    for y in range(k0, kmax):
+                        i = y * w + x
+                        if not sig[i] or vis[i]:
+                            continue
+                        if ref[i]:
+                            ctx = 16
+                        else:
+                            hN, vN, dN = hvd(x, y)
+                            ctx = 15 if hN + vN + dN else 14
+                            ref[i] = 1
+                        encode(cx[ctx], (amag[i] >> plane) & 1)
+        else:
+            for k0 in range(0, h, 4):
+                kmax = min(k0 + 4, h)
+                for x in range(w):
+                    y = k0
+                    if kmax - k0 == 4:
+                        rl_ok = True
+                        for yy in range(k0, kmax):
+                            j = yy * w + x
+                            if sig[j] or vis[j]:
+                                rl_ok = False
+                                break
+                            a, b, c = hvd(x, yy)
+                            if a + b + c:
+                                rl_ok = False
+                                break
+                        if rl_ok:
+                            r = 4
+                            for yy in range(k0, kmax):
+                                if (amag[yy * w + x] >> plane) & 1:
+                                    r = yy - k0
+                                    break
+                            if r == 4:
+                                encode(cx[_CTX_RL], 0)
+                                continue
+                            encode(cx[_CTX_RL], 1)
+                            u = cx[_CTX_UNI]
+                            encode(u, (r >> 1) & 1)
+                            encode(u, r & 1)
+                            y = k0 + r
+                            code_sign(x, y, y * w + x)
+                            y += 1
+                    while y < kmax:
+                        i = y * w + x
+                        if not sig[i] and not vis[i]:
+                            hN, vN, dN = hvd(x, y)
+                            bit = (amag[i] >> plane) & 1
+                            encode(cx[_zc_ctx(hN, vN, dN, band)], bit)
+                            if bit:
+                                code_sign(x, y, i)
+                        y += 1
+            for i in range(n):
+                vis[i] = 0
+    return enc.flush(), numbps, len(passes)
+
+
+# ------------------------------------------------- 5/3 reversible DWT
+def _inv_lift(y: np.ndarray) -> np.ndarray:
+    """Inverse 5/3 lifting along axis 0 of an interleaved int64 array
+    (even rows = low-pass), T.800 F.4 with whole-sample symmetric
+    extension (numpy 'reflect')."""
+    n = y.shape[0]
+    if n == 1:
+        return y.copy()
+    x = y.copy()
+    yp = np.pad(y, ((1, 1), (0, 0)), mode="reflect")
+    ev = np.arange(0, n, 2)
+    x[ev] = y[ev] - ((yp[ev] + yp[ev + 2] + 2) >> 2)
+    xp = np.pad(x, ((1, 1), (0, 0)), mode="reflect")
+    od = np.arange(1, n, 2)
+    x[od] = y[od] + ((xp[od] + xp[od + 2]) >> 1)
+    return x
+
+
+def _fwd_lift(x: np.ndarray) -> np.ndarray:
+    """Forward mirror of :func:`_inv_lift` (odd step first)."""
+    n = x.shape[0]
+    if n == 1:
+        return x.copy()
+    y = x.copy()
+    xp = np.pad(x, ((1, 1), (0, 0)), mode="reflect")
+    od = np.arange(1, n, 2)
+    y[od] = x[od] - ((xp[od] + xp[od + 2]) >> 1)
+    yp = np.pad(y, ((1, 1), (0, 0)), mode="reflect")
+    ev = np.arange(0, n, 2)
+    y[ev] = x[ev] + ((yp[ev] + yp[ev + 2] + 2) >> 2)
+    return y
+
+
+def _idwt_level(ll, hl, lh, hh) -> np.ndarray:
+    """One 2D_SR step: interleave, horizontal SR, vertical SR."""
+    ph = ll.shape[0] + lh.shape[0]
+    pw = ll.shape[1] + hl.shape[1]
+    y = np.zeros((ph, pw), dtype=np.int64)
+    y[0::2, 0::2] = ll
+    y[0::2, 1::2] = hl
+    y[1::2, 0::2] = lh
+    y[1::2, 1::2] = hh
+    y = _inv_lift(y.T).T        # horizontal first (F.3.4 order)
+    return _inv_lift(y)
+
+
+def _fdwt_level(x: np.ndarray):
+    """One 2D_SD step (mirror): vertical SD, horizontal SD,
+    deinterleave -> (ll, hl, lh, hh)."""
+    y = _fwd_lift(x)
+    y = _fwd_lift(y.T).T
+    return (y[0::2, 0::2], y[0::2, 1::2],
+            y[1::2, 0::2], y[1::2, 1::2])
+
+
+def _rct_fwd(r, g, b):
+    return ((r + 2 * g + b) >> 2), b - g, r - g
+
+
+def _rct_inv(y, u, v):
+    g = y - ((u + v) >> 2)
+    return v + g, g, u + g
+
+
+# --------------------------------------------------- band geometry
+def _band_layout(w: int, h: int, levels: int) -> list:
+    """Bands in QCD / packet order: one list entry per resolution,
+    each a list of (btype, bw, bh).  Resolution 0 is the deepest LL;
+    resolution r >= 1 carries HL/LH/HH of decomposition level
+    levels - r + 1."""
+    dims = [(w, h)]
+    for _ in range(levels):
+        pw, ph = dims[-1]
+        dims.append(((pw + 1) // 2, (ph + 1) // 2))
+    out = [[("ll",) + dims[levels]]]
+    for r in range(1, levels + 1):
+        pw, ph = dims[levels - r]
+        out.append([
+            ("hl", pw // 2, (ph + 1) // 2),
+            ("lh", (pw + 1) // 2, ph // 2),
+            ("hh", pw // 2, ph // 2),
+        ])
+    return out
+
+
+def _blocks(bw: int, bh: int, cbw: int, cbh: int) -> list:
+    """Code-block rectangles (x0, y0, cw, ch) in raster order plus
+    the grid shape (nbx, nby)."""
+    if bw <= 0 or bh <= 0:
+        return [], 0, 0
+    nbx = (bw + cbw - 1) // cbw
+    nby = (bh + cbh - 1) // cbh
+    out = []
+    for by in range(nby):
+        for bx in range(nbx):
+            x0, y0 = bx * cbw, by * cbh
+            out.append((x0, y0, min(cbw, bw - x0),
+                        min(cbh, bh - y0)))
+    return out, nbx, nby
+
+
+# -------------------------------------------------- fixture encoder
+def encode_lossless(arr, levels: int = 2, cb=(4, 4),
+                    rct: bool = True) -> bytes:
+    """Encode a uint8 (h, w) grey or (h, w, 3) RGB array into a raw
+    JPEG 2000 codestream (SOC..EOC) inside the module's subset.
+    Lossless: decode_jp2k(encode_lossless(a)) == a exactly."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("jp2k: array must be (h,w) or (h,w,3)")
+    h, w = int(a.shape[0]), int(a.shape[1])
+    ncomp = 1 if gray else 3
+    if w <= 0 or h <= 0 or w * h * ncomp > MAX_SAMPLES:
+        raise ValueError("jp2k: fixture exceeds sample budget")
+    if not 0 <= levels <= 32:
+        raise ValueError("jp2k: bad decomposition levels")
+    xcb, ycb = cb
+    if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
+        raise ValueError("jp2k: bad code-block size")
+    cbw, cbh = 1 << xcb, 1 << ycb
+
+    if gray:
+        comps = [a.astype(np.int64) - 128]
+        use_mct = 0
+    else:
+        comps = [a[:, :, i].astype(np.int64) - 128 for i in range(3)]
+        if rct:
+            comps = list(_rct_fwd(*comps))
+        use_mct = 1 if rct else 0
+
+    layout = _band_layout(w, h, levels)
+    comp_bands = []
+    for cdat in comps:
+        res_bands = [None] * (levels + 1)
+        cur = cdat
+        for lev in range(1, levels + 1):
+            ll, hl, lh, hh = _fdwt_level(cur)
+            res_bands[levels - lev + 1] = [hl, lh, hh]
+            cur = ll
+        res_bands[0] = [cur]
+        comp_bands.append(res_bands)
+
+    # Tier-1 encode everything, collecting per-band max bit-planes
+    # across components to derive the shared QCD exponents
+    block_data = {}
+    maxbps = []
+    for r, bands in enumerate(layout):
+        for bi, (btype, bw, bh) in enumerate(bands):
+            mb = 0
+            blocks, _nbx, _nby = _blocks(bw, bh, cbw, cbh)
+            for c in range(ncomp):
+                barr = comp_bands[c][r][bi]
+                res = []
+                for (x0, y0, cw, ch) in blocks:
+                    sub = barr[y0:y0 + ch, x0:x0 + cw]
+                    data, nb, np_ = _t1_encode(
+                        [int(v) for v in sub.ravel()], cw, ch, btype)
+                    mb = max(mb, nb)
+                    res.append((data, nb, np_))
+                block_data[(c, r, bi)] = res
+            maxbps.append(mb)
+
+    eps_list = [max(0, mb + 1 - _GUARD_BITS) for mb in maxbps]
+    if any(e > 31 for e in eps_list):
+        raise ValueError("jp2k: coefficient range too wide")
+
+    # packets: res-major (LRCP with one layer / one precinct)
+    tile = bytearray()
+    flat = 0
+    flat_of = {}
+    for r, bands in enumerate(layout):
+        for bi in range(len(bands)):
+            flat_of[(r, bi)] = flat
+            flat += 1
+    for r, bands in enumerate(layout):
+        for c in range(ncomp):
+            wtr = _PHWriter()
+            wtr.bit(1)
+            bodies = bytearray()
+            for bi, (btype, bw, bh) in enumerate(bands):
+                blocks, nbx, nby = _blocks(bw, bh, cbw, cbh)
+                if not blocks:
+                    continue
+                res = block_data[(c, r, bi)]
+                mb_band = _GUARD_BITS + eps_list[flat_of[(r, bi)]] - 1
+                tinc = _TTEnc(nbx, nby,
+                              [0 if rb[1] else 1 for rb in res])
+                tzbp = _TTEnc(nbx, nby,
+                              [mb_band - rb[1] if rb[1] else mb_band
+                               for rb in res])
+                for k, (data, nb, np_) in enumerate(res):
+                    bx, by = k % nbx, k // nbx
+                    tinc.encode(wtr, bx, by, 1)
+                    if nb == 0:
+                        continue
+                    tzbp.encode(wtr, bx, by, mb_band - nb + 1)
+                    _write_npasses(wtr, np_)
+                    lbits = np_.bit_length() - 1
+                    ln = len(data)
+                    inc = max(0, ln.bit_length() - (3 + lbits))
+                    for _ in range(inc):
+                        wtr.bit(1)
+                    wtr.bit(0)
+                    wtr.bits(ln, 3 + inc + lbits)
+                    bodies += data
+            tile += wtr.align() + bytes(bodies)
+
+    out = bytearray(b"\xff\x4f")                       # SOC
+    out += b"\xff\x51" + struct.pack(                  # SIZ
+        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0,
+        w, h, 0, 0, ncomp) + b"\x07\x01\x01" * ncomp
+    out += b"\xff\x52" + struct.pack(                  # COD
+        ">HBBHBBBBBB", 12, 0, 0, 1, use_mct, levels,
+        xcb - 2, ycb - 2, 0, 1)
+    nb_all = 3 * levels + 1
+    out += b"\xff\x5c" + struct.pack(">HB", 3 + nb_all,
+                                     _GUARD_BITS << 5)  # QCD
+    out += bytes(e << 3 for e in eps_list)
+    psot = 2 + 10 + 2 + len(tile)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + tile + b"\xff\xd9"            # SOD .. EOC
+    return bytes(out)
+
+
+def encode_jp2(arr, levels: int = 2, cb=(4, 4),
+               rct: bool = True) -> bytes:
+    """Wrap :func:`encode_lossless` in the JP2 box container
+    (signature / ftyp / jp2h(ihdr+colr) / jp2c, ISO 15444-1 §I)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    cs = encode_lossless(a, levels=levels, cb=cb, rct=rct)
+    gray = a.ndim == 2
+    h, w = int(a.shape[0]), int(a.shape[1])
+    nc = 1 if gray else 3
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", h, w, nc, 7, 7, 0, 0))
+    colr = box(b"colr", b"\x01\x00\x00" + struct.pack(
+        ">I", 17 if gray else 16))
+    return (b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+            + box(b"ftyp", b"jp2 \x00\x00\x00\x00jp2 ")
+            + box(b"jp2h", ihdr + colr)
+            + box(b"jp2c", cs))
+
+
+# --------------------------------------------------------- decoder
+def _find_codestream(data: bytes) -> bytes:
+    """Raw codestream passthrough, or pull jp2c out of the JP2 box
+    container (same walk rules as mp4box.parse_jp2_dims)."""
+    if data[:2] == b"\xff\x4f":
+        return data
+    if data[:12] != b"\x00\x00\x00\x0cjP  \r\n\x87\n":
+        raise ValueError("jp2k: not a JPEG 2000 payload")
+    pos, n = 12, len(data)
+    guard = 0
+    while pos + 8 <= n:
+        guard += 1
+        if guard > 1 << 12:
+            raise ValueError("jp2k: box walk runaway")
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        tag = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > n:
+                raise ValueError("jp2k: truncated extended box")
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            body = pos + 16
+        if size == 0:
+            size = n - pos
+        if size < 8 or pos + size > n:
+            raise ValueError("jp2k: bad box size")
+        if tag == b"jp2c":
+            return data[body:pos + size]
+        pos += size
+    raise ValueError("jp2k: no codestream box")
+
+
+_SKIP_MARKERS = {0x64, 0x55, 0x57, 0x63, 0x58}   # COM TLM PLM CRG PLT
+_REJECT_MARKERS = {0x5D: "QCC", 0x53: "COC", 0x5E: "RGN",
+                   0x5F: "POC", 0x60: "PPM", 0x61: "PPT"}
+
+
+def _dec_packet(tile: bytes, tpos: int, bands: list, eps: list,
+                guard: int, cbw: int, cbh: int, arrs: list) -> int:
+    """Decode one packet starting at tile[tpos] into the band arrays
+    ``arrs`` (parallel to ``bands``, int64 2-D); ``eps`` holds the
+    QCD exponent per band.  Returns the offset past the packet."""
+    rdr = _PHReader(tile, tpos)
+    if not rdr.bit():
+        rdr.align()
+        return rdr.pos
+    todo = []
+    for bi, (btype, bw, bh) in enumerate(bands):
+        blocks, nbx, nby = _blocks(bw, bh, cbw, cbh)
+        if not blocks:
+            continue
+        mb = guard + eps[bi] - 1
+        tinc = _TTDec(nbx, nby)
+        tzbp = _TTDec(nbx, nby)
+        for k, (x0, y0, cw, ch) in enumerate(blocks):
+            bx, by = k % nbx, k // nbx
+            if not tinc.decode(rdr, bx, by, 1):
+                continue
+            zbp = tzbp.full(rdr, bx, by, mb + 2)
+            numbps = mb - zbp
+            if numbps <= 0 or numbps > 37:
+                raise ValueError("jp2k: bad zero bit-planes")
+            npasses = _read_npasses(rdr)
+            if npasses > 3 * numbps - 2:
+                raise ValueError("jp2k: pass count exceeds planes")
+            lbits = npasses.bit_length() - 1
+            inc = 0
+            while rdr.bit():
+                inc += 1
+                if inc > 32:
+                    raise ValueError("jp2k: Lblock runaway")
+            nlen = 3 + inc + lbits
+            if nlen > 32:
+                raise ValueError("jp2k: length field too wide")
+            ln = rdr.bits(nlen)
+            todo.append((bi, x0, y0, cw, ch, numbps, npasses,
+                         ln, btype))
+    rdr.align()
+    pos = rdr.pos
+    for bi, x0, y0, cw, ch, numbps, npasses, ln, btype in todo:
+        if pos + ln > len(tile):
+            raise ValueError("jp2k: packet body overrun")
+        vals = _t1_decode(tile[pos:pos + ln], cw, ch, numbps,
+                          npasses, btype)
+        pos += ln
+        arrs[bi][y0:y0 + ch, x0:x0 + cw] = np.asarray(
+            vals, dtype=np.int64).reshape(ch, cw)
+    return pos
+
+
+def decode_jp2k(data: bytes) -> np.ndarray:
+    """Decode a JP2 file or raw codestream into uint8 pixels —
+    (h, w) grey or (h, w, 3) RGB.  Raises ValueError outside the
+    module's subset (see module docstring); callers then fall back
+    to the size-only header walk (mp4box.parse_jp2_dims)."""
+    cs = _find_codestream(bytes(data))
+    if cs[:2] != b"\xff\x4f":
+        raise ValueError("jp2k: missing SOC")
+    pos, n = 2, len(cs)
+    siz = cod = qcd = None
+    while True:
+        if pos + 4 > n:
+            raise ValueError("jp2k: truncated main header")
+        if cs[pos] != 0xFF:
+            raise ValueError("jp2k: bad marker alignment")
+        mk = cs[pos + 1]
+        if mk == 0x90:                                  # SOT
+            break
+        ln = int.from_bytes(cs[pos + 2:pos + 4], "big")
+        seg = cs[pos + 4:pos + 2 + ln]
+        if ln < 2 or len(seg) != ln - 2:
+            raise ValueError("jp2k: truncated marker segment")
+        if mk == 0x51:
+            siz = seg
+        elif mk == 0x52:
+            cod = seg
+        elif mk == 0x5C:
+            qcd = seg
+        elif mk in _REJECT_MARKERS:
+            raise ValueError(
+                "jp2k: %s out of subset" % _REJECT_MARKERS[mk])
+        elif mk not in _SKIP_MARKERS:
+            raise ValueError("jp2k: unknown marker %02x" % mk)
+        pos += 2 + ln
+    if siz is None or cod is None or qcd is None:
+        raise ValueError("jp2k: missing SIZ/COD/QCD")
+
+    # ---- SIZ
+    if len(siz) < 36:
+        raise ValueError("jp2k: short SIZ")
+    (_rsiz, xs, ys, x0, y0, xts, yts, xt0, yt0, ncomp) = \
+        struct.unpack(">HIIIIIIIIH", siz[:36])
+    if x0 or y0 or xt0 or yt0:
+        raise ValueError("jp2k: grid offsets out of subset")
+    w, h = xs, ys
+    if w <= 0 or h <= 0 or xts < xs or yts < ys:
+        raise ValueError("jp2k: multi-tile out of subset")
+    if ncomp not in (1, 3) or len(siz) < 36 + 3 * ncomp:
+        raise ValueError("jp2k: component count out of subset")
+    for ci in range(ncomp):
+        ssiz, xr, yr = siz[36 + 3 * ci:39 + 3 * ci]
+        if ssiz != 0x07 or xr != 1 or yr != 1:
+            raise ValueError("jp2k: sample format out of subset")
+    if w * h * ncomp > MAX_SAMPLES:
+        raise ValueError("jp2k: image exceeds decode budget")
+
+    # ---- COD
+    if len(cod) < 10:
+        raise ValueError("jp2k: short COD")
+    scod, prog, nlayers, mct, nl, xcb2, ycb2, cbsty, xform = \
+        struct.unpack(">BBHBBBBBB", cod[:10])
+    if scod != 0:
+        raise ValueError("jp2k: precinct/SOP/EPH out of subset")
+    if prog > 2:
+        raise ValueError("jp2k: progression out of subset")
+    if nlayers != 1:
+        raise ValueError("jp2k: multiple layers out of subset")
+    if mct not in (0, 1) or (mct and ncomp != 3):
+        raise ValueError("jp2k: bad MCT")
+    if nl > 32:
+        raise ValueError("jp2k: too many decomposition levels")
+    xcb, ycb = xcb2 + 2, ycb2 + 2
+    if xcb > 10 or ycb > 10 or xcb + ycb > 12:
+        raise ValueError("jp2k: bad code-block size")
+    if cbsty != 0:
+        raise ValueError("jp2k: code-block style out of subset")
+    if xform != 1:
+        raise ValueError("jp2k: 9/7 wavelet out of subset")
+    cbw, cbh = 1 << xcb, 1 << ycb
+
+    # ---- QCD
+    if len(qcd) < 1:
+        raise ValueError("jp2k: short QCD")
+    if qcd[0] & 0x1F:
+        raise ValueError("jp2k: quantized (lossy) out of subset")
+    guard = qcd[0] >> 5
+    nbands = 3 * nl + 1
+    if len(qcd) < 1 + nbands:
+        raise ValueError("jp2k: short QCD exponents")
+    eps_flat = [qcd[1 + i] >> 3 for i in range(nbands)]
+
+    # ---- SOT / SOD
+    if pos + 12 > n:
+        raise ValueError("jp2k: truncated SOT")
+    lsot, isot, psot, tpsot, _tnsot = struct.unpack(
+        ">HHIBB", cs[pos + 2:pos + 12])
+    if lsot != 10 or isot != 0 or tpsot != 0:
+        raise ValueError("jp2k: multi-tile out of subset")
+    tile_end = pos + psot if psot else \
+        (n - 2 if cs[n - 2:] == b"\xff\xd9" else n)
+    if tile_end > n or tile_end < pos + 12:
+        raise ValueError("jp2k: bad Psot")
+    tp = pos + 12
+    while True:
+        if tp + 2 > tile_end:
+            raise ValueError("jp2k: missing SOD")
+        if cs[tp] != 0xFF:
+            raise ValueError("jp2k: bad tile marker")
+        mk = cs[tp + 1]
+        if mk == 0x93:                                  # SOD
+            tp += 2
+            break
+        if mk not in _SKIP_MARKERS:
+            raise ValueError("jp2k: tile marker %02x out of subset"
+                             % mk)
+        ln = int.from_bytes(cs[tp + 2:tp + 4], "big")
+        if ln < 2 or tp + 2 + ln > tile_end:
+            raise ValueError("jp2k: truncated tile marker")
+        tp += 2 + ln
+    tile = cs[tp:tile_end]
+
+    # ---- packets (res-major; one layer, one precinct)
+    layout = _band_layout(w, h, nl)
+    coefs = [[[np.zeros((bh, bw), dtype=np.int64)
+               for (_bt, bw, bh) in bands] for bands in layout]
+             for _ in range(ncomp)]
+    flat = 0
+    eps_of_res = []
+    for bands in layout:
+        eps_of_res.append(eps_flat[flat:flat + len(bands)])
+        flat += len(bands)
+    tpos = 0
+    for r in range(nl + 1):
+        for c in range(ncomp):
+            tpos = _dec_packet(tile, tpos, layout[r], eps_of_res[r],
+                               guard, cbw, cbh, coefs[c][r])
+
+    # ---- IDWT + MCT + DC shift
+    planes = []
+    for c in range(ncomp):
+        cur = coefs[c][0][0]
+        for r in range(1, nl + 1):
+            hl, lh, hh = coefs[c][r]
+            cur = _idwt_level(cur, hl, lh, hh)
+        planes.append(cur)
+    if mct:
+        planes = list(_rct_inv(*planes))
+    planes = [np.clip(p + 128, 0, 255).astype(np.uint8)
+              for p in planes]
+    if ncomp == 1:
+        return planes[0]
+    return np.stack(planes, axis=2)
