@@ -1071,7 +1071,15 @@ def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for odd, EncodedByteAlign every 5th) whose top k = id % (h+1)
     rows are black — fax decode is bit-exact by construction, so
     ink/luma stay pure doc_id arithmetic, and k == 0 docs prove the
-    blank-paper OCR pruning extends to the scanned-PDF class."""
+    blank-paper OCR pruning extends to the scanned-PDF class.
+
+    r6 also adds a fourth, JPXDecode page per doc: a flat-gray
+    JPEG 2000 codestream (kernel/jp2k, lossless 5/3) cycling
+    white-255 (blank -> pruned) / dark-48 / dark-16 by id%3; every
+    id%5==2 doc's codestream has its COD transform byte flipped to
+    9/7 — outside the decode subset, so the image degrades to a
+    size-only entry and the page conservatively stays needs-ocr
+    even when its fill is white (decoded-only pruning proof)."""
     import numpy as np
 
     from pdf_to_text_extraction_service_spark.kernel import ccitt, imgcodec
@@ -1113,10 +1121,24 @@ def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
             fax_entry = pdfgen.ccitt_image_entry(
                 fenc(fax, byte_align=(i % 5 == 0)), 16, fh,
                 k=(0 if i % 2 else -1), byte_align=(i % 5 == 0))
+        from pdf_to_text_extraction_service_spark.kernel import jp2k
+        jv = 255 if i % 3 == 0 else (48 if i % 3 == 1 else 16)
+        jw, jh = 8 * (1 + i % 3), 8 * (1 + i % 2)
+        jcs = bytearray(jp2k.encode_lossless(
+            np.full((jh, jw), jv, np.uint8), levels=1 + i % 2))
+        if i % 5 == 2:
+            # flip the COD transform byte to 9/7: out of subset,
+            # decode falls back to the size-only header walk
+            jcs[jcs.index(b"\xff\x52") + 13] = 0
+        jpx_entry = (
+            b"/Width %d /Height %d /BitsPerComponent 8 "
+            b"/ColorSpace /DeviceGray /Filter /JPXDecode"
+            % (jw, jh), bytes(jcs))
         payload = pdfgen.build_pdf_jpeg_pages([
             (pdfgen.single_column_page(good), []),
             ([], [jpeg]),
             ([], [fax_entry]),
+            ([], [jpx_entry]),
         ])
         rows.append((f"https://corpus.example/pdfimg/{i}.pdf", payload))
     df = spark.createDataFrame(rows, "url string, html binary")
@@ -1539,16 +1561,18 @@ def _q_video_container_features(spark: SparkSession,
 
 def _q_image_codec_breadth(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
-    """BMP/GIF/TIFF/WebP-VP8L real decode + WebP-lossy/AVIF
-    dimension sniff over
+    """BMP/GIF/TIFF/WebP-VP8L/JPEG-2000 real decode + WebP-lossy/
+    AVIF dimension sniff over
     synthetic images whose stats are CLOSED FORM from doc_id: kind
     cycles flat gray BMP / flat RGB BMP / flat gray GIF / WebP header
-    / AVIF header / flat gray TIFF (endianness and PackBits cycling)
+    / AVIF-or-JP2 / flat gray TIFF (endianness and PackBits cycling)
     by i%6; every 7th payload is garbage -> the dispatcher's exact
     error string; every i%11==3 doc is an SVG dimension sniff
     (width/height attrs or viewBox, alternating).  Flat images decode
     to their fill value, so mean_sample is doc_id arithmetic
-    ((r+g+b)//3 for RGB)."""
+    ((r+g+b)//3 for RGB).  r6: kind-4 ids with i%4==2 are JPEG 2000
+    — real lossless grey / RGB+RCT codestreams (kernel/jp2k) or a
+    jp2c-less container proving the header-walk fallback."""
     import numpy as np
 
     from pdf_to_text_extraction_service_spark.functions.multimodal import (
@@ -1618,9 +1642,26 @@ def _q_image_codec_breadth(spark: SparkSession,
                 return vp8l.encode_webp_lossless(img)
             return imgcodec.encode_webp_header(
                 100 + i % 50, 80 + i % 40, variant)
-        if i % 2:
-            # r6: JPEG 2000 header walk (JP2 box container) —
-            # dims-only like AVIF, same closed-form dims
+        if i % 4 == 2:
+            # r6: JPEG 2000 — (i//12)%3 cycles real lossless grey /
+            # real RGB+RCT (kernel/jp2k flat fills decode exactly,
+            # mean closed-form) / a jp2c-less box container whose
+            # dims come from the ihdr header walk (decode-fallback
+            # proof).  kind==4 forces even ids, so this sub-cycle is
+            # the only reachable jp2 split.
+            from pdf_to_text_extraction_service_spark.kernel \
+                import jp2k
+            sub = (i // 12) % 3
+            if sub < 2:
+                w3, h3 = 40 + i % 30, 30 + i % 20
+                if sub == 0:
+                    img = np.full((h3, w3), (i * 19) % 256, np.uint8)
+                else:
+                    img = np.empty((h3, w3, 3), np.uint8)
+                    img[:, :] = ((i * 19) % 256, (i * 23) % 256,
+                                 (i * 31) % 256)
+                return jp2k.encode_jp2(img, levels=1 + i % 3,
+                                       cb=(4, 4))
             w2, h2 = 320 + i % 100, 200 + i % 80
             ihdr_body = (h2.to_bytes(4, "big") + w2.to_bytes(4, "big")
                          + (3).to_bytes(2, "big") + bytes([7, 7, 0, 0]))
@@ -3290,17 +3331,25 @@ def oracle_sql() -> dict[str, str]:
                           (CASE media_id % 3 WHEN 0 THEN 'vp8'
                                WHEN 1 THEN 'vp8l' ELSE 'vp8x' END)
                         WHEN kind = 5 THEN 'tiff'
-                        WHEN media_id % 2 = 1 THEN 'jp2'
+                        WHEN media_id % 4 = 2 THEN 'jp2'
                         ELSE 'avif' END AS codec,
                    CASE WHEN bad THEN NULL
                         WHEN is_svg THEN svgw
                         WHEN kind IN (0, 1, 2, 5) THEN bw
-                        WHEN kind = 3 THEN ww ELSE aw END
+                        WHEN kind = 3 THEN ww
+                        WHEN media_id % 4 = 2
+                             AND (media_id // 12) % 3 < 2
+                          THEN 40 + media_id % 30
+                        ELSE aw END
                        ::INTEGER AS width,
                    CASE WHEN bad THEN NULL
                         WHEN is_svg THEN svgh
                         WHEN kind IN (0, 1, 2, 5) THEN bh
-                        WHEN kind = 3 THEN wh ELSE ah END
+                        WHEN kind = 3 THEN wh
+                        WHEN media_id % 4 = 2
+                             AND (media_id // 12) % 3 < 2
+                          THEN 30 + media_id % 20
+                        ELSE ah END
                        ::INTEGER AS height,
                    CASE WHEN bad OR is_svg THEN NULL
                         WHEN kind = 0 THEN gv
@@ -3313,6 +3362,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN kind = 3 AND media_id % 3 = 1 THEN
                           ((media_id * 17) % 256 + (media_id * 29) % 256
                            + (media_id * 5) % 256 + 255) // 4
+                        WHEN kind = 4 AND media_id % 4 = 2
+                             AND (media_id // 12) % 3 = 0
+                          THEN (media_id * 19) % 256
+                        WHEN kind = 4 AND media_id % 4 = 2
+                             AND (media_id // 12) % 3 = 1
+                          THEN ((media_id * 19) % 256
+                                + (media_id * 23) % 256
+                                + (media_id * 31) % 256) // 3
                         ELSE NULL END
                        ::BIGINT AS mean_sample,
                    CASE WHEN bad THEN 'unsupported image container'
@@ -3462,28 +3519,41 @@ def oracle_sql() -> dict[str, str]:
             WITH fax AS (
                 SELECT doc_id,
                        8 * (1 + doc_id % 2) AS fh,
-                       doc_id % (8 * (1 + doc_id % 2) + 1) AS fk
+                       doc_id % (8 * (1 + doc_id % 2) + 1) AS fk,
+                       64 * (1 + doc_id % 3) * (1 + doc_id % 2) AS jpx,
+                       CASE doc_id % 3 WHEN 0 THEN 255
+                            WHEN 1 THEN 48 ELSE 16 END AS jv,
+                       doc_id % 5 = 2 AS jbad
                 FROM documents WHERE doc_id < 100
             )
             SELECT 'https://corpus.example/pdfimg/' ||
                        CAST(doc_id AS VARCHAR) || '.pdf' AS url,
-                   CAST(3 AS INTEGER) AS total_pages,
+                   CAST(4 AS INTEGER) AS total_pages,
                    CAST((CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
                         + (CASE WHEN fk > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN doc_id % 3 != 0 OR jbad
+                           THEN 1 ELSE 0 END)
                         AS INTEGER) AS needs_ocr_pages,
                    CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
                         + (CASE WHEN fk = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN doc_id % 3 = 0 AND NOT jbad
+                           THEN 1 ELSE 0 END)
                         AS INTEGER) AS blank_pages,
-                   CAST(2 AS INTEGER) AS n_images,
+                   CAST(3 AS INTEGER) AS n_images,
                    CAST(64 * (1 + doc_id % 3) * (1 + doc_id % 2)
-                        + 16 * fh AS BIGINT) AS img_pixels,
+                        + 16 * fh + jpx AS BIGINT) AS img_pixels,
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 0
                         ELSE 64 * (1 + doc_id % 3) * (1 + doc_id % 2)
-                        END + 16 * fk AS BIGINT) AS ink_samples,
+                        END + 16 * fk
+                        + (CASE WHEN jbad OR doc_id % 3 = 0
+                           THEN 0 ELSE jpx END) AS BIGINT)
+                       AS ink_samples,
                    CAST((CASE doc_id % 3 WHEN 0 THEN 255
                          WHEN 1 THEN 64 ELSE 32 END)
                         * 64 * (1 + doc_id % 3) * (1 + doc_id % 2)
-                        + 255 * 16 * (fh - fk) AS BIGINT) AS sum_luma
+                        + 255 * 16 * (fh - fk)
+                        + (CASE WHEN jbad THEN 0 ELSE jv * jpx END)
+                        AS BIGINT) AS sum_luma
             FROM fax
         """,
         "canonical_urls": _CANONICAL_URLS_SQL,

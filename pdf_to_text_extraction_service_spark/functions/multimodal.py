@@ -777,6 +777,16 @@ def image_breadth_features(df: DataFrame, id_col: str = "media_id",
                     elif fam == "jp2":
                         codec, w, h, _nc, _d = \
                             mp4box.parse_jp2_dims(payload)
+                        try:
+                            # r6: real lossless decode (kernel/jp2k)
+                            from ..kernel import jp2k as jp2k_codec
+
+                            arr = jp2k_codec.decode_jp2k(payload)
+                            h, w = arr.shape[0], arr.shape[1]
+                            mean = int(arr.astype("int64").sum()) \
+                                // arr.size
+                        except ValueError:
+                            pass    # outside subset: dims-only row
                     elif fam == "svg":
                         w, h = imgcodec.svg_dims(payload)
                         codec = "svg"

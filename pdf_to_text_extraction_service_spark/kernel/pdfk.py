@@ -841,13 +841,20 @@ def _decode_image_payload(kind: str, head: bytes, raw: bytes,
             arr = np.where(bits, 0, 255).astype("uint8")
             return _stats_from_array(kind, arr)
         if name == "JPXDecode":
-            # wavelet decode is out of scope, but the JP2/J2K header
-            # gives truthful dimensions for the size-only entry
-            # (the /Width//Height dict keys can lie)
-            from . import mp4box
+            if i != len(filters) - 1:
+                raise PDFError("image: JPX not last in chain")
+            # real decode inside kernel/jp2k's lossless Part 1
+            # subset; anything outside it (9/7 lossy, precincts,
+            # multi-tile, oversized) still yields truthful
+            # dimensions from the JP2/J2K header walk for the
+            # size-only entry (the /Width//Height dict keys can lie)
+            from . import jp2k, mp4box
 
-            _c, jw, jh, _nc, _d = mp4box.parse_jp2_dims(raw)
-            return ImageStats(kind, jw, jh)
+            try:
+                return _stats_from_array(kind, jp2k.decode_jp2k(raw))
+            except ValueError:
+                _c, jw, jh, _nc, _d = mp4box.parse_jp2_dims(raw)
+                return ImageStats(kind, jw, jh)
         raw = _apply_filter(name, raw)
     # no image codec: raw samples — 8-bit gray/RGB, or sub-byte
     # (1/2/4-bit) gray incl. /ImageMask stencils (scanned PDFs often

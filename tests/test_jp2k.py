@@ -229,3 +229,43 @@ def test_decode_budget_and_bad_payloads():
         jp2k.decode_jp2k(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(ValueError, match="budget"):
         jp2k.encode_lossless(np.zeros((1024, 1024), np.uint8))
+
+
+def test_pdf_jpx_xobject_blank_pruning_and_fallback():
+    from pdf_to_text_extraction_service_spark.kernel import pdfk
+    from pdf_to_text_extraction_service_spark.sources import pdfgen
+
+    h, w = 16, 24
+
+    def _pdf(cs):
+        head = (b"/Width %d /Height %d /BitsPerComponent 8 "
+                b"/ColorSpace /DeviceGray /Filter /JPXDecode"
+                % (w, h))
+        return pdfgen.build_pdf_jpeg_pages([([], [(head, cs)])])
+
+    # dark fill: real decode, full ink, needs-ocr
+    dark = _pdf(jp2k.encode_lossless(np.full((h, w), 40, np.uint8)))
+    doc = pdfk.PDFDoc(dark)
+    st = doc.page_image_stats(1)
+    assert st == {"n_images": 1, "n_decoded": 1, "pixels": h * w,
+                  "n_samples": h * w, "ink_samples": h * w,
+                  "sum_luma": 40 * h * w}
+    assert pdfk.extract_pdf(dark, "application/pdf",
+                            doc=doc).pages[0].method == "needs-ocr"
+    # white fill: real decode, zero ink -> pruned to blank
+    blank = _pdf(jp2k.encode_lossless(np.full((h, w), 255, np.uint8)))
+    doc = pdfk.PDFDoc(blank)
+    assert pdfk.extract_pdf(blank, "application/pdf",
+                            doc=doc).pages[0].method == "blank"
+    # out-of-subset (9/7 transform): size-only entry keeps needs-ocr
+    # even for a white fill — pruning requires DECODED pixels
+    cs = bytearray(jp2k.encode_lossless(
+        np.full((h, w), 255, np.uint8)))
+    cs[cs.index(b"\xff\x52") + 13] = 0
+    bad = _pdf(bytes(cs))
+    doc = pdfk.PDFDoc(bad)
+    st = doc.page_image_stats(1)
+    assert st["n_images"] == 1 and st["n_decoded"] == 0
+    assert st["pixels"] == h * w and st["sum_luma"] == 0
+    assert pdfk.extract_pdf(bad, "application/pdf",
+                            doc=doc).pages[0].method == "needs-ocr"
