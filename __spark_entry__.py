@@ -1320,6 +1320,53 @@ def _q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_abs", "zero_cross")
 
 
+def _q_audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC sample decode (kernel/flacdec.py) over square-wave
+    fixtures whose stats are CLOSED FORM — the same A(i)/H(i)/F(i)
+    arithmetic as audio_wav_features (mean_abs = A, zero_cross =
+    (F-1) // H, duration = F*1000//rate), so the oracle never touches
+    the codec.  The fixture cycles every stereo decorrelation mode
+    and fixed-predictor order so the driver row covers the whole
+    decode surface; every 9th payload is garbage -> the decoder's
+    exact error string."""
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        flac_decode_features,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import flacdec
+
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+    ids = [r["doc_id"] for r in docs.collect()]
+
+    def payload(i: int) -> bytes:
+        if i % 9 == 0:
+            return b"not a flac"
+        frames = 400 + i % 50
+        half = 2 + i % 5
+        amp = 500 + i * 3
+        rate = 8000 + (i % 4) * 4000
+        t = np.arange(frames)
+        wave = np.where((t // half) % 2 == 0, amp, -amp).astype(
+            np.int64)
+        if i % 2:  # stereo: duplicated channel, mono mean identical
+            wave = np.stack([wave, wave], axis=1)
+            mode = ("indep", "left_side", "right_side",
+                    "mid_side")[(i // 2) % 4]
+        else:
+            mode = "indep"
+        return flacdec.encode_flac(wave, rate, bits=16, block_size=256,
+                                   stereo_mode=mode,
+                                   fixed_order=i % 5)
+
+    media = spark.createDataFrame(
+        [(i, payload(i)) for i in ids], "media_id long, payload binary")
+    return flac_decode_features(media).select(
+        "media_id", "sample_rate", "channels", "bits", "duration_ms",
+        "mean_abs", "zero_cross", "error")
+
+
 def _q_audio_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 frame-header walk over synthetic MPEG-1 Layer III streams
     whose signals are CLOSED FORM: n = 20 + i%10 frames, rate cycles
@@ -1863,6 +1910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_yaml_docs": _q_extract_yaml,  # modified r6 (folded scalars)
     "audio_mp3_features": _q_audio_mp3_features,  # trailing tags r6
     "audio_container_features": _q_audio_container_features,  # trailing tags + sniff table r6
+    "audio_flac_decode": _q_audio_flac_decode,  # NEW r6 (real FLAC decode)
     "media_features_unified": _q_media_features_unified,  # sniff table r6
     "video_container_features": _q_video_container_features,  # sniff table r6
     "media_mp4_features": _q_media_mp4_features,  # sniff table r6
@@ -1882,8 +1930,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "canonical_urls": _q_canonical_urls,
+    # --- TAIL: r5 hash-green, untouched this round, rotate back r7
+    # (boilerplate_filter displaced by audio_flac_decode's insertion) ---
     "boilerplate_filter": _q_boilerplate_filter,
-    # --- TAIL: r5 hash-green, untouched this round, rotate back r7 ---
     "dedup_video_signature": _q_dedup_video_sig,
     "audio_wav_features": _q_audio_wav_features,
     "paragraph_dedup": _q_paragraph_dedup,
@@ -3035,6 +3084,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(500 + doc_id * 3 AS BIGINT) AS mean_abs,
                    CAST((400 + doc_id % 50 - 1) // (2 + doc_id % 5)
                         AS BIGINT) AS zero_cross
+            FROM documents WHERE doc_id < 200
+        """,
+        # FLAC decode oracle: identical square-wave arithmetic to the
+        # WAV oracle (the codec path differs, the signal does not);
+        # every 9th row is the decoder's exact bad-magic error.
+        "audio_flac_decode": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE CAST(8000 + (doc_id % 4) * 4000 AS INTEGER)
+                   END AS sample_rate,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE CAST(CASE WHEN doc_id % 2 = 1 THEN 2
+                                       ELSE 1 END AS INTEGER)
+                   END AS channels,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE CAST(16 AS INTEGER)
+                   END AS bits,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE CAST((400 + doc_id % 50) * 1000
+                                  // (8000 + (doc_id % 4) * 4000)
+                                  AS BIGINT)
+                   END AS duration_ms,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE CAST(500 + doc_id * 3 AS BIGINT)
+                   END AS mean_abs,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE CAST((400 + doc_id % 50 - 1)
+                                  // (2 + doc_id % 5) AS BIGINT)
+                   END AS zero_cross,
+                   CASE WHEN doc_id % 9 = 0
+                        THEN 'flac: bad magic or truncated'
+                   END AS error
             FROM documents WHERE doc_id < 200
         """,
         "ann_cosine_topk": """
