@@ -1055,6 +1055,113 @@ def _q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_page_stats(extract(df))
 
 
+_PDF_FONT_DIFF_POOL = [
+    ("aacute", "á"), ("Edieresis", "Ë"), ("uni0416", "Ж"),
+    ("quotedblleft", "“"), ("emdash", "—"), ("scaron", "š"),
+    ("germandbls", "ß"), ("ccedilla", "ç"),
+]
+
+
+def _pdf_font_lines(i: int) -> list[str]:
+    """The fixture text for doc i — shared by payload builder and
+    oracle mirror; expected extraction is exactly
+    '\\n'.join(lines)."""
+    kind = i % 4
+    if kind == 0:
+        return [f"document {i} keeps the “quoted” café open before "
+                "the meeting starts",
+                f"a naïve résumé lists €{i} and ±{i % 10}° in its "
+                "summary notes"]
+    if kind == 1:
+        return [f"document {i} compares π ≈ {i % 7} against older "
+                "records from the lab",
+                "the café ƒund shows ≠ and ∞ marks in the margin "
+                "notes today"]
+    if kind == 2:
+        return [f"document {i} keeps ’quoted‘ text with ﬁne ﬂow in "
+                "the body",
+                f"the Æsop fable adds ß marks – notes • and … "
+                f"endings «{i}»"]
+    j = (i // 4) % len(_PDF_FONT_DIFF_POOL)
+    picks = [_PDF_FONT_DIFF_POOL[(j + k) % len(_PDF_FONT_DIFF_POOL)]
+             for k in range(3)]
+    spec = "".join(ch for _, ch in picks)
+    return [f"document {i} blends special letters {spec} into plain "
+            "prose cleanly",
+            f"plain ascii line {i} keeps the quality scorer happy "
+            "enough today"]
+
+
+def _pdf_font_payload(i: int) -> bytes:
+    from pdf_to_text_extraction_service_spark.kernel import pdfenc
+    from pdf_to_text_extraction_service_spark.sources import pdfgen
+
+    lines = _pdf_font_lines(i)
+    kind = i % 4
+    if kind == 0:
+        body, enc = b"/WinAnsiEncoding", \
+            (lambda t: t.encode("cp1252"))
+    elif kind == 1:
+        body, enc = b"/MacRomanEncoding", \
+            (lambda t: t.encode("mac_roman"))
+    elif kind == 2:
+        inv = {c: k for k, c in pdfenc.STANDARD.items()}
+        body, enc = b"/StandardEncoding", \
+            (lambda t: bytes(inv[c] for c in t))
+    else:
+        j = (i // 4) % len(_PDF_FONT_DIFF_POOL)
+        picks = [_PDF_FONT_DIFF_POOL[(j + k) % len(_PDF_FONT_DIFF_POOL)]
+                 for k in range(3)]
+        names = " ".join("/" + n for n, _ in picks)
+        body = (f"<< /BaseEncoding /WinAnsiEncoding /Differences "
+                f"[ 128 {names} ] >>").encode()
+        special = {ch: 128 + k for k, (_, ch) in enumerate(picks)}
+        enc = (lambda t, sp=special: bytes(
+            sp[c] if c in sp else c.encode("cp1252")[0] for c in t))
+    return pdfgen.build_pdf_encoded(
+        [pdfgen.single_column_page(lines)], body, enc)
+
+
+def _q_pdf_font_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-font /Encoding resolution over PDFs with NO ToUnicode
+    (kernel/pdfenc.py + pdfk._font_encoding): WinAnsi / MacRoman /
+    Standard base tables and /Differences glyph-name remaps, rotating
+    by doc_id%4 — the shape legacy-tool PDFs produce, which poppler
+    (the reference's extractor, internal/extractor/poppler.go)
+    resolves via exactly these Annex D tables.  Expected text is the
+    fixture's own literal lines joined by newline (an independent
+    mirror — the oracle never touches the engine), embedded as a
+    VALUES lookup."""
+    from pdf_to_text_extraction_service_spark.functions.extract_udf import (
+        extract,
+    )
+
+    ids = [r["doc_id"] for r in load_documents(spark, sf_dir)
+           .select("doc_id").filter(F.col("doc_id") < 100).collect()]
+    rows = [(f"https://corpus.example/pdfenc/{i}.pdf",
+             _pdf_font_payload(i)) for i in ids]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    return extract(df).select(
+        F.regexp_extract("url", r"(\d+)\.pdf", 1).cast("long")
+        .alias("doc_id"),
+        "text",
+        F.length("text").cast("long").alias("n_chars"))
+
+
+def _pdf_font_oracle_sql() -> str:
+    vals = []
+    for i in range(100):
+        t = "\n".join(_pdf_font_lines(i)).replace("'", "''")
+        vals.append(f"({i}, '{t}')")
+    return f"""
+        WITH ev(doc_id, text) AS (VALUES {", ".join(vals)})
+        SELECT CAST(ev.doc_id AS BIGINT) AS doc_id, ev.text,
+               CAST(LENGTH(ev.text) AS BIGINT) AS n_chars
+        FROM ev JOIN documents ON ev.doc_id = documents.doc_id
+        WHERE ev.doc_id < 100
+    """
+
+
 def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-driven OCR decision over PDFs with REAL embedded JPEG
     XObjects (kernel/imgcodec.py decodes them; kernel/pdfk prunes
@@ -1903,6 +2010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join_manifest": _q_anti_join_manifest,
     "pdf_image_ocr": _q_pdf_image_ocr,  # modified r6 (CCITT pages)
     "pdf_page_stats": _q_pdf_page_stats,  # pdfk touched r6
+    "pdf_font_encodings": _q_pdf_font_encodings,  # NEW r6 (/Encoding tables)
     "robots_meta_gate": _q_robots_meta_gate,  # modified r6 (attr order/unquoted/header)
     "domain_stats": _q_domain_stats,  # modified r6 (PSL suffix-only NULL)
     "domain_blocklist_gate": _q_domain_blocklist_gate,  # PSL change r6
@@ -1929,9 +2037,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_ivf_topk": _q_ann_ivf_topk,
-    "canonical_urls": _q_canonical_urls,
     # --- TAIL: r5 hash-green, untouched this round, rotate back r7
-    # (boilerplate_filter displaced by audio_flac_decode's insertion) ---
+    # (canonical_urls + boilerplate_filter displaced by the r6
+    # insertions audio_flac_decode + pdf_font_encodings) ---
+    "canonical_urls": _q_canonical_urls,
     "boilerplate_filter": _q_boilerplate_filter,
     "dedup_video_signature": _q_dedup_video_sig,
     "audio_wav_features": _q_audio_wav_features,
@@ -3592,6 +3701,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS error
             FROM p
         """,
+        # Simple-font /Encoding oracle: expected text is the fixture's
+        # own literal lines (independent mirror), embedded as VALUES.
+        "pdf_font_encodings": _pdf_font_oracle_sql(),
         # Flat JPEGs under an all-ones quant table decode bit-exactly
         # (DC-only blocks), so every image stat is doc_id arithmetic:
         # v cycles 255 (blank, pruned) / 64 / 32, dims cycle

@@ -686,14 +686,54 @@ class PDFDoc:
                             val = _parse_tounicode(data)
                     except (PDFError, ValueError):
                         val = None
+            if val is None:
+                val = self._font_encoding(body)
         self._font_cache[num] = val
         return val
+
+    def _font_encoding(self, body: bytes) \
+            -> tuple[int, dict[int, str]] | None:
+        """No-ToUnicode fallback: resolve a simple font's /Encoding
+        (base-encoding name, or a dict — inline or referenced — with
+        /BaseEncoding + /Differences) to a code->char table via
+        kernel/pdfenc.py, the precedence poppler applies.  Type0
+        Identity-H/-V fonts map as 2-byte identity.  Fonts with
+        neither stay 1-byte identity (the pre-r6 behavior)."""
+        from . import pdfenc
+
+        em = _ENC_IDENT_RE.search(body)
+        if em is not None and b"/Type0" in body:
+            return (2, {})
+        enc_src = body
+        rm = _ENC_REF_RE.search(body)
+        if rm is not None:
+            enc_src = self.objs.get(int(rm.group(1)), b"")
+        nm = _ENC_NAME_RE.search(enc_src)
+        base = pdfenc.base_encoding(
+            nm.group(1).decode("latin-1")) if nm else None
+        dm = _DIFFERENCES_RE.search(enc_src)
+        if dm is None:
+            return (1, base) if base is not None else None
+        diffs: list[int | str] = []
+        for tok in _DIFF_TOKEN_RE.finditer(dm.group(1)):
+            if tok.group(1) is not None:
+                diffs.append(tok.group(1).decode("latin-1"))
+            else:
+                diffs.append(int(tok.group(2)))
+        return (1, pdfenc.apply_differences(base, diffs))
 
 
 _RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+0\s+R")
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
 _FONT_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
 _TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_ENC_IDENT_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
+_ENC_NAME_RE = re.compile(
+    rb"/(?:Base)?Encoding\s*/(WinAnsiEncoding|MacRomanEncoding|"
+    rb"StandardEncoding|MacExpertEncoding)\b")
+_DIFFERENCES_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.DOTALL)
+_DIFF_TOKEN_RE = re.compile(rb"/([^\s/\[\]()<>{}]+)|(\d+)")
 
 
 # --- embedded images -------------------------------------------------

@@ -455,6 +455,58 @@ def build_pdf_cmap(pages: list[list[Span]]) -> bytes:
     return bytes(out)
 
 
+def build_pdf_encoded(pages: list[list[Span]], encoding_body: bytes,
+                      encode) -> bytes:
+    """Classic-layout PDF whose simple font carries an /Encoding (a
+    base-encoding name like ``b"/WinAnsiEncoding"`` or an inline
+    dict with /BaseEncoding + /Differences) and NO ToUnicode — the
+    shape scanned-office and legacy-tool PDFs produce.  ``encode``
+    maps each span's text to its code bytes (e.g.
+    ``lambda t: t.encode("cp1252")``); content streams show the codes
+    as hex strings, so the reader must resolve the encoding table to
+    recover the text."""
+    def content(spans: list[Span]) -> bytes:
+        ops = ["BT", "/F1 12 Tf"]
+        for x, y, t in spans:
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+            ops.append("<" + encode(t).hex() + "> Tj")
+        ops.append("ET")
+        return "\n".join(ops).encode("latin-1")
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, spans in enumerate(pages):
+        body = content(spans)
+        page_num = 3 + 2 * i
+        objs.append(
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+             f"/Contents {page_num + 1} 0 R >>").encode())
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(body), body))
+    objs.append(b"<< /Type /Font /Subtype /TrueType /BaseFont "
+                b"/Custom-Subset /Encoding " + encoding_body + b" >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_pos))
+    return bytes(out)
+
+
 def encrypt_pdf(pdf: bytes, v: int = 2, r: int = 3,
                 bits: int = 128) -> bytes:
     """Re-emit a build_pdf()-produced classic PDF with standard
