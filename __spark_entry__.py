@@ -1162,6 +1162,131 @@ def _pdf_font_oracle_sql() -> str:
     """
 
 
+# (mime, routing-success, payload): one fixture per magic signature in
+# kernel/sniff.py's long-tail breadth (the reference detects these via
+# gabriel-vasile/mimetype, download.go:211-229).  success mirrors the
+# registry precedence (ext="" here, so mime > text/* fallback,
+# registry.go:38-63): text/* routes to the plaintext extractor,
+# application/json to the JSON extractor, everything exotic is a
+# failure envelope naming the sniffed type.
+_SNIFF_POOL: list[tuple[str, bool, bytes]] = [
+    ("application/x-lz4", False, b"\x04\x22\x4d\x18\x40\x70\xdf" + bytes(32)),
+    ("application/x-compress", False, b"\x1f\x9d\x90abc" + bytes(16)),
+    ("application/lzip", False, b"LZIP\x01\x0c" + bytes(16)),
+    ("application/x-cpio", False, b"070701" + b"0" * 104),
+    ("application/vnd.debian.binary-package", False,
+     b"!<arch>\ndebian-binary   1714000000  0     0     100644  4"),
+    ("application/x-archive", False,
+     b"!<arch>\nfoo.o/          1714000000  0     0     100644  8"),
+    ("application/x-rpm", False, b"\xed\xab\xee\xdb\x03\x00\x00\x00"
+     + bytes(16)),
+    ("application/x-iso9660-image", False,
+     bytes(0x8001) + b"CD001\x01" + bytes(64)),
+    ("application/vnd.ms-cab-compressed", False,
+     b"MSCF\x00\x00\x00\x00" + bytes(16)),
+    ("application/vnd.ms-htmlhelp", False, b"ITSF\x03\x00\x00\x00"
+     + bytes(16)),
+    ("application/x-mach-binary", False,
+     b"\xca\xfe\xba\xbe\x00\x00\x00\x02" + bytes(16)),
+    ("application/x-java-applet", False,
+     b"\xca\xfe\xba\xbe\x00\x03\x00\x34" + bytes(16)),
+    ("application/x-ms-shortcut", False,
+     b"L\x00\x00\x00\x01\x14\x02\x00" + bytes(16)),
+    ("application/x-shockwave-flash", False,
+     b"CWS\x0a\x12\x34\x00\x00" + bytes(16)),
+    ("application/x-msaccess", False,
+     bytes((0, 1, 0, 0)) + b"Standard Jet DB\x00" + bytes(32)),
+    ("font/ttf", False, b"\x00\x01\x00\x00\x00\x0c" + bytes(16)),
+    ("font/collection", False, b"ttcf\x00\x01\x00\x00" + bytes(16)),
+    ("application/vnd.ms-fontobject", False,
+     bytes(8) + b"\x00\x00\x01\x00" + bytes(22) + b"LP" + bytes(16)),
+    ("application/x-orc", False, b"ORC\x00\x03" + bytes(16)),
+    ("application/avro", False, b"Obj\x01\x04\x14avro.codec" + bytes(8)),
+    ("application/x-hdf", False, b"\x89HDF\r\n\x1a\n\x00" + bytes(16)),
+    ("application/fits", False,
+     b"SIMPLE  =                    T" + bytes(50)),
+    ("application/vnd.tcpdump.pcap", False,
+     b"\xd4\xc3\xb2\xa1\x02\x00\x04\x00" + bytes(16)),
+    ("application/x-pcapng", False, b"\x0a\x0d\x0d\x0a\x1c\x00\x00\x00"
+     + bytes(16)),
+    ("application/dicom", False, bytes(128) + b"DICM\x02\x00" + bytes(32)),
+    ("image/jxl", False, b"\x00\x00\x00\x0cJXL \r\n\x87\n" + bytes(16)),
+    ("image/x-exr", False, b"\x76\x2f\x31\x01\x02\x00" + bytes(16)),
+    ("image/vnd.adobe.photoshop", False, b"8BPS\x00\x01" + bytes(16)),
+    ("image/vnd.djvu", False, b"AT&TFORM\x00\x01\x02\x03DJVM" + bytes(8)),
+    ("image/x-portable-anymap", False, b"P6\n4 4\n255\n" + bytes(48)),
+    ("model/gltf-binary", False, b"glTF\x02\x00\x00\x00" + bytes(16)),
+    ("audio/basic", False, b".snd\x00\x00\x00\x18" + bytes(16)),
+    ("audio/ape", False, b"MAC \x96\x0f\x00\x00" + bytes(16)),
+    ("audio/wavpack", False, b"wvpk\x10\x00\x00\x00" + bytes(16)),
+    ("video/mpeg", False, b"\x00\x00\x01\xba\x44\x00" + bytes(16)),
+    ("video/mp2t", False, bytes([0x47]) + bytes(187) + bytes([0x47])
+     + bytes(187) + bytes([0x47]) + bytes(187)),
+    ("application/mxf", False,
+     b"\x06\x0e\x2b\x34\x02\x05\x01\x01\x0d\x01\x02" + bytes(16)),
+    ("application/x-bittorrent", False,
+     b"d8:announce35:https://tracker.example/announce4:info"),
+    ("application/warc", False, b"WARC/1.0\r\nWARC-Type: response\r\n"),
+    ("message/rfc822", False,
+     b"Received: from mx.example (mx.example [10.0.0.1])\n\tby in;\n"),
+    ("application/mbox", False,
+     b"From alice@example.com Mon Apr  1 10:00:00 2024\nSubject: x\n"),
+    ("application/rss+xml", False,
+     b'<?xml version="1.0"?>\n<rss version="2.0"><channel><title>t'
+     b"</title></channel></rss>"),
+    ("application/atom+xml", False,
+     b'<?xml version="1.0"?>\n<feed xmlns="http://www.w3.org/2005/Atom">'
+     b"<title>t</title></feed>"),
+    # text/* falls back to the plaintext extractor; JSON parses
+    ("text/x-python", True, b"#!/usr/bin/env python3\nprint('hi')\n"),
+    ("text/x-shellscript", True, b"#!/bin/bash\necho hello world\n"),
+    ("text/vtt", True, b"WEBVTT\n\n00:00.000 --> 00:01.000\nwords\n"),
+    ("text/vcard", True, b"BEGIN:VCARD\nVERSION:3.0\nFN:A B\nEND:VCARD\n"),
+    ("text/calendar", True,
+     b"BEGIN:VCALENDAR\nVERSION:2.0\nEND:VCALENDAR\n"),
+    ("text/x-php", True, b"<?php\necho 'greetings';\n"),
+    ("application/json", True, b'{"a": 1, "b": [true, null, "x"]}'),
+]
+
+
+def _q_mime_sniff_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME long-tail sniffing + routing parity (VERDICT r5 missing
+    #5): extensionless URLs force the router onto the magic-byte path
+    (ext > mime precedence, registry.go:38-63), one payload per
+    signature in kernel/sniff.py's breadth tree, cycling by doc_id.
+    Hashes (doc_id, sniffed mime, routing success); the oracle is the
+    fixture pool's own literal (mime, success) — an independent
+    mirror, the engine is never consulted."""
+    from pdf_to_text_extraction_service_spark.functions.extract_udf import (
+        extract,
+    )
+
+    ids = [r["doc_id"] for r in load_documents(spark, sf_dir)
+           .select("doc_id").filter(F.col("doc_id") < 150).collect()]
+    rows = [(f"https://corpus.example/sniff/{i}/blob",
+             bytearray(_SNIFF_POOL[i % len(_SNIFF_POOL)][2]))
+            for i in ids]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    return extract(df).select(
+        F.regexp_extract("url", r"/sniff/(\d+)/", 1).cast("long")
+        .alias("doc_id"),
+        F.col("mime_type").alias("mime"),
+        "success")
+
+
+def _mime_sniff_oracle_sql() -> str:
+    vals = []
+    for i in range(150):
+        mime, ok, _ = _SNIFF_POOL[i % len(_SNIFF_POOL)]
+        vals.append(f"({i}, '{mime}', {str(ok).upper()})")
+    return f"""
+        WITH ev(doc_id, mime, success) AS (VALUES {", ".join(vals)})
+        SELECT CAST(ev.doc_id AS BIGINT) AS doc_id, ev.mime, ev.success
+        FROM ev JOIN documents ON ev.doc_id = documents.doc_id
+        WHERE ev.doc_id < 150
+    """
+
+
 def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-driven OCR decision over PDFs with REAL embedded JPEG
     XObjects (kernel/imgcodec.py decodes them; kernel/pdfk prunes
@@ -2011,6 +2136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_image_ocr": _q_pdf_image_ocr,  # modified r6 (CCITT pages)
     "pdf_page_stats": _q_pdf_page_stats,  # pdfk touched r6
     "pdf_font_encodings": _q_pdf_font_encodings,  # NEW r6 (/Encoding tables)
+    "mime_sniff_breadth": _q_mime_sniff_breadth,  # NEW r6 (magic long tail)
     "robots_meta_gate": _q_robots_meta_gate,  # modified r6 (attr order/unquoted/header)
     "domain_stats": _q_domain_stats,  # modified r6 (PSL suffix-only NULL)
     "domain_blocklist_gate": _q_domain_blocklist_gate,  # PSL change r6
@@ -2036,10 +2162,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
-    "ann_ivf_topk": _q_ann_ivf_topk,
     # --- TAIL: r5 hash-green, untouched this round, rotate back r7
-    # (canonical_urls + boilerplate_filter displaced by the r6
-    # insertions audio_flac_decode + pdf_font_encodings) ---
+    # (canonical_urls, boilerplate_filter and ann_ivf_topk displaced
+    # by the r6 insertions audio_flac_decode, pdf_font_encodings and
+    # mime_sniff_breadth) ---
+    "ann_ivf_topk": _q_ann_ivf_topk,
     "canonical_urls": _q_canonical_urls,
     "boilerplate_filter": _q_boilerplate_filter,
     "dedup_video_signature": _q_dedup_video_sig,
@@ -3704,6 +3831,9 @@ def oracle_sql() -> dict[str, str]:
         # Simple-font /Encoding oracle: expected text is the fixture's
         # own literal lines (independent mirror), embedded as VALUES.
         "pdf_font_encodings": _pdf_font_oracle_sql(),
+        # Sniff long tail: expected (mime, success) is the fixture
+        # pool's own literal metadata, embedded as VALUES.
+        "mime_sniff_breadth": _mime_sniff_oracle_sql(),
         # Flat JPEGs under an all-ones quant table decode bit-exactly
         # (DC-only blocks), so every image stat is doc_id arithmetic:
         # v cycles 255 (blank, pruned) / 64 / 32, dims cycle
