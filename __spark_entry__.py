@@ -1287,6 +1287,108 @@ def _mime_sniff_oracle_sql() -> str:
     """
 
 
+def _exif_fields(i: int) -> dict | None:
+    """Closed-form EXIF fixture fields for doc i — shared by the
+    payload builder and the oracle mirror (the oracle never touches
+    kernel/exif.py).  None = a JPEG with no EXIF block."""
+    if i % 10 == 7:
+        return None
+    f = {
+        "make": f"Maker{i % 5}",
+        "model": f"Cam {i % 7}",
+        "orientation": 1 + (i % 8),
+        "datetime_original": f"2024:{1 + i % 9:02d}:{1 + i % 28:02d} "
+                             f"{i % 24:02d}:{i % 60:02d}:{(i * 7) % 60:02d}",
+        "iso": 100 * (1 + i % 4),
+        "exposure_time": (1, 125 * (1 + i % 4)),
+        "f_number": (14 + (i % 5) * 7, 10),
+        "focal_length": (24 + (i % 6) * 11, 1),
+    }
+    if i % 3 == 0:
+        f["gps_lat"] = round(-80 + ((i * 7919) % 160000) / 1000.0, 6)
+        f["gps_lon"] = round(-160 + ((i * 104729) % 320000) / 1000.0, 6)
+    return f
+
+
+def _q_image_exif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF curation signals (kernel/exif.py via
+    functions/multimodal.exif_features): camera provenance, capture
+    timestamp, orientation, and the GPS/PII flag with signed decimal
+    coordinates, over real encoded JPEGs carrying APP1 blocks built
+    from doc_id arithmetic (big-endian TIFF every i%13==4, EXIF-less
+    every i%10==7 -> all-NULL row + error).  The reference's image
+    leg posts bytes to a vision API (image.go:38-263) and reads no
+    EXIF; this is engine-added breadth for the training-data
+    pipeline (PII gating needs gps_present before any image ships)."""
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        exif_features,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import exif, imgcodec
+
+    ids = [r["doc_id"] for r in load_documents(spark, sf_dir)
+           .select("doc_id").filter(F.col("doc_id") < 120).collect()]
+
+    def payload(i: int) -> bytes:
+        img = np.full((8, 8), 64 + (i % 128), dtype=np.uint8)
+        jpeg = imgcodec.encode_jpeg(img)
+        f = _exif_fields(i)
+        if f is None:
+            return jpeg
+        bo = ">" if i % 13 == 4 else "<"
+        return exif.inject_app1(jpeg, exif.build_exif_app1(f, bo))
+
+    rows = [(int(i), bytearray(payload(i))) for i in ids]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    return exif_features(df).select(
+        F.col("media_id").alias("doc_id"),
+        "make", "model", "orientation", "datetime_original",
+        "exposure_time", "f_number", "iso", "focal_length",
+        "gps_present", "gps_lat", "gps_lon", "error")
+
+
+def _image_exif_oracle_sql() -> str:
+    vals = []
+    for i in range(120):
+        f = _exif_fields(i)
+        if f is None:
+            vals.append(f"({i}, NULL, NULL, NULL, NULL, NULL, NULL, "
+                        f"NULL, NULL, NULL, NULL, NULL, "
+                        f"'exif: no Exif APP1 segment')")
+            continue
+        et = round(f["exposure_time"][0] / f["exposure_time"][1], 6)
+        fn = round(f["f_number"][0] / f["f_number"][1], 6)
+        fl = round(f["focal_length"][0] / f["focal_length"][1], 6)
+        if "gps_lat" in f:
+            gps = f"TRUE, {f['gps_lat']}, {f['gps_lon']}"
+        else:
+            gps = "FALSE, NULL, NULL"
+        vals.append(
+            f"({i}, '{f['make']}', '{f['model']}', {f['orientation']}, "
+            f"'{f['datetime_original']}', {et}, {fn}, {f['iso']}, {fl}, "
+            f"{gps}, NULL)")
+    return f"""
+        WITH ev(doc_id, make, model, orientation, datetime_original,
+                exposure_time, f_number, iso, focal_length,
+                gps_present, gps_lat, gps_lon, error)
+          AS (VALUES {", ".join(vals)})
+        SELECT CAST(ev.doc_id AS BIGINT) AS doc_id, ev.make, ev.model,
+               CAST(ev.orientation AS INTEGER) AS orientation,
+               ev.datetime_original,
+               CAST(ev.exposure_time AS DOUBLE) AS exposure_time,
+               CAST(ev.f_number AS DOUBLE) AS f_number,
+               CAST(ev.iso AS INTEGER) AS iso,
+               CAST(ev.focal_length AS DOUBLE) AS focal_length,
+               CAST(ev.gps_present AS BOOLEAN) AS gps_present,
+               CAST(ev.gps_lat AS DOUBLE) AS gps_lat,
+               CAST(ev.gps_lon AS DOUBLE) AS gps_lon,
+               CAST(ev.error AS VARCHAR) AS error
+        FROM ev JOIN documents ON ev.doc_id = documents.doc_id
+        WHERE ev.doc_id < 120
+    """
+
+
 def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-driven OCR decision over PDFs with REAL embedded JPEG
     XObjects (kernel/imgcodec.py decodes them; kernel/pdfk prunes
@@ -2137,6 +2239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_page_stats": _q_pdf_page_stats,  # pdfk touched r6
     "pdf_font_encodings": _q_pdf_font_encodings,  # NEW r6 (/Encoding tables)
     "mime_sniff_breadth": _q_mime_sniff_breadth,  # NEW r6 (magic long tail)
+    "image_exif_features": _q_image_exif_features,  # NEW r6 (EXIF/PII gate)
     "robots_meta_gate": _q_robots_meta_gate,  # modified r6 (attr order/unquoted/header)
     "domain_stats": _q_domain_stats,  # modified r6 (PSL suffix-only NULL)
     "domain_blocklist_gate": _q_domain_blocklist_gate,  # PSL change r6
@@ -2161,11 +2264,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "ann_cosine_topk": _q_ann_cosine_topk,
-    "ann_lsh_topk": _q_ann_lsh_topk,
     # --- TAIL: r5 hash-green, untouched this round, rotate back r7
-    # (canonical_urls, boilerplate_filter and ann_ivf_topk displaced
-    # by the r6 insertions audio_flac_decode, pdf_font_encodings and
-    # mime_sniff_breadth) ---
+    # (canonical_urls, boilerplate_filter, ann_lsh_topk and
+    # ann_ivf_topk displaced by the r6 insertions audio_flac_decode,
+    # pdf_font_encodings, mime_sniff_breadth, image_exif_features) ---
+    "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "canonical_urls": _q_canonical_urls,
     "boilerplate_filter": _q_boilerplate_filter,
@@ -3834,6 +3937,8 @@ def oracle_sql() -> dict[str, str]:
         # Sniff long tail: expected (mime, success) is the fixture
         # pool's own literal metadata, embedded as VALUES.
         "mime_sniff_breadth": _mime_sniff_oracle_sql(),
+        # EXIF: expected fields are the fixture arithmetic itself.
+        "image_exif_features": _image_exif_oracle_sql(),
         # Flat JPEGs under an all-ones quant table decode bit-exactly
         # (DC-only blocks), so every image stat is doc_id arithmetic:
         # v cycles 255 (blank, pruned) / 64 / 32, dims cycle

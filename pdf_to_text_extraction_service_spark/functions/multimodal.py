@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -1130,4 +1131,64 @@ def sample_frames(df: DataFrame, every_n: int = 2,
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=FRAME_SCHEMA
+    )
+
+
+EXIF_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("make", StringType()),
+    StructField("model", StringType()),
+    StructField("orientation", IntegerType()),
+    StructField("datetime_original", StringType()),
+    StructField("exposure_time", DoubleType()),
+    StructField("f_number", DoubleType()),
+    StructField("iso", IntegerType()),
+    StructField("focal_length", DoubleType()),
+    StructField("gps_present", BooleanType()),
+    StructField("gps_lat", DoubleType()),
+    StructField("gps_lon", DoubleType()),
+    StructField("error", StringType()),
+])
+
+
+def exif_features(df: DataFrame, id_col: str = "media_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """EXIF curation signals over JPEG/TIFF payloads
+    (kernel/exif.py): camera provenance, capture timestamp,
+    orientation, and the GPS/PII flag with signed decimal
+    coordinates.  Payloads without an EXIF block (or non-JPEG/TIFF
+    bytes) yield an all-NULL row carrying the error string — the
+    operator never raises (reference resilience posture,
+    cmd/server/main.go:539-549)."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import exif as exif_mod
+
+        cols = ("media_id", "make", "model", "orientation",
+                "datetime_original", "exposure_time", "f_number",
+                "iso", "focal_length", "gps_present", "gps_lat",
+                "gps_lon", "error")
+        for batch in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                vals = {f: None for f in exif_mod.EXIF_FIELDS}
+                err = None
+                try:
+                    vals = exif_mod.parse_exif(payload)
+                except Exception as exc:  # malformed: NULL row + error
+                    err = str(exc)[:200] or "exif: parse error"
+                out["media_id"].append(mid)
+                for f in ("make", "model", "orientation",
+                          "datetime_original", "exposure_time",
+                          "f_number", "iso", "focal_length",
+                          "gps_present", "gps_lat", "gps_lon"):
+                    out[f].append(vals.get(f))
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=EXIF_SCHEMA
     )
