@@ -1389,6 +1389,112 @@ def _image_exif_oracle_sql() -> str:
     """
 
 
+_GIF_H, _GIF_W = 10, 12
+
+
+def _gif_anim_spec(i: int) -> dict | None:
+    """Closed-form animated-GIF fixture spec for doc i, shared by the
+    payload builder and the oracle mirror.  Expected means are pure
+    integer arithmetic over flat fills — the decoder is never
+    consulted.  None = a non-GIF payload (error row)."""
+    if i % 9 == 5:
+        return None
+    loop = None if i % 5 == 4 else i % 5
+    v = [(17 * i + 31 * k) % 256 for k in range(5)]
+    if i % 6 == 2:
+        # full canvas fill then a 4x5 patch at (3, 2): the composited
+        # last frame mixes the two fills over the 120-pixel canvas
+        ph, pw = 4, 5
+        mean_last = (v[0] * (_GIF_H * _GIF_W - ph * pw)
+                     + v[1] * ph * pw) // (_GIF_H * _GIF_W)
+        return {"kind": "patch", "fills": v[:2],
+                "delays": [2 + i % 7, 3 + i % 5],
+                "loop": loop, "n": 2, "mean_first": v[0],
+                "mean_last": mean_last}
+    n = 2 + i % 3
+    return {"kind": "flat", "fills": v[:n],
+            "delays": [2 + (i + k) % 7 for k in range(n)],
+            "loop": loop, "n": n, "mean_first": v[0],
+            "mean_last": v[n - 1]}
+
+
+def _gif_anim_payload(i: int) -> bytes:
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.kernel import imgcodec
+
+    spec = _gif_anim_spec(i)
+    if spec is None:
+        return b"not a gif payload %d" % i
+    if spec["kind"] == "patch":
+        frames = [np.full((_GIF_H, _GIF_W), spec["fills"][0], np.uint8),
+                  np.full((4, 5), spec["fills"][1], np.uint8)]
+        return imgcodec.encode_gif_animation(
+            frames, spec["delays"], loop=spec["loop"],
+            disposals=[1, 1], rects=[(0, 0), (2, 3)],
+            screen=(_GIF_W, _GIF_H))
+    frames = [np.full((_GIF_H, _GIF_W), f, np.uint8)
+              for f in spec["fills"]]
+    return imgcodec.encode_gif_animation(
+        frames, spec["delays"], loop=spec["loop"])
+
+
+def _q_gif_animation_features(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Animated-GIF curation signals (kernel/imgcodec.gif_animation
+    via functions/multimodal.gif_animation_features): frame count,
+    loop duration, NETSCAPE loop count, and first/last composited-
+    frame means over fixtures rotating flat-fill animations, sub-rect
+    composites and non-GIF error rows by doc_id.  Extends the
+    reference's image leg (image.go:38-263 accepts .gif payloads;
+    poppler-side it is opaque) with the animation-vs-static gate a
+    crawl curator needs."""
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        gif_animation_features,
+    )
+
+    ids = [r["doc_id"] for r in load_documents(spark, sf_dir)
+           .select("doc_id").filter(F.col("doc_id") < 120).collect()]
+    rows = [(int(i), bytearray(_gif_anim_payload(i))) for i in ids]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    return gif_animation_features(df).select(
+        F.col("media_id").alias("doc_id"),
+        "n_frames", "duration_cs", "loop_count", "width", "height",
+        "mean_first", "mean_last",
+        F.isnull("error").alias("ok"))
+
+
+def _gif_anim_oracle_sql() -> str:
+    vals = []
+    for i in range(120):
+        spec = _gif_anim_spec(i)
+        if spec is None:
+            vals.append(f"({i}, NULL, NULL, NULL, NULL, NULL, NULL, "
+                        f"NULL, FALSE)")
+            continue
+        loop = -1 if spec["loop"] is None else spec["loop"]
+        vals.append(
+            f"({i}, {spec['n']}, {sum(spec['delays'])}, {loop}, "
+            f"{_GIF_W}, {_GIF_H}, {spec['mean_first']}, "
+            f"{spec['mean_last']}, TRUE)")
+    return f"""
+        WITH ev(doc_id, n_frames, duration_cs, loop_count, width,
+                height, mean_first, mean_last, ok)
+          AS (VALUES {", ".join(vals)})
+        SELECT CAST(ev.doc_id AS BIGINT) AS doc_id,
+               CAST(ev.n_frames AS INTEGER) AS n_frames,
+               CAST(ev.duration_cs AS INTEGER) AS duration_cs,
+               CAST(ev.loop_count AS INTEGER) AS loop_count,
+               CAST(ev.width AS INTEGER) AS width,
+               CAST(ev.height AS INTEGER) AS height,
+               CAST(ev.mean_first AS BIGINT) AS mean_first,
+               CAST(ev.mean_last AS BIGINT) AS mean_last,
+               CAST(ev.ok AS BOOLEAN) AS ok
+        FROM ev JOIN documents ON ev.doc_id = documents.doc_id
+        WHERE ev.doc_id < 120
+    """
+
+
 def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-driven OCR decision over PDFs with REAL embedded JPEG
     XObjects (kernel/imgcodec.py decodes them; kernel/pdfk prunes
@@ -2240,6 +2346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_font_encodings": _q_pdf_font_encodings,  # NEW r6 (/Encoding tables)
     "mime_sniff_breadth": _q_mime_sniff_breadth,  # NEW r6 (magic long tail)
     "image_exif_features": _q_image_exif_features,  # NEW r6 (EXIF/PII gate)
+    "gif_animation_features": _q_gif_animation_features,  # NEW r6
     "robots_meta_gate": _q_robots_meta_gate,  # modified r6 (attr order/unquoted/header)
     "domain_stats": _q_domain_stats,  # modified r6 (PSL suffix-only NULL)
     "domain_blocklist_gate": _q_domain_blocklist_gate,  # PSL change r6
@@ -2263,11 +2370,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_warc_docs": _q_extract_warc,
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
-    "ann_cosine_topk": _q_ann_cosine_topk,
     # --- TAIL: r5 hash-green, untouched this round, rotate back r7
-    # (canonical_urls, boilerplate_filter, ann_lsh_topk and
-    # ann_ivf_topk displaced by the r6 insertions audio_flac_decode,
-    # pdf_font_encodings, mime_sniff_breadth, image_exif_features) ---
+    # (canonical_urls, boilerplate_filter and the three ann_* queries
+    # displaced by the r6 insertions audio_flac_decode,
+    # pdf_font_encodings, mime_sniff_breadth, image_exif_features,
+    # gif_animation_features) ---
+    "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_ivf_topk": _q_ann_ivf_topk,
     "canonical_urls": _q_canonical_urls,
@@ -3939,6 +4047,8 @@ def oracle_sql() -> dict[str, str]:
         "mime_sniff_breadth": _mime_sniff_oracle_sql(),
         # EXIF: expected fields are the fixture arithmetic itself.
         "image_exif_features": _image_exif_oracle_sql(),
+        # GIF animation: expected metrics are pure fixture-spec ints.
+        "gif_animation_features": _gif_anim_oracle_sql(),
         # Flat JPEGs under an all-ones quant table decode bit-exactly
         # (DC-only blocks), so every image stat is doc_id arithmetic:
         # v cycles 255 (blank, pruned) / 64 / 32, dims cycle

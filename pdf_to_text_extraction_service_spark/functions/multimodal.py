@@ -1192,3 +1192,61 @@ def exif_features(df: DataFrame, id_col: str = "media_id",
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=EXIF_SCHEMA
     )
+
+
+GIF_ANIM_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_frames", IntegerType()),
+    StructField("duration_cs", IntegerType()),
+    StructField("loop_count", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_first", LongType()),
+    StructField("mean_last", LongType()),
+    StructField("error", StringType()),
+])
+
+
+def gif_animation_features(df: DataFrame, id_col: str = "media_id",
+                           payload_col: str = "payload") -> DataFrame:
+    """Animated-GIF curation signals (kernel/imgcodec.gif_animation):
+    frame count, total loop duration in centiseconds, NETSCAPE loop
+    count (-1 = absent), screen dims, and the integer sample means of
+    the first and last COMPOSITED frames (disposal + transparency
+    applied) — the signals an animation-vs-static gate and a frame-
+    dedup stage key on.  Non-GIF or malformed payloads yield a NULL
+    row with the error string; never raises."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import imgcodec
+
+        cols = ("media_id", "n_frames", "duration_cs", "loop_count",
+                "width", "height", "mean_first", "mean_last", "error")
+        for batch in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                row = dict.fromkeys(cols)
+                row["media_id"] = mid
+                try:
+                    frames, delays, loop = imgcodec.gif_animation(payload)
+                    row["n_frames"] = len(frames)
+                    row["duration_cs"] = sum(delays)
+                    row["loop_count"] = loop
+                    row["height"] = frames[0].shape[0]
+                    row["width"] = frames[0].shape[1]
+                    row["mean_first"] = int(
+                        frames[0].astype("int64").sum()) // frames[0].size
+                    row["mean_last"] = int(
+                        frames[-1].astype("int64").sum()) // frames[-1].size
+                except Exception as exc:
+                    row["error"] = str(exc)[:200] or "gif: decode error"
+                for k in cols:
+                    out[k].append(row[k])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=GIF_ANIM_SCHEMA
+    )

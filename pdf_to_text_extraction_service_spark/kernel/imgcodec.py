@@ -1569,6 +1569,221 @@ def encode_gif(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# --- GIF animation ---------------------------------------------------
+
+# budgets: a hostile GIF can claim thousands of frames; the composite
+# path is pure numpy but the snapshots are materialized, so cap both
+# the frame count and the total composited samples.
+MAX_GIF_FRAMES = 256
+MAX_GIF_SAMPLES = 1 << 26
+
+
+def gif_animation(data: bytes) \
+        -> tuple[list[np.ndarray], list[int], int]:
+    """ValueError-only wrapper (module contract) over
+    :func:`_gif_animation`."""
+    return _never_raises(_gif_animation, data)
+
+
+def _gif_animation(data: bytes) \
+        -> tuple[list[np.ndarray], list[int], int]:
+    """Animated GIF -> (composited RGB frames (h, w, 3) uint8,
+    per-frame delays in centiseconds, loop count from the NETSCAPE
+    extension; 0 = loop forever, -1 = no extension).
+
+    Frames are composited onto the logical screen per the GIF89a
+    disposal semantics: 0/1 leave the canvas, 2 restores the frame
+    rect to the background color, 3 restores the pre-frame canvas.
+    Transparent pixels (GCE flag) leave the underlying canvas
+    untouched.  Divergence note: the initial canvas and disposal-2
+    fill use the screen background COLOR (browsers composite over
+    transparent); deterministic either way for curation signals.
+    Raises ValueError outside the subset or over budget."""
+    import struct as _s
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad magic or truncated")
+    sw, sh, flags, bg_idx = _s.unpack_from("<HHBB", data, 6)
+    if sw == 0 or sh == 0 or sw * sh > MAX_PIXELS:
+        raise ValueError("gif: bad dimensions")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8)
+        if gct.size < 3 * n:
+            raise ValueError("gif: truncated color table")
+        gct = gct.reshape(-1, 3)
+        pos += 3 * n
+    bg = gct[bg_idx] if gct is not None and bg_idx < gct.shape[0] \
+        else np.zeros(3, dtype=np.uint8)
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    loop_count = -1
+    # pending graphic-control state for the NEXT image descriptor
+    delay_cs, disposal, trans_idx = 0, 0, None
+    n_data = len(data)
+    while pos < n_data:
+        b = data[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > n_data:
+                raise ValueError("gif: truncated extension")
+            label = data[pos + 1]
+            sub = pos + 2
+            blocks = []
+            while sub < n_data and data[sub] != 0:
+                ln = data[sub]
+                blocks.append(data[sub + 1:sub + 1 + ln])
+                sub += 1 + ln
+            if sub >= n_data:
+                raise ValueError("gif: unterminated extension")
+            if label == 0xF9 and blocks and len(blocks[0]) >= 4:
+                gflags, delay_cs = _s.unpack_from("<BH", blocks[0], 0)
+                disposal = (gflags >> 2) & 0x07
+                trans_idx = blocks[0][3] if gflags & 0x01 else None
+            elif label == 0xFF and blocks \
+                    and blocks[0] == b"NETSCAPE2.0" and len(blocks) > 1 \
+                    and len(blocks[1]) >= 3 and blocks[1][0] == 0x01:
+                loop_count = _s.unpack_from("<H", blocks[1], 1)[0]
+            pos = sub + 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b:02x}")
+        if pos + 10 > n_data:
+            raise ValueError("gif: truncated image descriptor")
+        left, top, w, h, iflags = _s.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8)
+            if table.size < 3 * n:
+                raise ValueError("gif: truncated color table")
+            table = table.reshape(-1, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("gif: no color table")
+        if w == 0 or h == 0 or left + w > sw or top + h > sh:
+            raise ValueError("gif: frame rect outside screen")
+        if len(frames) >= MAX_GIF_FRAMES \
+                or (len(frames) + 1) * sw * sh * 3 > MAX_GIF_SAMPLES:
+            raise ValueError("gif: animation exceeds decode budget")
+        if pos >= n_data:
+            raise ValueError("gif: truncated pixel data")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < n_data and data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(min_code, bytes(lzw), w * h), dtype=np.uint8)
+        if idx.size < w * h:
+            raise ValueError("gif: truncated pixel data")
+        idx = idx[:w * h].reshape(h, w)
+        if iflags & 0x40:
+            out_rows = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                for r in range(start, h, step):
+                    out_rows[r] = idx[src]
+                    src += 1
+            idx = out_rows
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("gif: palette index out of range")
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[top:top + h, left:left + w]
+        rgb = table[idx]
+        if trans_idx is not None:
+            opaque = idx != trans_idx
+            region[opaque] = rgb[opaque]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        delays.append(delay_cs)
+        if disposal == 2:
+            canvas[top:top + h, left:left + w] = bg
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        delay_cs, disposal, trans_idx = 0, 0, None
+    if not frames:
+        raise ValueError("gif: no image descriptor")
+    return frames, delays, loop_count
+
+
+def encode_gif_animation(frames: list, delays: list[int],
+                         loop: int | None = 0,
+                         disposals: list[int] | None = None,
+                         rects: list[tuple[int, int]] | None = None,
+                         screen: tuple[int, int] | None = None,
+                         transparent: int | None = None,
+                         bg_idx: int = 0) -> bytes:
+    """Fixture-side animated GIF89a encoder: gray index frames (each
+    uint8 (h, w), gray-ramp global palette), per-frame delays (cs),
+    optional per-frame disposal methods and top-left offsets, a
+    NETSCAPE loop block when ``loop`` is not None, and an optional
+    transparent index applied to every frame's GCE."""
+    import struct as _s
+
+    if screen is None:
+        screen = (frames[0].shape[1], frames[0].shape[0])
+    sw, sh = screen
+    disposals = disposals or [0] * len(frames)
+    rects = rects or [(0, 0)] * len(frames)
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", sw, sh, 0x80 | 7, bg_idx, 0)
+    out += pal.tobytes()
+    if loop is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" \
+            + _s.pack("<H", loop) + b"\x00"
+    for arr, delay, disp, (left, top) in zip(frames, delays,
+                                             disposals, rects):
+        arr = np.asarray(arr, dtype=np.uint8)
+        h, w = arr.shape
+        gflags = (disp & 7) << 2
+        tidx = 0
+        if transparent is not None:
+            gflags |= 1
+            tidx = transparent
+        out += b"\x21\xf9\x04" + bytes([gflags]) \
+            + _s.pack("<H", delay) + bytes([tidx]) + b"\x00"
+        out += b"\x2c" + _s.pack("<HHHHB", left, top, w, h, 0)
+        min_code = 8
+        clear, eoi, width = 256, 257, 9
+        acc = nbits = 0
+        stream = bytearray()
+
+        def emit(code: int):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        for v in arr.reshape(-1):
+            emit(clear)
+            emit(int(v))
+        emit(eoi)
+        if nbits:
+            stream.append(acc & 0xFF)
+        out += bytes([min_code])
+        for i in range(0, len(stream), 255):
+            chunk = stream[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 # ===================================================================
 # WebP / AVIF dimension sniff (no pixel decode)
 # ===================================================================
