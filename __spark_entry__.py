@@ -1807,6 +1807,65 @@ def _q_audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_abs", "zero_cross", "error")
 
 
+def _q_audio_tag_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 / Vorbis-comment tag extraction over fixtures whose
+    every field is CLOSED FORM in doc_id: the tag walk (kernel/
+    audiotags.py) runs against four container families — ID3v2.4
+    UTF-8 (unsynchronised when doc_id%8==4), ID3v2.3 UTF-16, FLAC
+    with an injected VORBIS_COMMENT block on a real encode_flac
+    stream, and Ogg Vorbis/Opus comment packets — while the oracle
+    is pure doc_id arithmetic and string concatenation (it never
+    touches the parser).  Every 9th payload is tagless RIFF -> the
+    parser's exact error string.  Non-ASCII title text exercises the
+    UTF-16/UTF-8 frame decodes cross-engine."""
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        audio_tag_metadata,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import (
+        audiotags,
+        flacdec,
+    )
+
+    docs = load_documents(spark, sf_dir).select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+    ids = [r["doc_id"] for r in docs.collect()]
+
+    def payload(i: int) -> bytes:
+        if i % 9 == 0:
+            return b"RIFF....WAVE"
+        fields = {
+            "title": f"Señal {i}",
+            "artist": f"Artist {i % 7}",
+            "album": f"Album {i % 5}",
+            "genre": ("Rock", "Jazz", "Electronic")[i % 3],
+            "date": str(1990 + i % 30),
+            "track": f"{1 + i % 12}/12",
+        }
+        fam = i % 4
+        if fam in (0, 1):
+            fields["tlen_ms"] = i * 37
+            return audiotags.build_id3v2(
+                fields, major=4 if fam == 0 else 3,
+                unsync=(i % 8 == 4)) + b"\xff\xfb" + bytes(32)
+        block = audiotags.build_vorbis_comment_block(
+            fields, vendor="fixture")
+        if fam == 2:
+            wave = (np.arange(200) % 16 * 50).astype(np.int64)
+            return audiotags.inject_flac_comment(
+                flacdec.encode_flac(wave, 8000), block)
+        if i % 8 == 3:
+            return b"OggS" + bytes(40) + b"\x03vorbis" + block
+        return b"OggS" + bytes(40) + b"OpusTags" + block
+
+    media = spark.createDataFrame(
+        [(i, payload(i)) for i in ids], "media_id long, payload binary")
+    return audio_tag_metadata(media).select(
+        "media_id", "container", "title", "artist", "album", "genre",
+        "date", "track", "tlen_ms", "vendor", "error")
+
+
 def _q_audio_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 frame-header walk over synthetic MPEG-1 Layer III streams
     whose signals are CLOSED FORM: n = 20 + i%10 frames, rate cycles
@@ -2355,6 +2414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_mp3_features": _q_audio_mp3_features,  # trailing tags r6
     "audio_container_features": _q_audio_container_features,  # trailing tags + sniff table r6
     "audio_flac_decode": _q_audio_flac_decode,  # NEW r6 (real FLAC decode)
+    "audio_tag_metadata": _q_audio_tag_metadata,  # NEW r6 (ID3v2/Vorbis tags)
     "media_features_unified": _q_media_features_unified,  # sniff table r6
     "video_container_features": _q_video_container_features,  # sniff table r6
     "media_mp4_features": _q_media_mp4_features,  # sniff table r6
@@ -2369,12 +2429,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_lang_agg": _q_extract_lang_agg,
     "extract_warc_docs": _q_extract_warc,
     "dedup_exact": _q_dedup_exact,
-    "dedup_ngram_jaccard": _q_ngram_jaccard,
     # --- TAIL: r5 hash-green, untouched this round, rotate back r7
-    # (canonical_urls, boilerplate_filter and the three ann_* queries
-    # displaced by the r6 insertions audio_flac_decode,
-    # pdf_font_encodings, mime_sniff_breadth, image_exif_features,
+    # (canonical_urls, boilerplate_filter, dedup_ngram_jaccard and
+    # the three ann_* queries displaced by the r6 insertions
+    # audio_flac_decode, audio_tag_metadata, pdf_font_encodings,
+    # mime_sniff_breadth, image_exif_features,
     # gif_animation_features) ---
+    "dedup_ngram_jaccard": _q_ngram_jaccard,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "ann_ivf_topk": _q_ann_ivf_topk,
@@ -3562,6 +3623,46 @@ def oracle_sql() -> dict[str, str]:
                    END AS zero_cross,
                    CASE WHEN doc_id % 9 = 0
                         THEN 'flac: bad magic or truncated'
+                   END AS error
+            FROM documents WHERE doc_id < 200
+        """,
+        "audio_tag_metadata": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        WHEN doc_id % 4 IN (0, 1) THEN 'id3v2'
+                        WHEN doc_id % 4 = 2 THEN 'flac'
+                        WHEN doc_id % 8 = 3 THEN 'ogg-vorbis'
+                        ELSE 'ogg-opus' END AS container,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE 'Señal ' || CAST(doc_id AS VARCHAR)
+                   END AS title,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE 'Artist ' || CAST(doc_id % 7 AS VARCHAR)
+                   END AS artist,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE 'Album ' || CAST(doc_id % 5 AS VARCHAR)
+                   END AS album,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE CASE doc_id % 3 WHEN 0 THEN 'Rock'
+                             WHEN 1 THEN 'Jazz'
+                             ELSE 'Electronic' END
+                   END AS genre,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE CAST(1990 + doc_id % 30 AS VARCHAR)
+                   END AS "date",
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE CAST(1 + doc_id % 12 AS VARCHAR) || '/12'
+                   END AS track,
+                   CASE WHEN doc_id % 9 = 0 OR doc_id % 4 >= 2
+                        THEN NULL
+                        ELSE CAST(doc_id * 37 AS BIGINT)
+                   END AS tlen_ms,
+                   CASE WHEN doc_id % 9 = 0 OR doc_id % 4 < 2
+                        THEN NULL
+                        ELSE 'fixture'
+                   END AS vendor,
+                   CASE WHEN doc_id % 9 = 0
+                        THEN 'audiotags: no ID3v2/FLAC/Ogg tag structure'
                    END AS error
             FROM documents WHERE doc_id < 200
         """,

@@ -655,6 +655,64 @@ def mp3_features(df: DataFrame, id_col: str = "media_id",
         _run, schema=MP3_FEATURES_SCHEMA)
 
 
+AUDIO_TAGS_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("container", StringType()),
+    StructField("title", StringType()),
+    StructField("artist", StringType()),
+    StructField("album", StringType()),
+    StructField("genre", StringType()),
+    StructField("date", StringType()),
+    StructField("track", StringType()),
+    StructField("tlen_ms", LongType()),
+    StructField("vendor", StringType()),
+    StructField("error", StringType()),
+])
+
+
+def audio_tag_metadata(df: DataFrame, id_col: str = "media_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """ID3v2 (MP3) / Vorbis-comment (FLAC, Ogg Vorbis, Ogg Opus) tag
+    walk (kernel/audiotags.py) -> provenance metadata for audio
+    curation: title/artist/album/genre/date/track rollup keys plus
+    the ID3 TLEN declared duration.  The audio counterpart of
+    image EXIF extraction (exif_features); the reference never reads
+    tags (its audio leg posts bytes to an ASR service,
+    internal/extractors/audio/transcribe.go:40-126) — this is
+    engine-added breadth for training-data pipelines.  Tag walks are
+    O(tag bytes) header reads, no audio decode; payloads with no
+    recognized tag structure surface as error rows, never
+    exceptions."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import audiotags
+
+        cols = ("media_id", "container", *audiotags.TAG_FIELDS,
+                "error")
+        for batch in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                try:
+                    st = audiotags.parse_tags(payload)
+                    out["container"].append(st["container"])
+                    for f in audiotags.TAG_FIELDS:
+                        out[f].append(st[f])
+                    out["error"].append(None)
+                except Exception as exc:
+                    out["container"].append(None)
+                    for f in audiotags.TAG_FIELDS:
+                        out[f].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=AUDIO_TAGS_SCHEMA)
+
+
 MP4_FEATURES_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("brand", StringType()),

@@ -1,0 +1,139 @@
+"""kernel/audiotags.py: ID3v2 + Vorbis-comment tag parsing.
+Round-trips through the module's own fixture builders (v2.3 UTF-16
+and v2.4 UTF-8 frames, unsynchronisation, FLAC block injection, Ogg
+Vorbis/Opus comment packets) plus mutation fuzz for the
+ValueError-only contract."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from pdf_to_text_extraction_service_spark.kernel import (
+    audiocodec,
+    audiotags,
+    flacdec,
+)
+
+FIELDS = {"title": "Señal de Prueba", "artist": "The Fixtures",
+          "album": "Round Six", "genre": "Electronic",
+          "date": "2024", "track": "3/12", "tlen_ms": 187000}
+
+
+@pytest.mark.parametrize("major", [3, 4])
+def test_id3v2_roundtrip(major):
+    tag = audiotags.build_id3v2(FIELDS, major=major)
+    got = audiotags.parse_tags(tag + b"\xff\xfb" + bytes(64))
+    assert got["container"] == "id3v2"
+    assert got["title"] == "Señal de Prueba"
+    assert got["artist"] == "The Fixtures"
+    assert got["album"] == "Round Six"
+    assert got["genre"] == "Electronic"
+    assert got["date"] == "2024"
+    assert got["track"] == "3/12"
+    assert got["tlen_ms"] == 187000
+
+
+def test_id3v2_unsync_roundtrip():
+    tag = audiotags.build_id3v2(FIELDS, major=4, unsync=True)
+    got = audiotags.parse_id3v2(tag)
+    assert got["title"] == "Señal de Prueba"
+    assert got["tlen_ms"] == 187000
+
+
+def test_id3v22_three_byte_frames():
+    # hand-built v2.2 frame: TT2, 3-byte size, latin-1 text
+    payload = b"\x00Old Title"
+    body = b"TT2" + len(payload).to_bytes(3, "big") + payload
+    sz = len(body)
+    tag = (b"ID3\x02\x00\x00"
+           + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F]) + body)
+    got = audiotags.parse_id3v2(tag)
+    assert got["title"] == "Old Title"
+
+
+def test_flac_comment_injection():
+    samples = (np.arange(800) % 64 * 100).astype(np.int64)
+    flac = flacdec.encode_flac(samples, 8000)
+    block = audiotags.build_vorbis_comment_block(FIELDS, vendor="v1")
+    tagged = audiotags.inject_flac_comment(flac, block)
+    got = audiotags.parse_tags(tagged)
+    assert got["container"] == "flac"
+    assert got["title"] == "Señal de Prueba"
+    assert got["vendor"] == "v1"
+    assert got["track"] == "3/12"
+    # the tagged stream still fully sample-decodes
+    rate, channels, samples = flacdec.decode_flac(tagged)
+    assert rate == 8000 and samples.shape[0] == 800
+    with pytest.raises(ValueError):
+        audiotags.parse_tags(flac)  # untouched stream has no block
+
+
+def test_ogg_vorbis_and_opus_windows():
+    block = audiotags.build_vorbis_comment_block(FIELDS)
+    ogg_v = b"OggS" + bytes(40) + b"\x03vorbis" + block + bytes(16)
+    got = audiotags.parse_tags(ogg_v)
+    assert got["container"] == "ogg-vorbis"
+    assert got["artist"] == "The Fixtures"
+    ogg_o = b"OggS" + bytes(40) + b"OpusTags" + block
+    got = audiotags.parse_tags(ogg_o)
+    assert got["container"] == "ogg-opus"
+    assert got["album"] == "Round Six"
+
+
+def test_partial_fields_and_bad_tlen():
+    tag = audiotags.build_id3v2({"title": "Only"}, major=4)
+    got = audiotags.parse_id3v2(tag)
+    assert got["title"] == "Only" and got["artist"] is None
+    tag = audiotags.build_id3v2({"tlen_ms": "notanumber"}, major=4)
+    assert audiotags.parse_id3v2(tag)["tlen_ms"] is None
+
+
+def test_no_tags_raises():
+    with pytest.raises(ValueError):
+        audiotags.parse_tags(b"RIFF....WAVE")
+    with pytest.raises(ValueError):
+        audiotags.parse_tags(b"")
+    with pytest.raises(ValueError):
+        audiotags.parse_tags(b"OggS" + bytes(64))
+
+
+def test_oversized_structures_rejected():
+    big = b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f"  # claims 256 MiB
+    with pytest.raises(ValueError):
+        audiotags.parse_id3v2(big)
+    blk = struct.pack("<I", 4) + b"vend" + struct.pack("<I", 999)
+    with pytest.raises(ValueError):
+        audiotags._parse_vorbis_comment_block(blk + bytes(64), 0)
+
+
+def test_mutation_fuzz_value_error_only():
+    samples = (np.arange(400) % 32 * 50).astype(np.int64)
+    flac = audiotags.inject_flac_comment(
+        flacdec.encode_flac(samples, 8000),
+        audiotags.build_vorbis_comment_block(FIELDS))
+    seeds = [audiotags.build_id3v2(FIELDS, major=4) + bytes(32),
+             audiotags.build_id3v2(FIELDS, major=3, unsync=False)
+             + bytes(32), flac,
+             b"OggS" + bytes(40) + b"\x03vorbis"
+             + audiotags.build_vorbis_comment_block(FIELDS)]
+    rng = random.Random(19)
+    for s in seeds:
+        for _ in range(150):
+            b = bytearray(s)
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                out = audiotags.parse_tags(bytes(b))
+                assert isinstance(out, dict)
+            except ValueError:
+                pass
+        for cut in range(0, len(s), 17):
+            try:
+                audiotags.parse_tags(s[:cut])
+            except ValueError:
+                pass
