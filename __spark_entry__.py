@@ -1808,16 +1808,19 @@ def _q_audio_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_audio_tag_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ID3v2 / Vorbis-comment tag extraction over fixtures whose
-    every field is CLOSED FORM in doc_id: the tag walk (kernel/
-    audiotags.py) runs against four container families — ID3v2.4
-    UTF-8 (unsynchronised when doc_id%8==4), ID3v2.3 UTF-16, FLAC
-    with an injected VORBIS_COMMENT block on a real encode_flac
-    stream, and Ogg Vorbis/Opus comment packets — while the oracle
-    is pure doc_id arithmetic and string concatenation (it never
-    touches the parser).  Every 9th payload is tagless RIFF -> the
-    parser's exact error string.  Non-ASCII title text exercises the
-    UTF-16/UTF-8 frame decodes cross-engine."""
+    """ID3v2/ID3v1/Vorbis-comment/RIFF-INFO/MP4-ilst tag extraction
+    over fixtures whose every field is CLOSED FORM in doc_id: the tag
+    walk (kernel/audiotags.py) runs against seven container families
+    — ID3v2.4 UTF-8 (unsynchronised when doc_id%8==4), ID3v2.3
+    UTF-16, FLAC with an injected VORBIS_COMMENT block on a real
+    encode_flac stream, Ogg Vorbis/Opus comment packets, a trailing
+    128-byte ID3v1.1 block, RIFF/WAVE LIST-INFO, and M4A ilst atoms
+    — while the oracle is pure doc_id arithmetic and string
+    concatenation (it never touches the parser).  Every 9th payload
+    is tagless -> the parser's exact error string.  Non-ASCII title
+    text exercises the UTF-16/UTF-8/latin-1 decodes cross-engine;
+    ID3v1's bare track byte (no '/12') and missing TLEN pin the
+    family-specific field shapes."""
     import numpy as np
 
     from pdf_to_text_extraction_service_spark.functions.multimodal import (
@@ -1834,7 +1837,7 @@ def _q_audio_tag_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def payload(i: int) -> bytes:
         if i % 9 == 0:
-            return b"RIFF....WAVE"
+            return b"\x00no tags here\x00" + bytes(32)
         fields = {
             "title": f"Señal {i}",
             "artist": f"Artist {i % 7}",
@@ -1843,19 +1846,27 @@ def _q_audio_tag_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "date": str(1990 + i % 30),
             "track": f"{1 + i % 12}/12",
         }
-        fam = i % 4
+        fam = i % 7
         if fam in (0, 1):
             fields["tlen_ms"] = i * 37
             return audiotags.build_id3v2(
                 fields, major=4 if fam == 0 else 3,
                 unsync=(i % 8 == 4)) + b"\xff\xfb" + bytes(32)
+        if fam == 4:
+            fields["track"] = str(1 + i % 12)  # v1.1: bare byte
+            return b"\xff\xfb" + bytes(32) + audiotags.build_id3v1(
+                fields)
+        if fam == 5:
+            return audiotags.build_riff_info(fields)
+        if fam == 6:
+            return audiotags.build_m4a_ilst(fields)
         block = audiotags.build_vorbis_comment_block(
             fields, vendor="fixture")
         if fam == 2:
             wave = (np.arange(200) % 16 * 50).astype(np.int64)
             return audiotags.inject_flac_comment(
                 flacdec.encode_flac(wave, 8000), block)
-        if i % 8 == 3:
+        if i % 2 == 1:
             return b"OggS" + bytes(40) + b"\x03vorbis" + block
         return b"OggS" + bytes(40) + b"OpusTags" + block
 
@@ -3629,10 +3640,14 @@ def oracle_sql() -> dict[str, str]:
         "audio_tag_metadata": """
             SELECT doc_id AS media_id,
                    CASE WHEN doc_id % 9 = 0 THEN NULL
-                        WHEN doc_id % 4 IN (0, 1) THEN 'id3v2'
-                        WHEN doc_id % 4 = 2 THEN 'flac'
-                        WHEN doc_id % 8 = 3 THEN 'ogg-vorbis'
-                        ELSE 'ogg-opus' END AS container,
+                        WHEN doc_id % 7 IN (0, 1) THEN 'id3v2'
+                        WHEN doc_id % 7 = 2 THEN 'flac'
+                        WHEN doc_id % 7 = 3 THEN
+                             CASE WHEN doc_id % 2 = 1
+                                  THEN 'ogg-vorbis' ELSE 'ogg-opus' END
+                        WHEN doc_id % 7 = 4 THEN 'id3v1'
+                        WHEN doc_id % 7 = 5 THEN 'riff-info'
+                        ELSE 'mp4-ilst' END AS container,
                    CASE WHEN doc_id % 9 = 0 THEN NULL
                         ELSE 'Señal ' || CAST(doc_id AS VARCHAR)
                    END AS title,
@@ -3651,18 +3666,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(1990 + doc_id % 30 AS VARCHAR)
                    END AS "date",
                    CASE WHEN doc_id % 9 = 0 THEN NULL
+                        WHEN doc_id % 7 = 4
+                        THEN CAST(1 + doc_id % 12 AS VARCHAR)
                         ELSE CAST(1 + doc_id % 12 AS VARCHAR) || '/12'
                    END AS track,
-                   CASE WHEN doc_id % 9 = 0 OR doc_id % 4 >= 2
+                   CASE WHEN doc_id % 9 = 0 OR doc_id % 7 >= 2
                         THEN NULL
                         ELSE CAST(doc_id * 37 AS BIGINT)
                    END AS tlen_ms,
-                   CASE WHEN doc_id % 9 = 0 OR doc_id % 4 < 2
+                   CASE WHEN doc_id % 9 = 0
+                             OR doc_id % 7 NOT IN (2, 3)
                         THEN NULL
                         ELSE 'fixture'
                    END AS vendor,
                    CASE WHEN doc_id % 9 = 0
-                        THEN 'audiotags: no ID3v2/FLAC/Ogg tag structure'
+                        THEN 'audiotags: no recognized tag structure'
                    END AS error
             FROM documents WHERE doc_id < 200
         """,

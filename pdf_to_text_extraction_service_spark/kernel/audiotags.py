@@ -21,9 +21,20 @@ Subset posture:
   from the stream head; for Ogg, the '\\x03vorbis' / 'OpusTags'
   comment packet located within the first 64 KiB (comment headers
   that straddle beyond that window fall back to no-tags).
-- Everything is bounded (256 frames / comments, 1 MiB tag size) and
-  malformed structures raise ValueError; the operator layer maps
-  that to a NULL row.
+- ID3v1: the trailing 128-byte 'TAG' block (latin-1 fixed fields,
+  v1.1 track byte).  Standalone v1 blocks dispatch as container
+  'id3v1'; when a payload carries BOTH v2 and v1, v2 wins field-wise
+  and v1 fills only the gaps (the mutagen/taglib convention).  The
+  genre byte resolves through the 80-entry informal-standard list;
+  Winamp extensions (>=80) surface as NULL rather than guessed.
+- RIFF/WAVE LIST-INFO: INAM/IART/IPRD/IGNR/ICRD/ITRK subchunks
+  (UTF-8 with latin-1 fallback, null-terminated, word-aligned).
+- MP4/M4A ilst: moov>udta>meta>ilst items (0xa9nam etc.) with
+  UTF-8 'data' atoms plus the binary trkn track/total pair, walked
+  on kernel/mp4box.py's bounded box iterator.
+- Everything is bounded (256 frames / comments / chunks, 1 MiB tag
+  size) and malformed structures raise ValueError; the operator
+  layer maps that to a NULL row.
 """
 
 from __future__ import annotations
@@ -60,6 +71,11 @@ def parse_tags(data: bytes) -> dict:
     if data[:3] == b"ID3":
         out = parse_id3v2(data)
         out["container"] = "id3v2"
+        if len(data) >= 138 and data[-128:-125] == b"TAG":
+            v1 = parse_id3v1(data)  # v2 wins; v1 fills the gaps
+            for f in TAG_FIELDS:
+                if out[f] is None:
+                    out[f] = v1[f]
         return out
     if data[:4] == b"fLaC":
         out = _parse_flac_comments(data)
@@ -68,7 +84,19 @@ def parse_tags(data: bytes) -> dict:
     if data[:4] == b"OggS":
         out = _parse_ogg_comments(data)
         return out
-    raise ValueError("audiotags: no ID3v2/FLAC/Ogg tag structure")
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        out = parse_riff_info(data)
+        out["container"] = "riff-info"
+        return out
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        out = parse_mp4_ilst(data)
+        out["container"] = "mp4-ilst"
+        return out
+    if len(data) >= 128 and data[-128:-125] == b"TAG":
+        out = parse_id3v1(data)
+        out["container"] = "id3v1"
+        return out
+    raise ValueError("audiotags: no recognized tag structure")
 
 
 def _syncsafe(b: bytes) -> int:
@@ -214,6 +242,158 @@ def _parse_flac_comments(data: bytes) -> dict:
     raise ValueError("audiotags: no FLAC VORBIS_COMMENT block")
 
 
+# ID3v1 genre indices 0-79 per the informal standard's canonical
+# list (the v1.1 appendix); Winamp extensions (80+) intentionally
+# resolve to NULL — fixtures only exercise indices that also appear
+# as ID3v2 TCON text (Rock/Jazz/Electronic), so a mislabeled exotic
+# slot could never corrupt an oracle.
+_ID3V1_GENRES = (
+    "Blues", "Classic Rock", "Country", "Dance", "Disco", "Funk",
+    "Grunge", "Hip-Hop", "Jazz", "Metal", "New Age", "Oldies",
+    "Other", "Pop", "R&B", "Rap", "Reggae", "Rock", "Techno",
+    "Industrial", "Alternative", "Ska", "Death Metal", "Pranks",
+    "Soundtrack", "Euro-Techno", "Ambient", "Trip-Hop", "Vocal",
+    "Jazz+Funk", "Fusion", "Trance", "Classical", "Instrumental",
+    "Acid", "House", "Game", "Sound Clip", "Gospel", "Noise",
+    "AlternRock", "Bass", "Soul", "Punk", "Space", "Meditative",
+    "Instrumental Pop", "Instrumental Rock", "Ethnic", "Gothic",
+    "Darkwave", "Techno-Industrial", "Electronic", "Pop-Folk",
+    "Eurodance", "Dream", "Southern Rock", "Comedy", "Cult",
+    "Gangsta", "Top 40", "Christian Rap", "Pop/Funk", "Jungle",
+    "Native American", "Cabaret", "New Wave", "Psychadelic", "Rave",
+    "Showtunes", "Trailer", "Lo-Fi", "Tribal", "Acid Punk",
+    "Acid Jazz", "Polka", "Retro", "Musical", "Rock & Roll",
+    "Hard Rock",
+)
+
+
+def parse_id3v1(data: bytes) -> dict:
+    """Trailing 128-byte ID3v1/'TAG' block -> field dict (latin-1
+    fixed-width fields, v1.1 track byte when comment[28] == 0)."""
+    if len(data) < 128 or data[-128:-125] != b"TAG":
+        raise ValueError("audiotags: no trailing ID3v1 block")
+    blk = bytes(data[-128:])
+
+    def text(a: int, b: int) -> str | None:
+        s = blk[a:b].split(b"\x00", 1)[0].decode("latin-1").strip()
+        return s or None
+
+    out: dict = {f: None for f in TAG_FIELDS}
+    out["title"] = text(3, 33)
+    out["artist"] = text(33, 63)
+    out["album"] = text(63, 93)
+    out["date"] = text(93, 97)
+    if blk[125] == 0 and blk[126] != 0:  # v1.1 track byte
+        out["track"] = str(blk[126])
+    if blk[127] < len(_ID3V1_GENRES):
+        out["genre"] = _ID3V1_GENRES[blk[127]]
+    return out
+
+
+_RIFF_KEYS = {
+    b"INAM": "title", b"IART": "artist", b"IPRD": "album",
+    b"IGNR": "genre", b"ICRD": "date", b"ITRK": "track",
+}
+
+
+def _info_text(raw: bytes) -> str | None:
+    raw = raw.split(b"\x00", 1)[0]
+    try:
+        s = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        s = raw.decode("latin-1")
+    return s.strip() or None
+
+
+def parse_riff_info(data: bytes) -> dict:
+    """RIFF/WAVE LIST-INFO subchunks -> field dict.  Chunk sizes are
+    little-endian with word alignment; raises when the payload has
+    no INFO list."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("audiotags: not a RIFF/WAVE payload")
+    end = min(len(data), 8 + int.from_bytes(data[4:8], "little"))
+    out: dict = {f: None for f in TAG_FIELDS}
+    pos, found = 12, False
+    for _ in range(256):
+        if pos + 8 > end:
+            break
+        cid = bytes(data[pos:pos + 4])
+        csz = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if csz > end - pos - 8:
+            raise ValueError("audiotags: RIFF chunk overruns file")
+        if cid == b"LIST" and data[pos + 8:pos + 12] == b"INFO":
+            found = True
+            sub, send = pos + 12, pos + 8 + csz
+            for _ in range(256):
+                if sub + 8 > send:
+                    break
+                sid = bytes(data[sub:sub + 4])
+                ssz = int.from_bytes(data[sub + 4:sub + 8], "little")
+                if ssz > send - sub - 8:
+                    raise ValueError(
+                        "audiotags: INFO subchunk overruns list")
+                field = _RIFF_KEYS.get(sid)
+                if field is not None:
+                    out[field] = _info_text(data[sub + 8:sub + 8 + ssz])
+                sub += 8 + ssz + (ssz & 1)
+        pos += 8 + csz + (csz & 1)
+    if not found:
+        raise ValueError("audiotags: no RIFF INFO chunk")
+    return out
+
+
+_ILST_KEYS = {
+    b"\xa9nam": "title", b"\xa9ART": "artist", b"\xa9alb": "album",
+    b"\xa9gen": "genre", b"\xa9day": "date", b"trkn": "track",
+}
+
+
+def _find_box(data: bytes, start: int, end: int, walk,
+              name: bytes, full: bool = False) -> tuple[int, int] | None:
+    from . import mp4box
+    for btype, s, e in mp4box._iter_boxes(data, start, end, walk):
+        if btype == name:
+            return (s + 4 if full else s), e
+    return None
+
+
+def parse_mp4_ilst(data: bytes) -> dict:
+    """ISO-BMFF moov>udta>meta>ilst item atoms -> field dict.  Text
+    items carry UTF-8 'data' atoms (type indicator 1); trkn is the
+    binary track/total pair (type 0).  Raises when no ilst exists."""
+    from . import mp4box
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("audiotags: not an ISO-BMFF payload")
+    # no byte cap: _iter_boxes skips by size (O(boxes) walk) and
+    # mp4box.MAX_BOXES bounds the box count
+    w = mp4box._Walk()
+    span: tuple[int, int] | None = (0, len(data))
+    for name, full in ((b"moov", False), (b"udta", False),
+                       (b"meta", True), (b"ilst", False)):
+        span = _find_box(data, span[0], span[1], w, name, full)
+        if span is None:
+            raise ValueError("audiotags: no mp4 ilst box")
+    out: dict = {f: None for f in TAG_FIELDS}
+    for btype, s, e in mp4box._iter_boxes(data, span[0], span[1], w):
+        field = _ILST_KEYS.get(bytes(btype))
+        if field is None:
+            continue
+        d = _find_box(data, s, e, w, b"data")
+        if d is None or d[1] - d[0] < 8:
+            continue
+        dtype = int.from_bytes(data[d[0]:d[0] + 4], "big")
+        val = bytes(data[d[0] + 8:d[1]])
+        if field == "track":
+            if dtype == 0 and len(val) >= 6:
+                trk = int.from_bytes(val[2:4], "big")
+                tot = int.from_bytes(val[4:6], "big")
+                out["track"] = (f"{trk}/{tot}" if tot
+                                else str(trk) if trk else None)
+        elif dtype == 1:
+            out[field] = val.decode("utf-8", "replace") or None
+    return out
+
+
 def _parse_ogg_comments(data: bytes) -> dict:
     window = bytes(data[:_OGG_SCAN_WINDOW])
     i = window.find(b"\x03vorbis")
@@ -277,6 +457,72 @@ def build_vorbis_comment_block(fields: dict,
         e = f"{k}={v}".encode()
         out += struct.pack("<I", len(e)) + e
     return bytes(out)
+
+
+def build_id3v1(fields: dict) -> bytes:
+    """128-byte trailing ID3v1.1 block.  Fixture/test use only;
+    track must be a bare number (no '/total'), genre a name from the
+    canonical list (else 255)."""
+    def fixed(key: str, width: int) -> bytes:
+        v = fields.get(key)
+        raw = b"" if v is None else str(v).encode("latin-1")
+        return raw[:width].ljust(width, b"\x00")
+
+    track = int(str(fields.get("track") or 0).partition("/")[0])
+    genre = fields.get("genre")
+    gidx = (_ID3V1_GENRES.index(genre)
+            if genre in _ID3V1_GENRES else 255)
+    return (b"TAG" + fixed("title", 30) + fixed("artist", 30)
+            + fixed("album", 30) + fixed("date", 4)
+            + bytes(28) + bytes([0, track & 0xFF, gidx]))
+
+
+def build_riff_info(fields: dict) -> bytes:
+    """Minimal RIFF/WAVE file whose LIST-INFO chunk carries
+    ``fields`` as UTF-8 subchunks.  Fixture/test use only."""
+    rev = {v: k for k, v in _RIFF_KEYS.items()}
+    sub = bytearray()
+    for f in TAG_FIELDS:
+        v = fields.get(f)
+        if f not in rev or v is None:
+            continue
+        raw = str(v).encode("utf-8") + b"\x00"
+        sub += rev[f] + struct.pack("<I", len(raw)) + raw
+        if len(raw) & 1:
+            sub += b"\x00"
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    info = b"LIST" + struct.pack("<I", 4 + len(sub)) + b"INFO" + sub
+    body = b"WAVE" + fmt + info + b"data" + struct.pack("<I", 0)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_m4a_ilst(fields: dict) -> bytes:
+    """Minimal M4A (ftyp + moov>udta>meta>ilst) whose item atoms
+    carry ``fields``.  Fixture/test use only."""
+    from . import mp4box
+    rev = {v: k for k, v in _ILST_KEYS.items()}
+    items = bytearray()
+    for f in TAG_FIELDS:
+        v = fields.get(f)
+        if f not in rev or v is None:
+            continue
+        if f == "track":
+            trk, _, tot = str(v).partition("/")
+            payload = (bytes(4) + bytes(4) + bytes(2)
+                       + int(trk).to_bytes(2, "big")
+                       + int(tot or 0).to_bytes(2, "big") + bytes(2))
+        else:
+            payload = ((1).to_bytes(4, "big") + bytes(4)
+                       + str(v).encode("utf-8"))
+        items += mp4box._box(rev[f], mp4box._box(b"data", payload))
+    hdlr = mp4box._full(b"hdlr", 0,
+                        bytes(4) + b"mdir" + b"appl" + bytes(9))
+    meta = mp4box._full(b"meta", 0, hdlr + mp4box._box(
+        b"ilst", bytes(items)))
+    moov = mp4box._box(b"moov", mp4box._box(b"udta", meta))
+    ftyp = mp4box._box(b"ftyp", b"M4A " + bytes(4) + b"M4A mp42isom")
+    return ftyp + moov
 
 
 def inject_flac_comment(flac: bytes, block: bytes) -> bytes:

@@ -85,6 +85,54 @@ def test_ogg_vorbis_and_opus_windows():
     assert got["album"] == "Round Six"
 
 
+def test_id3v1_roundtrip_and_genre():
+    blk = audiotags.build_id3v1(
+        {"title": "Señal", "artist": "The Fixtures", "album": "R6",
+         "date": "1997", "track": "7", "genre": "Jazz"})
+    got = audiotags.parse_tags(b"\xff\xfb" + bytes(64) + blk)
+    assert got["container"] == "id3v1"
+    assert got["title"] == "Señal" and got["artist"] == "The Fixtures"
+    assert got["date"] == "1997" and got["track"] == "7"
+    assert got["genre"] == "Jazz" and got["tlen_ms"] is None
+    # unknown genre byte (255) -> NULL, never guessed
+    blk = audiotags.build_id3v1({"title": "x", "genre": "NotAGenre"})
+    assert audiotags.parse_id3v1(blk)["genre"] is None
+
+
+def test_id3v2_wins_v1_fills_gaps():
+    v2 = audiotags.build_id3v2({"title": "V2 Title"}, major=4)
+    v1 = audiotags.build_id3v1({"title": "V1 Title",
+                                "artist": "V1 Artist"})
+    got = audiotags.parse_tags(v2 + bytes(64) + v1)
+    assert got["container"] == "id3v2"
+    assert got["title"] == "V2 Title"     # v2 wins
+    assert got["artist"] == "V1 Artist"   # v1 fills the gap
+
+
+def test_riff_info_roundtrip():
+    wav = audiotags.build_riff_info(FIELDS)
+    got = audiotags.parse_tags(wav)
+    assert got["container"] == "riff-info"
+    assert got["title"] == "Señal de Prueba"
+    assert got["album"] == "Round Six" and got["track"] == "3/12"
+    # the built file still walks as a WAV (fmt chunk intact)
+    with pytest.raises(ValueError):
+        audiotags.parse_tags(audiocodec.encode_wav(
+            np.zeros(16, np.int16), 8000))  # no INFO chunk
+
+
+def test_m4a_ilst_roundtrip():
+    m4a = audiotags.build_m4a_ilst(FIELDS)
+    got = audiotags.parse_tags(m4a)
+    assert got["container"] == "mp4-ilst"
+    assert got["title"] == "Señal de Prueba"
+    assert got["genre"] == "Electronic" and got["track"] == "3/12"
+    # a plain encode_mp4 stream has no ilst
+    from pdf_to_text_extraction_service_spark.kernel import mp4box
+    with pytest.raises(ValueError):
+        audiotags.parse_tags(mp4box.encode_mp4())
+
+
 def test_partial_fields_and_bad_tlen():
     tag = audiotags.build_id3v2({"title": "Only"}, major=4)
     got = audiotags.parse_id3v2(tag)
@@ -120,7 +168,10 @@ def test_mutation_fuzz_value_error_only():
              audiotags.build_id3v2(FIELDS, major=3, unsync=False)
              + bytes(32), flac,
              b"OggS" + bytes(40) + b"\x03vorbis"
-             + audiotags.build_vorbis_comment_block(FIELDS)]
+             + audiotags.build_vorbis_comment_block(FIELDS),
+             bytes(48) + audiotags.build_id3v1(FIELDS),
+             audiotags.build_riff_info(FIELDS),
+             audiotags.build_m4a_ilst(FIELDS)]
     rng = random.Random(19)
     for s in seeds:
         for _ in range(150):
