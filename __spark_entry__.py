@@ -1246,6 +1246,15 @@ _SNIFF_POOL: list[tuple[str, bool, bytes]] = [
      b"BEGIN:VCALENDAR\nVERSION:2.0\nEND:VCALENDAR\n"),
     ("text/x-php", True, b"<?php\necho 'greetings';\n"),
     ("application/json", True, b'{"a": 1, "b": [true, null, "x"]}'),
+    # content-statistical detectors (r6): CSV/TSV route to the csv
+    # extractor; x-ndjson has no registered extractor in the
+    # reference either (json registers only application/json) ->
+    # routing fails, mirroring registry.go resolution
+    ("text/csv", True, b"name,qty,price\nbolt,4,0.35\nnut,9,0.12\n"),
+    ("text/tab-separated-values", True,
+     b"name\tqty\nwasher\t7\nscrew\t2\n"),
+    ("application/x-ndjson", False,
+     b'{"event": "open", "n": 1}\n{"event": "close", "n": 2}\n'),
 ]
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import json as _json
 import re as _re
 
-from . import runes
+from . import gocsv, runes
 
 _HTML_SIGS = (
     b"<!doctype html", b"<html", b"<head", b"<script", b"<iframe",
@@ -81,7 +81,57 @@ def sniff_mime(payload: bytes) -> str:
             pass
     if any(b in _BINARY_BYTES for b in head):
         return "application/octet-stream"
+    mt = _sniff_content_stats(payload)
+    if mt is not None:
+        return mt
     return "text/plain; charset=utf-8"
+
+
+def _sniff_content_stats(payload: bytes) -> str | None:
+    """Content-statistical detectors the reference's mimetype library
+    resolves by PARSING rather than magic bytes: NDJSON (every line a
+    standalone JSON object/array), then CSV/TSV (uniform field count
+    > 1 over > 1 records).  Bounded at 1 MiB with the final possibly-
+    partial line dropped, mirroring the library's read-limit rule.
+    Documented subset vs the library: strict Go quoting via
+    kernel/gocsv.py (the library turns LazyQuotes on and honors '#'
+    comment lines for its csv probe; the reference's actual CSV
+    extractor is strict, csv.go:57-68, so strict keeps sniff-name and
+    parse-success consistent)."""
+    if len(payload) > (1 << 20):
+        cut = payload.rfind(b"\n", 0, 1 << 20)
+        if cut <= 0:
+            return None
+        payload = payload[:cut]
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    if len(lines) < 2:
+        return None
+    if lines[0].lstrip()[:1] in ("{", "["):
+        for ln in lines:
+            try:
+                v = _json.loads(ln)
+            except ValueError:
+                break
+            if not isinstance(v, (dict, list)):
+                break
+        else:
+            return "application/x-ndjson"
+    for delim, mt in ((",", "text/csv"),
+                      ("\t", "text/tab-separated-values")):
+        if delim not in lines[0]:
+            continue
+        try:
+            recs = gocsv.read_all(text, delim)
+        except ValueError:
+            continue
+        if len(recs) > 1 and len(recs[0]) > 1 and all(
+                len(r) == len(recs[0]) for r in recs):
+            return mt
+    return None
 
 
 def _sniff_breadth(head: bytes) -> str | None:

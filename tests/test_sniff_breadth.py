@@ -213,3 +213,32 @@ def test_never_raises_on_mutations():
             assert isinstance(out, str) and out
         assert isinstance(sniff_mime(bytes(s[:rng.randrange(1, len(s))])),
                           str)
+
+
+def test_content_statistical_detectors():
+    # NDJSON: every line a standalone JSON object/array, >= 2 lines
+    assert sniff_mime(b'{"a":1}\n{"b":2}\n{"c":[3]}\n') \
+        == "application/x-ndjson"
+    assert sniff_mime(b'[1,2]\n[3,4]\n') == "application/x-ndjson"
+    # a single JSON document stays application/json (whole-payload rule)
+    assert sniff_mime(b'{"a":1}') == "application/json"
+    assert sniff_mime(b'{"a": 1,\n "b": 2}\n') == "application/json"
+    # scalar lines are NOT ndjson (prose guard)
+    assert sniff_mime(b'[intro]\n123\n') == "text/plain; charset=utf-8"
+    # CSV/TSV: uniform field count > 1 over > 1 records
+    assert sniff_mime(b"a,b,c\n1,2,3\n4,5,6\n") == "text/csv"
+    assert sniff_mime(b'x,"quoted, comma"\ny,z\n') == "text/csv"
+    assert sniff_mime(b"a\tb\n1\t2\n") == "text/tab-separated-values"
+    # prose with ragged commas / strict-quote errors stays text
+    assert sniff_mime(b"Hello, world\nGoodbye now\n") \
+        == "text/plain; charset=utf-8"
+    assert sniff_mime(b'bad "quote, here\nok, row\n') \
+        == "text/plain; charset=utf-8"
+    # one line is never csv; empty field counts of 1 are never csv
+    assert sniff_mime(b"a,b,c\n") == "text/plain; charset=utf-8"
+    assert sniff_mime(b"a\nb\nc\n") == "text/plain; charset=utf-8"
+    # oversized payloads drop the partial trailing line, still detect
+    big = b"k,v\n" + b"\n".join(
+        b"row%d,%d" % (i, i) for i in range(120000)) + b",trunc"
+    assert len(big) > (1 << 20)
+    assert sniff_mime(big) == "text/csv"
