@@ -580,13 +580,12 @@ def flac_decode_features(df: DataFrame, id_col: str = "media_id",
                 payload = bytes(payload) if payload is not None else b""
                 out["media_id"].append(mid)
                 try:
-                    rate, ch, samples = flacdec.decode_flac(payload)
+                    info, samples = flacdec.decode_flac_full(payload)
+                    rate, ch = info["sample_rate"], info["channels"]
                     st = audiocodec.audio_stats(samples, rate, ch)
-                    bits = audiocodec.parse_flac(payload)[
-                        "bits_per_sample"]
                     out["sample_rate"].append(rate)
                     out["channels"].append(ch)
-                    out["bits"].append(bits)
+                    out["bits"].append(info["bits_per_sample"])
                     out["duration_ms"].append(st["duration_ms"])
                     out["mean_abs"].append(st["mean_abs"])
                     out["zero_cross"].append(st["zero_cross"])

@@ -167,9 +167,13 @@ def parse_id3v2(data: bytes) -> dict:
         pos += hdr + fsize
     if out.get("tlen_ms") is not None:
         try:
-            out["tlen_ms"] = int(out["tlen_ms"])
+            v = int(out["tlen_ms"])
         except ValueError:
-            out["tlen_ms"] = None
+            v = None
+        # clamp to int64: the operator column is LongType and an
+        # oversized Python int would fail the Arrow cast task-wide
+        out["tlen_ms"] = v if v is not None and 0 <= v < (1 << 63) \
+            else None
     return out
 
 

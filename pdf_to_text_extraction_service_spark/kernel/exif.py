@@ -87,6 +87,8 @@ def _jpeg_app1(data: bytes) -> bytes:
 
 
 def _parse_tiff_exif(tiff: bytes) -> dict:
+    if len(tiff) < 8:
+        raise ValueError("exif: truncated TIFF header")
     if tiff[:4] == b"II*\x00":
         bo = "<"
     elif tiff[:4] == b"MM\x00*":
@@ -177,10 +179,12 @@ def _decode_value(tiff: bytes, bo: str, typ: int, n: int, off: int):
 
 def _as_int(v) -> int | None:
     if isinstance(v, list) and v and isinstance(v[0], int):
-        return v[0]
-    if isinstance(v, int):
-        return v
-    return None
+        v = v[0]
+    if not isinstance(v, int):
+        return None
+    # feeds IntegerType operator columns: a 32-bit LONG tag value
+    # above 2^31-1 must become NULL, not an Arrow int32 cast crash
+    return v if 0 <= v < (1 << 31) else None
 
 
 def _as_float(v) -> float | None:

@@ -347,6 +347,14 @@ def decode_flac(data: bytes) -> tuple[int, int, np.ndarray]:
     channels]).  Verifies every frame CRC and, when STREAMINFO
     carries a nonzero MD5 and the depth is byte-aligned, the
     stream-level MD5 of the decoded samples."""
+    info, samples = decode_flac_full(data)
+    return info["sample_rate"], info["channels"], samples
+
+
+def decode_flac_full(data: bytes) -> tuple[dict, np.ndarray]:
+    """decode_flac plus the parsed STREAMINFO dict (sample_rate,
+    channels, bits_per_sample, total_samples, md5) so callers that
+    also want header fields avoid a second metadata walk."""
     if len(data) < 8 or data[:4] != b"fLaC":
         raise ValueError("flac: bad magic or truncated")
     pos = 4
@@ -398,7 +406,7 @@ def decode_flac(data: bytes) -> tuple[int, int, np.ndarray]:
         le = _pack_le(samples, width)
         if hashlib.md5(le).digest() != info["md5"]:
             raise ValueError("flac: stream md5 mismatch")
-    return info["sample_rate"], channels, samples.astype(np.int32)
+    return info, samples.astype(np.int32)
 
 
 def _pack_le(samples: np.ndarray, width: int) -> bytes:

@@ -1995,9 +1995,9 @@ def _decode_tiff(data: bytes) -> np.ndarray:
             or (photo == 2) != (spp == 3):
         raise ValueError("tiff: unsupported format")
     predictor = one(317, 1)
-    if predictor not in (1, 2) or (predictor == 2 and comp != 5):
-        if predictor != 1:
-            raise ValueError("tiff: unsupported predictor")
+    # only none (1), or horizontal differencing (2) under LZW
+    if predictor != 1 and not (predictor == 2 and comp == 5):
+        raise ValueError("tiff: unsupported predictor")
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):

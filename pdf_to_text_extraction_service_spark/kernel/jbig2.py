@@ -677,6 +677,8 @@ def _decode_halftone_region(payload: bytes, patterns: list,
     defpixel = (flags >> 7) & 1
     if enable_skip:
         raise ValueError("jbig2: halftone skip coding unsupported")
+    if hcombop > 4:
+        raise ValueError("jbig2: reserved halftone combination op")
     if not hmmr and template != 0:
         raise ValueError("jbig2: only GB template 0 supported")
     hgw, hgh = struct.unpack(">II", payload[pos:pos + 8])
@@ -709,14 +711,19 @@ def _decode_halftone_region(payload: bytes, patterns: list,
         gray = (gray << 1) | (planes[j] ^ (gray & 1))
     if int(gray.max(initial=0)) >= len(patterns):
         raise ValueError("jbig2: gray value out of pattern range")
+    # stamping work is cells x pattern area — budget it like the
+    # arith decode, or a few hundred payload bytes could demand
+    # ~1e11 pixel writes (decode-bomb class the shared budget closes)
+    pat_h, pat_w = patterns[0].shape
+    if hgw * hgh * pat_h * pat_w > 4 * ARITH_MAX_PIXELS:
+        raise ValueError("jbig2: halftone stamping exceeds budget")
     out = np.full((rh, rw), bool(defpixel), dtype=bool)
     for m in range(hgh):
         for n in range(hgw):
             # 8.8 fixed-point skewable grid (spec 6.6.5)
             x = (hgx + m * hry + n * hrx) >> 8
             y = (hgy + m * hrx - n * hry) >> 8
-            _draw(out, patterns[int(gray[m, n])], x, y, hcombop & 3
-                  if hcombop < 4 else 4)
+            _draw(out, patterns[int(gray[m, n])], x, y, hcombop)
     return out, rx, ry, combop
 
 

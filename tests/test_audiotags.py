@@ -188,3 +188,11 @@ def test_mutation_fuzz_value_error_only():
                 audiotags.parse_tags(s[:cut])
             except ValueError:
                 pass
+
+
+def test_oversized_tlen_becomes_null():
+    # int64-overflow TLEN must NULL out, not crash the Arrow cast
+    tag = audiotags.build_id3v2({"tlen_ms": "1" + "0" * 25}, major=4)
+    assert audiotags.parse_id3v2(tag)["tlen_ms"] is None
+    tag = audiotags.build_id3v2({"tlen_ms": 187000}, major=4)
+    assert audiotags.parse_id3v2(tag)["tlen_ms"] == 187000

@@ -113,3 +113,15 @@ def test_oversized_ifd_rejected():
     tiff = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 999)
     with pytest.raises(ValueError):
         exif.parse_exif(tiff + bytes(64))
+
+
+def test_short_tiff_and_long_values_are_contained():
+    # a 4-byte TIFF passes the magic check but must ValueError,
+    # never struct.error (the documented kernel contract)
+    with pytest.raises(ValueError):
+        exif.parse_exif(b"II*\x00")
+    # orientation/iso feed IntegerType columns: values above 2^31-1
+    # must become NULL, not an Arrow int32 cast crash
+    assert exif._as_int([4000000000]) is None
+    assert exif._as_int(4000000000) is None
+    assert exif._as_int(7) == 7

@@ -311,3 +311,27 @@ def test_halftone_mutation_fuzz():
             jbig2.decode_embedded(bytes(data))
         except ValueError:
             pass
+
+
+def test_halftone_budget_and_reserved_combop():
+    pats = [np.eye(3, dtype=bool), ~np.eye(3, dtype=bool)]
+    blob = jbig2.build_embedded_halftone(
+        9, 6, pats, np.zeros((2, 3), np.int64), 3)
+    # reserved HCOMBOP values (5-7) must raise, not silently REPLACE
+    region = bytearray(jbig2.encode_halftone_region(
+        9, 6, np.zeros((2, 3), np.int64), 2, 3))
+    flags = region[17]
+    region[17] = (flags & ~0x70) | (5 << 4)
+    with pytest.raises(ValueError, match="reserved halftone"):
+        jbig2._decode_halftone_region(bytes(region), pats)
+    # grid-cells x pattern-area stamping work is budgeted: an
+    # oversized grid must raise before the stamping loop runs
+    import struct as _struct
+
+    big = bytearray(region)
+    big[17] = flags
+    big[18:26] = _struct.pack(">II", 1 << 11, 1 << 11)  # 4.2M cells
+    with pytest.raises(ValueError):
+        jbig2._decode_halftone_region(bytes(big), pats)
+    # the untouched stream still decodes
+    assert jbig2.decode_embedded(blob).shape == (6, 9)
