@@ -1448,6 +1448,60 @@ def _gif_anim_payload(i: int) -> bytes:
         frames, spec["delays"], loop=spec["loop"])
 
 
+def _q_image_text_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG textual metadata (kernel/pngmeta.py via
+    functions/multimodal.png_text_metadata): title/author/copyright
+    provenance and the generator Software string over real
+    encode_png streams with spliced tEXt / zTXt / iTXt chunks
+    (chunk kind cycles by doc_id%3), every 11th a text-less PNG
+    (all-NULL fields, n_text_chunks=0, NO error) and every 9th a
+    non-PNG error row.  Every field is CLOSED FORM in doc_id; the
+    oracle never touches the parser.  The image counterpart of
+    audio_tag_metadata — engine-added breadth (the reference's image
+    leg reads no PNG metadata, image.go:38-263)."""
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.functions.multimodal import (
+        png_text_metadata,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import (
+        imgcodec,
+        pngmeta,
+    )
+
+    ids = [r["doc_id"] for r in load_documents(spark, sf_dir)
+           .select("doc_id").filter(F.col("doc_id") < 150).collect()]
+    base = imgcodec.encode_png(
+        (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.uint8))
+
+    def payload(i: int) -> bytes:
+        if i % 9 == 0:
+            return b"GIF89a" + bytes(32)
+        if i % 11 == 0:
+            return base
+        fields = {
+            "title": f"Señal {i}",
+            "author": f"Artist {i % 7}",
+            "software": f"gen {i % 4}.0",
+            "copyright": ("CC0", "CC-BY", "MIT")[i % 3],
+        }
+        if i % 5 != 2:
+            fields["description"] = f"Desc {i % 5}"
+        if i % 4 == 1:
+            fields["source"] = "synthetic"
+        if i % 2 == 1:
+            fields["comment"] = f"c{i}"
+        kind = ("tEXt", "zTXt", "iTXt")[i % 3]
+        return pngmeta.inject_before_iend(
+            base, pngmeta.build_text_chunks(fields, kind))
+
+    rows = [(int(i), bytearray(payload(i))) for i in ids]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    return png_text_metadata(df).select(
+        "media_id", "title", "author", "description", "copyright",
+        "software", "source", "comment", "n_text_chunks", "error")
+
+
 def _q_gif_animation_features(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Animated-GIF curation signals (kernel/imgcodec.gif_animation
@@ -2425,6 +2479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_font_encodings": _q_pdf_font_encodings,  # NEW r6 (/Encoding tables)
     "mime_sniff_breadth": _q_mime_sniff_breadth,  # NEW r6 (magic long tail)
     "image_exif_features": _q_image_exif_features,  # NEW r6 (EXIF/PII gate)
+    "image_text_metadata": _q_image_text_metadata,  # NEW r6 (PNG tEXt/zTXt/iTXt)
     "gif_animation_features": _q_gif_animation_features,  # NEW r6
     "robots_meta_gate": _q_robots_meta_gate,  # modified r6 (attr order/unquoted/header)
     "domain_stats": _q_domain_stats,  # modified r6 (PSL suffix-only NULL)
@@ -2448,13 +2503,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_html_docs": _q_extract_html_docs,
     "extract_lang_agg": _q_extract_lang_agg,
     "extract_warc_docs": _q_extract_warc,
-    "dedup_exact": _q_dedup_exact,
     # --- TAIL: r5 hash-green, untouched this round, rotate back r7
-    # (canonical_urls, boilerplate_filter, dedup_ngram_jaccard and
-    # the three ann_* queries displaced by the r6 insertions
-    # audio_flac_decode, audio_tag_metadata, pdf_font_encodings,
-    # mime_sniff_breadth, image_exif_features,
-    # gif_animation_features) ---
+    # (dedup_exact, canonical_urls, boilerplate_filter,
+    # dedup_ngram_jaccard and the three ann_* queries displaced by
+    # the r6 insertions audio_flac_decode, audio_tag_metadata,
+    # pdf_font_encodings, mime_sniff_breadth, image_exif_features,
+    # image_text_metadata, gif_animation_features) ---
+    "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_lsh_topk": _q_ann_lsh_topk,
@@ -3692,6 +3747,49 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'audiotags: no recognized tag structure'
                    END AS error
             FROM documents WHERE doc_id < 200
+        """,
+        "image_text_metadata": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 9 = 0 OR doc_id % 11 = 0
+                        THEN NULL
+                        ELSE 'Señal ' || CAST(doc_id AS VARCHAR)
+                   END AS title,
+                   CASE WHEN doc_id % 9 = 0 OR doc_id % 11 = 0
+                        THEN NULL
+                        ELSE 'Artist ' || CAST(doc_id % 7 AS VARCHAR)
+                   END AS author,
+                   CASE WHEN doc_id % 9 = 0 OR doc_id % 11 = 0
+                             OR doc_id % 5 = 2 THEN NULL
+                        ELSE 'Desc ' || CAST(doc_id % 5 AS VARCHAR)
+                   END AS description,
+                   CASE WHEN doc_id % 9 = 0 OR doc_id % 11 = 0
+                        THEN NULL
+                        ELSE CASE doc_id % 3 WHEN 0 THEN 'CC0'
+                             WHEN 1 THEN 'CC-BY' ELSE 'MIT' END
+                   END AS copyright,
+                   CASE WHEN doc_id % 9 = 0 OR doc_id % 11 = 0
+                        THEN NULL
+                        ELSE 'gen ' || CAST(doc_id % 4 AS VARCHAR)
+                             || '.0'
+                   END AS software,
+                   CASE WHEN doc_id % 9 = 0 OR doc_id % 11 = 0
+                             OR doc_id % 4 <> 1 THEN NULL
+                        ELSE 'synthetic'
+                   END AS source,
+                   CASE WHEN doc_id % 9 = 0 OR doc_id % 11 = 0
+                             OR doc_id % 2 <> 1 THEN NULL
+                        ELSE 'c' || CAST(doc_id AS VARCHAR)
+                   END AS comment,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        WHEN doc_id % 11 = 0 THEN 0
+                        ELSE 4 + CAST(doc_id % 5 <> 2 AS INTEGER)
+                               + CAST(doc_id % 4 = 1 AS INTEGER)
+                               + CAST(doc_id % 2 = 1 AS INTEGER)
+                   END AS n_text_chunks,
+                   CASE WHEN doc_id % 9 = 0
+                        THEN 'pngmeta: not a PNG payload'
+                   END AS error
+            FROM documents WHERE doc_id < 150
         """,
         "ann_cosine_topk": """
             SELECT vec_id,

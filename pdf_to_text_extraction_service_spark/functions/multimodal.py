@@ -712,6 +712,61 @@ def audio_tag_metadata(df: DataFrame, id_col: str = "media_id",
         _run, schema=AUDIO_TAGS_SCHEMA)
 
 
+PNG_TEXT_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("title", StringType()),
+    StructField("author", StringType()),
+    StructField("description", StringType()),
+    StructField("copyright", StringType()),
+    StructField("software", StringType()),
+    StructField("source", StringType()),
+    StructField("comment", StringType()),
+    StructField("n_text_chunks", IntegerType()),
+    StructField("error", StringType()),
+])
+
+
+def png_text_metadata(df: DataFrame, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """PNG tEXt/zTXt/iTXt chunk walk (kernel/pngmeta.py) ->
+    provenance metadata for image curation: title/author/copyright
+    rollup keys plus the generator Software string (a strong
+    synthetic-image signal).  The image counterpart of
+    audio_tag_metadata; the reference never reads PNG metadata (its
+    image leg posts bytes to vision APIs, image.go:38-263) — this is
+    engine-added breadth.  Chunk walks are O(chunk bytes) header
+    reads, no pixel decode; non-PNG payloads surface as error rows,
+    never exceptions."""
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ..kernel import pngmeta
+
+        cols = ("media_id", *pngmeta.PNG_TEXT_FIELDS,
+                "n_text_chunks", "error")
+        for batch in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                try:
+                    st = pngmeta.parse_png_text(payload)
+                    for f in pngmeta.PNG_TEXT_FIELDS:
+                        out[f].append(st[f])
+                    out["n_text_chunks"].append(st["n_text_chunks"])
+                    out["error"].append(None)
+                except Exception as exc:
+                    for f in pngmeta.PNG_TEXT_FIELDS:
+                        out[f].append(None)
+                    out["n_text_chunks"].append(None)
+                    out["error"].append(str(exc))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=PNG_TEXT_SCHEMA)
+
+
 MP4_FEATURES_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("brand", StringType()),
