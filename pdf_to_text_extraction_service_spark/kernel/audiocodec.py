@@ -369,9 +369,14 @@ def parse_ogg(data: bytes) -> dict:
         rate = int.from_bytes(first_payload[12:16], "little")
         if rate == 0 or channels == 0:
             raise ValueError("ogg: bad vorbis id header")
+        dur_ms = last_granule * 1000 // rate
+        if dur_ms >= (1 << 63):
+            # 63-bit granule over a tiny claimed rate must not crash
+            # the operator's Arrow int64 cast (sanity bound)
+            raise ValueError("ogg: implausible duration")
         return {"codec": "vorbis", "sample_rate": rate,
                 "channels": channels,
-                "duration_ms": last_granule * 1000 // rate}
+                "duration_ms": dur_ms}
     if first_payload.startswith(b"OpusHead"):
         if len(first_payload) < 19:
             raise ValueError("ogg: truncated opus id header")

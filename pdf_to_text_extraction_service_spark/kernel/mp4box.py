@@ -135,9 +135,14 @@ def parse_mp4(data: bytes) -> dict:
         raise ValueError("mp4: missing ftyp/mvhd")
     if timescale == 0:
         raise ValueError("mp4: zero timescale")
+    dur_ms = duration * 1000 // timescale
+    if dur_ms >= (1 << 63):
+        # a crafted u64 mvhd duration must not crash the operator's
+        # Arrow int64 cast task-wide (sanity bound, not a clamp)
+        raise ValueError("mp4: implausible duration")
     return {
         "brand": brand,
-        "duration_ms": duration * 1000 // timescale,
+        "duration_ms": dur_ms,
         "n_tracks": n_tracks,
         "has_video": has_video,
         "has_audio": has_audio,

@@ -151,8 +151,18 @@ def parse_matroska(data: bytes) -> dict:
         raise ValueError("ebml: missing doctype")
     if timescale == 0:
         raise ValueError("ebml: zero timescale")
-    dur_ms = 0 if duration is None \
-        else int(duration * timescale / 1_000_000)
+    if duration is None:
+        dur_ms = 0
+    else:
+        # EBML duration is a float: inf/nan would escape as
+        # OverflowError at int(), and huge values would crash the
+        # operator's Arrow int64 cast — sanity-bound both
+        scaled = duration * timescale / 1_000_000
+        if not (0 <= scaled < float(1 << 63)):
+            raise ValueError("ebml: implausible duration")
+        dur_ms = int(scaled)
+    if not (0 <= width < (1 << 31) and 0 <= height < (1 << 31)):
+        raise ValueError("ebml: implausible dimensions")
     return {
         "doctype": doctype,
         "duration_ms": dur_ms,
@@ -181,6 +191,9 @@ def parse_avi(data: bytes) -> dict:
         "<10I", data, idx + 8)
     if usec_per_frame == 0:
         raise ValueError("avi: zero frame period")
+    if w >= (1 << 31) or h >= (1 << 31):
+        # u32 dims feed IntegerType columns — sanity-bound
+        raise ValueError("avi: implausible dimensions")
     return {
         "duration_ms": total_frames * usec_per_frame // 1000,
         "n_streams": streams,
@@ -207,6 +220,9 @@ def parse_asf(data: bytes) -> dict:
     preroll_ms = struct.unpack_from("<Q", data, base + 56)[0]
     dur = max(0, play_100ns // 10_000 - preroll_ms)
     packets = struct.unpack_from("<Q", data, base + 32)[0]
+    if packets >= (1 << 63):
+        # u64 feeding an int64 column — sanity-bound
+        raise ValueError("asf: implausible packet count")
     return {"duration_ms": dur, "n_packets": packets}
 
 
@@ -345,10 +361,15 @@ def parse_flv(data: bytes) -> dict:
     dur = meta.get("duration", 0.0)
     if dur != dur or dur < 0 or dur > 1e9:   # NaN / bogus
         raise ValueError("flv: bad duration")
+    w, h = meta.get("width", 0.0), meta.get("height", 0.0)
+    # AMF doubles: inf escapes int() as OverflowError and huge
+    # values crash the Arrow int32 cast — sanity-bound like duration
+    if not (0 <= w < 2 ** 31 and 0 <= h < 2 ** 31) or w != w or h != h:
+        raise ValueError("flv: implausible dimensions")
     return {
         "duration_ms": int(dur * 1000),
-        "width": int(meta.get("width", 0)),
-        "height": int(meta.get("height", 0)),
+        "width": int(w),
+        "height": int(h),
         "has_video": bool(flags & 0x01),
         "has_audio": bool(flags & 0x04),
     }

@@ -673,3 +673,62 @@ def test_adts_closed_form_and_mp3_disambiguation():
             ac.parse_adts(bytes(blob))
         except ValueError:
             pass  # error envelope only
+
+
+def test_container_walks_sanity_bound_wide_ints():
+    """A crafted wide integer in any container header must raise
+    ValueError (-> operator error row), never escape as an oversized
+    Python int that crashes the whole Arrow batch cast (the ID3v2
+    TLEN / EXIF int32 review class, applied to every walk)."""
+    import struct
+
+    import pytest
+
+    from pdf_to_text_extraction_service_spark.kernel import (
+        audiocodec,
+        mp4box,
+    )
+    from pdf_to_text_extraction_service_spark.kernel import (
+        videobox as vb,
+    )
+
+    # mp4: u64 mvhd duration at max over timescale 1
+    ftyp = mp4box._box(b"ftyp", b"isom" + b"\x00" * 8)
+    mvhd = mp4box._full(b"mvhd", 1, struct.pack(
+        ">QQIQ", 0, 0, 1, (1 << 64) - 1) + b"\x00" * 80)
+    with pytest.raises(ValueError, match="implausible"):
+        mp4box.parse_mp4(ftyp + mp4box._box(b"moov", mvhd))
+
+    # avi: u32 dims above int32
+    avi = bytearray(vb.encode_avi(33333, 900, streams=1,
+                                  w=640, h=480))
+    idx = avi.index(b"avih") + 8 + 32
+    avi[idx:idx + 8] = struct.pack("<II", 1 << 31, 1 << 31)
+    with pytest.raises(ValueError, match="implausible"):
+        vb.parse_avi(bytes(avi))
+
+    # asf: u64 packet count at max
+    asf = bytearray(vb.encode_asf(9000, 1000, 5))
+    base = asf.index(vb._ASF_FILE_PROPS_GUID) + 24
+    asf[base + 32:base + 40] = b"\xff" * 8
+    with pytest.raises(ValueError, match="implausible"):
+        vb.parse_asf(bytes(asf))
+
+    # flv: inf width in the AMF metadata
+    flv = bytearray(vb.encode_flv(95, 1280, 720, True, False))
+    w_at = flv.index(struct.pack(">d", 1280.0))
+    flv[w_at:w_at + 8] = struct.pack(">d", float("inf"))
+    with pytest.raises(ValueError, match="implausible"):
+        vb.parse_flv(bytes(flv))
+
+    # ogg vorbis: 63-bit granule over a rate-1 id header
+    ogg = bytearray(audiocodec.encode_ogg(
+        "vorbis", rate=1, channels=1, granule=(1 << 62), pages=2))
+    with pytest.raises(ValueError, match="implausible"):
+        audiocodec.parse_ogg(bytes(ogg))
+
+    # sane streams still parse after the bounds landed
+    assert mp4box.parse_mp4(mp4box.encode_mp4(
+        duration=5000))["duration_ms"] == 5000
+    assert vb.parse_avi(vb.encode_avi(
+        40000, 100, 1, 320, 240))["width"] == 320
