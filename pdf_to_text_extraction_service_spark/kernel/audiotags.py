@@ -12,15 +12,20 @@ tags; this is engine-added breadth built from the public ID3v2.2/
 Subset posture:
 
 - ID3v2: syncsafe header size; v2.3 (plain-BE frame sizes) and v2.4
-  (syncsafe frame sizes) frames, v2.2 three-byte frames; tag-level
-  unsynchronisation undone; extended headers skipped.  Text frames
+  (syncsafe frame sizes) frames, v2.2 three-byte frames;
+  unsynchronisation undone whole-tag for v2.2/v2.3 and PER FRAME for
+  v2.4 (v2.4 frame sizes describe the stored unsynchronised data;
+  frame flag 0x0002 honored); compressed v2.2 tags (flag 0x40) are
+  rejected per spec; extended headers skipped.  Text frames
   decode encodings 0 (latin-1), 1 (UTF-16 BOM), 2 (UTF-16BE),
   3 (UTF-8).  Compressed/encrypted frames are skipped, never
   guessed.
 - Vorbis comments: the FLAC VORBIS_COMMENT metadata block walked
   from the stream head; for Ogg, the '\\x03vorbis' / 'OpusTags'
-  comment packet located within the first 64 KiB (comment headers
-  that straddle beyond that window fall back to no-tags).
+  comment packet must START within the first 64 KiB (its body may
+  extend up to MAX_TAG_BYTES past the window).  Headers starting
+  beyond the window, or truncated bodies, surface as their own
+  ValueError error rows.
 - ID3v1: the trailing 128-byte 'TAG' block (latin-1 fixed fields,
   v1.1 track byte).  Standalone v1 blocks dispatch as container
   'id3v1'; when a payload carries BOTH v2 and v1, v2 wins field-wise
@@ -121,7 +126,17 @@ def parse_id3v2(data: bytes) -> dict:
     body = bytes(data[10:10 + size])
     if len(body) < size:
         raise ValueError("audiotags: truncated ID3v2 tag")
-    if flags & 0x80:  # tag-level unsynchronisation: FF 00 -> FF
+    if major == 2 and flags & 0x40:
+        # v2.2 flag 0x40 = whole-tag compression; the informal
+        # standard says such tags should be ignored, never guessed
+        raise ValueError("audiotags: compressed ID3v2.2 tag")
+    tag_unsync = bool(flags & 0x80)
+    if tag_unsync and major in (2, 3):
+        # v2.2/v2.3: unsynchronisation (FF 00 -> FF) was applied to
+        # the whole tag as the LAST encoding step, so frame sizes
+        # describe the de-unsynchronised body — undo globally.
+        # v2.4 moved unsync to per-frame (sizes describe the STORED
+        # frame data), so the v2.4 undo happens inside the walk.
         body = body.replace(b"\xff\x00", b"\xff")
     pos = 0
     if flags & 0x40 and major in (3, 4):  # extended header
@@ -163,7 +178,13 @@ def parse_id3v2(data: bytes) -> dict:
         else:
             skip = False
         if field is not None and fsize > 0 and not skip:
-            out[field] = _decode_text(body[pos + hdr:pos + hdr + fsize])
+            frame = body[pos + hdr:pos + hdr + fsize]
+            if major == 4 and (tag_unsync or fflags & 0x0002):
+                # v2.4 per-frame unsynchronisation: the tag-level
+                # flag means every frame is unsynchronised; frame
+                # flag 0x0002 marks individual frames
+                frame = frame.replace(b"\xff\x00", b"\xff")
+            out[field] = _decode_text(frame)
         pos += hdr + fsize
     if out.get("tlen_ms") is not None:
         try:
@@ -399,15 +420,21 @@ def parse_mp4_ilst(data: bytes) -> dict:
 
 
 def _parse_ogg_comments(data: bytes) -> dict:
+    # The comment header must START inside the 64 KiB scan window,
+    # but once found its body may extend past the window (bounded by
+    # MAX_TAG_BYTES inside _parse_vorbis_comment_block) — so a block
+    # that merely straddles the window boundary still parses instead
+    # of surfacing a truncation error row.
     window = bytes(data[:_OGG_SCAN_WINDOW])
+    buf = bytes(data[:_OGG_SCAN_WINDOW + MAX_TAG_BYTES + 8])
     i = window.find(b"\x03vorbis")
     if i >= 0:
-        out = _parse_vorbis_comment_block(window, i + 7)
+        out = _parse_vorbis_comment_block(buf, i + 7)
         out["container"] = "ogg-vorbis"
         return out
     i = window.find(b"OpusTags")
     if i >= 0:
-        out = _parse_vorbis_comment_block(window, i + 8)
+        out = _parse_vorbis_comment_block(buf, i + 8)
         out["container"] = "ogg-opus"
         return out
     raise ValueError("audiotags: no Ogg comment header in window")
@@ -429,6 +456,10 @@ def build_id3v2(fields: dict, major: int = 4,
         text = str(fields[f])
         if major == 4:
             payload = b"\x03" + text.encode("utf-8")
+            if unsync:
+                # v2.4: unsync is PER FRAME and the frame size
+                # describes the stored (unsynchronised) data
+                payload = payload.replace(b"\xff", b"\xff\x00")
             size = bytes([(len(payload) >> 21) & 0x7F,
                           (len(payload) >> 14) & 0x7F,
                           (len(payload) >> 7) & 0x7F,
@@ -440,7 +471,9 @@ def build_id3v2(fields: dict, major: int = 4,
     raw = bytes(body)
     flags = 0
     if unsync:
-        raw = raw.replace(b"\xff", b"\xff\x00")
+        if major != 4:
+            # v2.3: whole-tag unsync as the last encoding step
+            raw = raw.replace(b"\xff", b"\xff\x00")
         flags |= 0x80
     sz = len(raw)
     return (b"ID3" + bytes([major, 0, flags])

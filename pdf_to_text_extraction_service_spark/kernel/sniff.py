@@ -107,7 +107,11 @@ def _sniff_content_stats(payload: bytes) -> str | None:
         text = payload.decode("utf-8")
     except UnicodeDecodeError:
         return None
-    lines = [ln for ln in text.splitlines() if ln.strip()]
+    # Go's line model: \n (with optional \r) only.  str.splitlines()
+    # would also split on U+2028/U+0085/\x0b/\x0c and make this gate
+    # disagree with gocsv.read_all, which sees the undivided text.
+    lines = [ln for ln in text.replace("\r\n", "\n").split("\n")
+             if ln.strip()]
     if len(lines) < 2:
         return None
     if lines[0].lstrip()[:1] in ("{", "["):

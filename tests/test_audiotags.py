@@ -196,3 +196,78 @@ def test_oversized_tlen_becomes_null():
     assert audiotags.parse_id3v2(tag)["tlen_ms"] is None
     tag = audiotags.build_id3v2({"tlen_ms": 187000}, major=4)
     assert audiotags.parse_id3v2(tag)["tlen_ms"] == 187000
+
+
+def _syncsafe4(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+
+
+def test_id3v24_per_frame_unsync_with_ff_bytes():
+    # v2.4 + tag-level unsync flag: frame sizes describe the STORED
+    # (per-frame unsynchronised) data.  A UTF-16 title (BOM FF FE)
+    # forces real FF bytes into the frame — the regression the
+    # global-undo walk misaligned on.
+    text = "Café ｱｲ"  # multibyte + halfwidth kana -> FF bytes
+    payload = b"\x01" + text.encode("utf-16")
+    stored = payload.replace(b"\xff", b"\xff\x00")
+    assert stored != payload  # the fixture really exercises unsync
+    frame = b"TIT2" + _syncsafe4(len(stored)) + b"\x00\x00" + stored
+    # second frame AFTER the FF-bearing one proves the walk stays
+    # aligned past the unsynchronised frame
+    p2 = b"\x03Artist Two"
+    frame += b"TPE1" + _syncsafe4(len(p2)) + b"\x00\x00" + p2
+    tag = b"ID3\x04\x00\x80" + _syncsafe4(len(frame)) + frame
+    got = audiotags.parse_id3v2(tag)
+    assert got["title"] == text
+    assert got["artist"] == "Artist Two"
+
+
+def test_id3v24_frame_level_unsync_flag():
+    # frame flag 0x0002 without the tag-level flag
+    text = "ｱ title"
+    payload = b"\x01" + text.encode("utf-16")
+    stored = payload.replace(b"\xff", b"\xff\x00")
+    frame = b"TIT2" + _syncsafe4(len(stored)) + b"\x00\x02" + stored
+    tag = b"ID3\x04\x00\x00" + _syncsafe4(len(frame)) + frame
+    got = audiotags.parse_id3v2(tag)
+    assert got["title"] == text
+
+
+def test_id3v24_builder_emits_per_frame_unsync():
+    # builder round-trip stays green AND the stored bytes differ from
+    # the logical payload when fields contain codepoints that encode
+    # with FF bytes in UTF-8 (none here, so just parity + flag check)
+    tag = audiotags.build_id3v2(FIELDS, major=4, unsync=True)
+    assert tag[5] & 0x80
+    got = audiotags.parse_id3v2(tag)
+    assert got["title"] == FIELDS["title"]
+    assert got["tlen_ms"] == FIELDS["tlen_ms"]
+
+
+def test_id3v22_compressed_tag_rejected():
+    payload = b"\x00Old Title"
+    body = b"TT2" + len(payload).to_bytes(3, "big") + payload
+    tag = (b"ID3\x02\x00\x40" + _syncsafe4(len(body)) + body)
+    with pytest.raises(ValueError, match="compressed ID3v2.2"):
+        audiotags.parse_id3v2(tag)
+
+
+def test_ogg_comment_block_straddles_window():
+    # OpusTags header starts inside the 64 KiB window but its body
+    # extends past it: must parse, not raise a truncation error
+    win = audiotags._OGG_SCAN_WINDOW
+    vendor = b"v" * 16
+    big_val = "x" * 4096
+    entry = f"TITLE=Straddle {big_val}".encode()
+    block = (struct.pack("<I", len(vendor)) + vendor
+             + struct.pack("<I", 2)
+             + struct.pack("<I", len(entry)) + entry
+             + struct.pack("<I", 12) + b"ARTIST=after")
+    head = b"OggS" + bytes(win - 4 - 8 - 2048)  # header near window end
+    data = head + b"OpusTags" + block
+    assert len(head) + 8 + len(block) > win  # really straddles
+    got = audiotags.parse_tags(data)
+    assert got["container"] == "ogg-opus"
+    assert got["title"] == f"Straddle {big_val}"
+    assert got["artist"] == "after"

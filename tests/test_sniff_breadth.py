@@ -242,3 +242,22 @@ def test_content_statistical_detectors():
         b"row%d,%d" % (i, i) for i in range(120000)) + b",trunc"
     assert len(big) > (1 << 20)
     assert sniff_mime(big) == "text/csv"
+
+
+def test_unicode_line_separators_use_go_line_model():
+    # U+2028 / U+0085 / \x0b / \x0c are NOT line boundaries in the Go
+    # reference's \n-based model; str.splitlines() would split on
+    # them and let the NDJSON/CSV gates disagree with gocsv.read_all
+    # (which sees the undivided text).
+    # A U+2028 inside a quoted CSV field: one \n-line pair, valid CSV.
+    payload = 'a,"x\u2028y"\nb,c\n'.encode()
+    assert sniff_mime(payload) == "text/csv"
+    # U+0085 inside a JSON string: still one line per \n, valid NDJSON
+    payload = '{"a":"p\u0085q"}\n{"b":1}\n'.encode()
+    assert sniff_mime(payload) == "application/x-ndjson"
+    # \x0c (form feed) between prose words must not fabricate a
+    # second "line" that flips a single-line payload into csv range
+    payload = b"only,one\x0cline,here\n"
+    assert sniff_mime(payload) == "text/plain; charset=utf-8"
+    # \r\n line endings still count as line boundaries
+    assert sniff_mime(b"a,b\r\n1,2\r\n") == "text/csv"
