@@ -25,8 +25,12 @@ Every stage is declarative DataFrame work over the same operators the
 driver queries gate (operators/neardup, paradedup, dupspans,
 decontam, packing, textstats) — text crosses one Exchange per
 rewrite-stage join, scalar keys do everything else. Stage row counts
-print as one JSON line; at the 100 TB target you would sample or use
-accumulators instead of exact counts (--no-stats skips them).
+print as one JSON line.  The default stats path costs ZERO extra
+actions: each stage carries a CollectMetrics observation
+(df.observe), and the single materializing checkpoint at the end
+resolves every count — this is the 100-TB stats mode (VERDICT r6
+next #7).  --exact-stats restores the legacy one-count()-per-stage
+mode (pytest pins the two modes equal); --no-stats skips stats.
 """
 
 from __future__ import annotations
@@ -67,12 +71,37 @@ def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
            seq_len=1024, benchmark=None, span_removal=True,
            blocklist=None, stats=True):
     """Run the curation chain over ``docs(url, text, ...)``; returns
-    (packed DataFrame, stage-stats dict)."""
+    (packed DataFrame, stage-stats dict).
+
+    ``stats``:
+      True (default) — observation mode: every stage count comes from
+        a CollectMetrics node resolved by the ONE materializing action
+        (the eager localCheckpoint below), so stats cost nothing extra
+        at any scale;
+      "exact" — legacy mode: one count() action per stage (kept for
+        the equality pytest and for debugging a single stage);
+      False — no stats.
+    """
+    from pyspark.sql import Observation
+
     st: dict[str, int] = {}
     _persisted = []
+    _obs: dict[str, Observation] = {}
+    observe_mode = stats is True or stats == "observe"
 
     def note(name, df):
-        if stats:
+        if observe_mode:
+            # zero-action stats: a CollectMetrics node above the
+            # stage, resolved when the final checkpoint materializes
+            # the chain exactly once (each stage is persisted, so its
+            # subtree — and its observation — fires once even though
+            # dedup stages consume their own input on both join sides)
+            ob = Observation(f"curate_{name}")
+            df = df.observe(ob, F.count(F.lit(1)).alias("n"))
+            _obs[name] = ob
+            df = df.persist()
+            _persisted.append(df)
+        elif stats:
             # persist before counting so each stage count (and the
             # final write) reuses the computed prefix instead of
             # re-running the whole upstream chain per action; once
@@ -168,13 +197,32 @@ def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
         .select("seq_id", "seq_offset", "url", "doc_id",
                 "n_tokens", "text")
     )
-    if stats:
+    if observe_mode:
+        # ONE action total: the eager checkpoint materializes every
+        # stage (each exactly once via its persist), fires every
+        # observation, and truncates lineage so the stage caches can
+        # be released immediately.  `sequences` = max(seq_id)+1, the
+        # number of packed sequences produced (a doc longer than
+        # seq_len fills sequences no row starts in, so a distinct
+        # count of starts would undercount; max+1 is the physical
+        # chunk count and is observation-expressible).
+        ob_out = Observation("curate_out")
+        out = out.observe(ob_out, F.count(F.lit(1)).alias("n"),
+                          F.max("seq_id").alias("max_seq"))
+        out = out.localCheckpoint(eager=True)
+        for name, ob in _obs.items():
+            st[name] = ob.get["n"]
+        mx = ob_out.get["max_seq"]
+        st["sequences"] = 0 if mx is None else int(mx) + 1
+        while _persisted:
+            _persisted.pop().unpersist()
+    elif stats:
         # `out` stays persisted for the caller's write (caller may
         # unpersist after consuming); every intermediate stage cache
         # is released here
         out = out.persist()
-        st["sequences"] = out.agg(
-            F.countDistinct("seq_id")).collect()[0][0]
+        mx = out.agg(F.max("seq_id")).collect()[0][0]
+        st["sequences"] = 0 if mx is None else int(mx) + 1
         while _persisted:
             _persisted.pop().unpersist()
     else:
@@ -205,6 +253,9 @@ def main() -> None:
                          "the gate (broadcast anti-join)")
     ap.add_argument("--no-span-removal", action="store_true")
     ap.add_argument("--no-stats", action="store_true")
+    ap.add_argument("--exact-stats", action="store_true",
+                    help="legacy one-count()-per-stage stats instead "
+                         "of the default zero-action observations")
     args = ap.parse_args()
 
     spark = build_session(app_name="curate-job")
@@ -220,7 +271,8 @@ def main() -> None:
         blocklist=(spark.read.parquet(args.blocklist)
                    if args.blocklist else None),
         span_removal=not args.no_span_removal,
-        stats=not args.no_stats,
+        stats=(False if args.no_stats
+               else "exact" if args.exact_stats else True),
     )
     out.repartition("seq_id").sortWithinPartitions(
         "seq_id", "seq_offset").write.mode("overwrite") \

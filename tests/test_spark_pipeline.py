@@ -340,3 +340,39 @@ def test_curate_pipeline_stages(spark, tmp_path):
     assert sum(shared13 in t for t in texts.values()) == 1
     assert "https://a.test/8" not in urls
     assert all(r["seq_id"] >= 0 and r["seq_offset"] >= 0 for r in got)
+
+
+def test_curate_observe_stats_equal_exact(spark):
+    """The default zero-action observation stats (one materializing
+    checkpoint resolves every CollectMetrics node) must equal the
+    legacy one-count()-per-stage mode on the sf0.001 corpus — same
+    keys, same values, including the packed-sequences count."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from jobs.curate import curate
+    from pdf_to_text_extraction_service_spark.sources.corpus import (
+        load_documents,
+    )
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").select(
+        F.concat(F.lit("https://corpus.example/"), F.col("source"),
+                 F.lit("/doc"), F.col("doc_id").cast("string"),
+                 ).alias("url"),
+        "text", F.lit(True).alias("success"), "lang",
+    )
+    bench = spark.createDataFrame(
+        [(" ".join(f"b{i}" for i in range(13)),)], "text string")
+    out_obs, st_obs = curate(spark, docs, langs=["en", "de"],
+                             min_words=5, seq_len=256,
+                             benchmark=bench, stats=True)
+    out_ex, st_ex = curate(spark, docs, langs=["en", "de"],
+                           min_words=5, seq_len=256,
+                           benchmark=bench, stats="exact")
+    assert st_obs == st_ex
+    assert st_obs["sequences"] >= 1
+    assert sorted(map(tuple, out_obs.collect())) == \
+        sorted(map(tuple, out_ex.collect()))
+    out_ex.unpersist()
