@@ -1580,9 +1580,15 @@ def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     JPEG 2000 codestream (kernel/jp2k, lossless 5/3) cycling
     white-255 (blank -> pruned) / dark-48 / dark-16 by id%3; every
     id%5==2 doc's codestream has its COD transform byte flipped to
-    9/7 — outside the decode subset, so the image degrades to a
-    size-only entry and the page conservatively stays needs-ocr
-    even when its fill is white (decoded-only pruning proof)."""
+    9/7 while QCD stays no-quantization — an inconsistent stream
+    outside the decode subset, so the image degrades to a size-only
+    entry and the page conservatively stays needs-ocr even when its
+    fill is white (decoded-only pruning proof).  r7: every id%5==3
+    doc's JPX page is a REAL 9/7-irreversible codestream
+    (scalar-expounded QCD, float DWT, 0.5-bias dequant) — flat fills
+    decode to their exact value, so the oracle arithmetic is
+    unchanged while the dominant real-scanner codec shape is
+    exercised end-to-end."""
     import numpy as np
 
     from pdf_to_text_extraction_service_spark.kernel import ccitt, imgcodec
@@ -1627,10 +1633,20 @@ def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pdf_to_text_extraction_service_spark.kernel import jp2k
         jv = 255 if i % 3 == 0 else (48 if i % 3 == 1 else 16)
         jw, jh = 8 * (1 + i % 3), 8 * (1 + i % 2)
-        jcs = bytearray(jp2k.encode_lossless(
-            np.full((jh, jw), jv, np.uint8), levels=1 + i % 2))
+        if i % 5 == 3:
+            # r7: real scanner shape — 9/7 IRREVERSIBLE codestream
+            # (kernel/jp2k lossy path, scalar-expounded QCD).  Flat
+            # fills reconstruct their exact pixel value through the
+            # float DWT + 0.5-bias dequant, so ink/luma stay the
+            # same closed-form doc_id arithmetic as the 5/3 branch.
+            jcs = bytearray(jp2k.encode_lossy_97(
+                np.full((jh, jw), jv, np.uint8), levels=1 + i % 2))
+        else:
+            jcs = bytearray(jp2k.encode_lossless(
+                np.full((jh, jw), jv, np.uint8), levels=1 + i % 2))
         if i % 5 == 2:
-            # flip the COD transform byte to 9/7: out of subset,
+            # flip the COD transform byte to 9/7 while QCD stays
+            # no-quantization: inconsistent stream, out of subset,
             # decode falls back to the size-only header walk
             jcs[jcs.index(b"\xff\x52") + 13] = 0
         jpx_entry = (
@@ -2192,7 +2208,11 @@ def _q_image_codec_breadth(spark: SparkSession,
     to their fill value, so mean_sample is doc_id arithmetic
     ((r+g+b)//3 for RGB).  r6: kind-4 ids with i%4==2 are JPEG 2000
     — real lossless grey / RGB+RCT codestreams (kernel/jp2k) or a
-    jp2c-less container proving the header-walk fallback."""
+    jp2c-less container proving the header-walk fallback.  r7:
+    (i//24)%2==1 JPEG-2000 ids ship as RAW 9/7-irreversible
+    codestreams instead (grey / RGB+ICT, codec label 'j2k') — flat
+    fills decode exactly, so only the codec label differs in the
+    oracle."""
     import numpy as np
 
     from pdf_to_text_extraction_service_spark.functions.multimodal import (
@@ -2280,6 +2300,14 @@ def _q_image_codec_breadth(spark: SparkSession,
                     img = np.empty((h3, w3, 3), np.uint8)
                     img[:, :] = ((i * 19) % 256, (i * 23) % 256,
                                  (i * 31) % 256)
+                if (i // 24) % 2:
+                    # r7: raw 9/7-IRREVERSIBLE codestream (grey, or
+                    # RGB through ICT) — flat fills decode exactly,
+                    # so width/height/mean stay the same closed
+                    # form; also exercises jp2c-less raw-codestream
+                    # dispatch
+                    return jp2k.encode_lossy_97(img, levels=1 + i % 3,
+                                                cb=(4, 4))
                 return jp2k.encode_jp2(img, levels=1 + i % 3,
                                        cb=(4, 4))
             w2, h2 = 320 + i % 100, 200 + i % 80
@@ -4085,6 +4113,10 @@ def oracle_sql() -> dict[str, str]:
                           (CASE media_id % 3 WHEN 0 THEN 'vp8'
                                WHEN 1 THEN 'vp8l' ELSE 'vp8x' END)
                         WHEN kind = 5 THEN 'tiff'
+                        WHEN media_id % 4 = 2
+                             AND (media_id // 12) % 3 < 2
+                             AND (media_id // 24) % 2 = 1
+                          THEN 'j2k'
                         WHEN media_id % 4 = 2 THEN 'jp2'
                         ELSE 'avif' END AS codec,
                    CASE WHEN bad THEN NULL

@@ -1,5 +1,5 @@
-"""JPEG 2000 Part 1 codec (lossless subset), from the public ITU-T
-T.800 / ISO 15444-1 spec.
+"""JPEG 2000 Part 1 codec (lossless 5/3 + lossy 9/7 subset), from
+the public ITU-T T.800 / ISO 15444-1 spec.
 
 Brings real pixel decode to the JPXDecode payloads that previously
 only dimension-sniffed (mp4box.parse_jp2_dims): PDF scanned pages and
@@ -15,12 +15,17 @@ Implemented subset (everything else raises ValueError and callers
 fall back to the size-only header walk):
 
 - single tile, zero grid/tile offsets, no subsampling (XRsiz=YRsiz=1)
-- 8-bit unsigned components, 1 (grey) or 3 (RGB, optional RCT)
-- reversible 5/3 wavelet only (SPcod transform = 1), 0..32 levels
+- 8-bit unsigned components, 1 (grey) or 3 (RGB; RCT with 5/3,
+  ICT — the BT.601 pair, T.800 G.1 — with 9/7)
+- reversible 5/3 (SPcod transform = 1, QCD style 0) AND
+  irreversible 9/7 (transform = 0, QCD scalar expounded style 2,
+  Δb = 2^(Rb−εb)(1+μb/2^11), 0.5-bias dequant on nonzero
+  magnitudes, CDF lifting constants from F.4.8.1), 0..32 levels;
+  QCD scalar DERIVED (style 1) stays out of subset
 - one quality layer, LRCP progression, default precincts (no Scod
   bits: no SOP/EPH), code-block style 0 (no bypass/termall/causal/
   predictable termination/segmentation symbols)
-- QCD no-quantization style shared by all components (QCC/COC/POC/
+- QCD shared by all components (QCC/COC/POC/
   RGN/PPM/PPT are rejected; COM/TLM/PLM/PLT/CRG are skipped)
 
 The MQ arithmetic coder is the T.88 Annex E machine already used by
@@ -669,6 +674,92 @@ def _rct_inv(y, u, v):
     return v + g, g, u + g
 
 
+# ------------------------------------------- 9/7 irreversible path
+# CDF 9/7 lifting constants, ITU-T T.800 F.4.8.1 (published to 15
+# significant digits); K is the scaling constant, and the inverse
+# high-band scale is 2/K = 1.625732... (the constant conformance-
+# tested open decoders carry as 13318/8192 fixed-point).
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+_C97 = 2.0 / _K97
+
+# ICT (T.800 G.1, the BT.601 RGB<->YCbCr pair)
+_ICT_FWD = np.array([[0.299, 0.587, 0.114],
+                     [-0.168736, -0.331264, 0.5],
+                     [0.5, -0.418688, -0.081312]])
+_ICT_INV = np.array([[1.0, 0.0, 1.402],
+                     [1.0, -0.344136, -0.714136],
+                     [1.0, 1.772, 0.0]])
+
+
+def _inv_lift97(y: np.ndarray) -> np.ndarray:
+    """Inverse 9/7 lifting along axis 0 of an interleaved float64
+    array (even rows = low-pass): scale K / 2/K, then undo the
+    delta, gamma, beta, alpha steps with symmetric extension."""
+    n = y.shape[0]
+    if n == 1:
+        return y.copy()
+    x = y.copy()
+    ev = np.arange(0, n, 2)
+    od = np.arange(1, n, 2)
+    x[ev] *= _K97
+    x[od] *= _C97
+    for c, idx in ((_D97, ev), (_G97, od), (_B97, ev), (_A97, od)):
+        xp = np.pad(x, ((1, 1), (0, 0)), mode="reflect")
+        x[idx] -= c * (xp[idx] + xp[idx + 2])
+    return x
+
+
+def _fwd_lift97(x: np.ndarray) -> np.ndarray:
+    """Forward mirror of :func:`_inv_lift97` (alpha..delta, then the
+    inverse of the K / 2/K scaling)."""
+    n = x.shape[0]
+    if n == 1:
+        return x.copy()
+    y = x.copy()
+    ev = np.arange(0, n, 2)
+    od = np.arange(1, n, 2)
+    for c, idx in ((_A97, od), (_B97, ev), (_G97, od), (_D97, ev)):
+        yp = np.pad(y, ((1, 1), (0, 0)), mode="reflect")
+        y[idx] += c * (yp[idx] + yp[idx + 2])
+    y[ev] /= _K97
+    y[od] /= _C97
+    return y
+
+
+def _idwt_level97(ll, hl, lh, hh) -> np.ndarray:
+    ph = ll.shape[0] + lh.shape[0]
+    pw = ll.shape[1] + hl.shape[1]
+    y = np.zeros((ph, pw), dtype=np.float64)
+    y[0::2, 0::2] = ll
+    y[0::2, 1::2] = hl
+    y[1::2, 0::2] = lh
+    y[1::2, 1::2] = hh
+    y = _inv_lift97(y.T).T      # horizontal first (F.3.4 order)
+    return _inv_lift97(y)
+
+
+def _fdwt_level97(x: np.ndarray):
+    y = _fwd_lift97(x)
+    y = _fwd_lift97(y.T).T
+    return (y[0::2, 0::2], y[0::2, 1::2],
+            y[1::2, 0::2], y[1::2, 1::2])
+
+
+def _band_gain(btype: str) -> int:
+    """log2 nominal gain of a 9/7 subband (E.1.1): LL 0, HL/LH 1,
+    HH 2 — Rb = component depth + gain."""
+    return {"ll": 0, "hl": 1, "lh": 1, "hh": 2}[btype]
+
+
+def _step_size(eps: int, mu: int, rb: int) -> float:
+    """Quantizer step Δb = 2^(Rb-εb) · (1 + μb/2^11) (T.800 E.1.1)."""
+    return (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+
+
 # --------------------------------------------------- band geometry
 def _band_layout(w: int, h: int, levels: int) -> list:
     """Bands in QCD / packet order: one list entry per resolution,
@@ -707,49 +798,15 @@ def _blocks(bw: int, bh: int, cbw: int, cbh: int) -> list:
 
 
 # -------------------------------------------------- fixture encoder
-def encode_lossless(arr, levels: int = 2, cb=(4, 4),
-                    rct: bool = True) -> bytes:
-    """Encode a uint8 (h, w) grey or (h, w, 3) RGB array into a raw
-    JPEG 2000 codestream (SOC..EOC) inside the module's subset.
-    Lossless: decode_jp2k(encode_lossless(a)) == a exactly."""
-    a = np.asarray(arr, dtype=np.uint8)
-    gray = a.ndim == 2
-    if not gray and (a.ndim != 3 or a.shape[2] != 3):
-        raise ValueError("jp2k: array must be (h,w) or (h,w,3)")
-    h, w = int(a.shape[0]), int(a.shape[1])
-    ncomp = 1 if gray else 3
-    if w <= 0 or h <= 0 or w * h * ncomp > MAX_SAMPLES:
-        raise ValueError("jp2k: fixture exceeds sample budget")
-    if not 0 <= levels <= 32:
-        raise ValueError("jp2k: bad decomposition levels")
-    xcb, ycb = cb
-    if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
-        raise ValueError("jp2k: bad code-block size")
-    cbw, cbh = 1 << xcb, 1 << ycb
+def _encode_tile(layout, comp_bands, ncomp, cbw, cbh,
+                 eps_list=None):
+    """T1-encode every code-block of ``comp_bands`` (int64 quantized
+    coefficient arrays, [comp][res][band]) and assemble the
+    single-tile LRCP packet stream (one layer / one precinct).
 
-    if gray:
-        comps = [a.astype(np.int64) - 128]
-        use_mct = 0
-    else:
-        comps = [a[:, :, i].astype(np.int64) - 128 for i in range(3)]
-        if rct:
-            comps = list(_rct_fwd(*comps))
-        use_mct = 1 if rct else 0
-
-    layout = _band_layout(w, h, levels)
-    comp_bands = []
-    for cdat in comps:
-        res_bands = [None] * (levels + 1)
-        cur = cdat
-        for lev in range(1, levels + 1):
-            ll, hl, lh, hh = _fdwt_level(cur)
-            res_bands[levels - lev + 1] = [hl, lh, hh]
-            cur = ll
-        res_bands[0] = [cur]
-        comp_bands.append(res_bands)
-
-    # Tier-1 encode everything, collecting per-band max bit-planes
-    # across components to derive the shared QCD exponents
+    ``eps_list`` = per-flat-band QCD exponents; when None they are
+    derived from the observed max bit-planes (the lossless path).
+    Returns (tile bytes, eps_list)."""
     block_data = {}
     maxbps = []
     for r, bands in enumerate(layout):
@@ -768,7 +825,13 @@ def encode_lossless(arr, levels: int = 2, cb=(4, 4),
                 block_data[(c, r, bi)] = res
             maxbps.append(mb)
 
-    eps_list = [max(0, mb + 1 - _GUARD_BITS) for mb in maxbps]
+    if eps_list is None:
+        eps_list = [max(0, mb + 1 - _GUARD_BITS) for mb in maxbps]
+    else:
+        for mb, eps in zip(maxbps, eps_list):
+            if mb > _GUARD_BITS + eps - 1:
+                raise ValueError(
+                    "jp2k: quantized magnitude exceeds Mb")
     if any(e > 31 for e in eps_list):
         raise ValueError("jp2k: coefficient range too wide")
 
@@ -812,6 +875,142 @@ def encode_lossless(arr, levels: int = 2, cb=(4, 4),
                     wtr.bits(ln, 3 + inc + lbits)
                     bodies += data
             tile += wtr.align() + bytes(bodies)
+    return tile, eps_list
+
+
+def encode_lossy_97(arr, levels: int = 2, cb=(6, 6), ict: bool = True,
+                    base_eps: int = 10) -> bytes:
+    """Encode a uint8 (h, w) grey or (h, w, 3) RGB array as a 9/7
+    IRREVERSIBLE codestream (COD transform = 0, QCD scalar expounded,
+    optional ICT) — the shape real scanner output takes.
+
+    Quantization is floor(|c| / Δb) with Δb = 2^(Rb - εb) and
+    εb = base_eps + gain_b (μb = 0): base_eps 10 gives Δ = 1/4 on an
+    8-bit LL band, so a FLAT image reconstructs to its exact pixel
+    value after the decoder's 0.5-bias dequant + rounding (error
+    ≤ Δ/2 · K-fold DWT gain ≪ 0.5) — the closed-form oracle anchor."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("jp2k: array must be (h,w) or (h,w,3)")
+    h, w = int(a.shape[0]), int(a.shape[1])
+    ncomp = 1 if gray else 3
+    if w <= 0 or h <= 0 or w * h * ncomp > MAX_SAMPLES:
+        raise ValueError("jp2k: fixture exceeds sample budget")
+    if not 0 <= levels <= 32:
+        raise ValueError("jp2k: bad decomposition levels")
+    xcb, ycb = cb
+    if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
+        raise ValueError("jp2k: bad code-block size")
+    cbw, cbh = 1 << xcb, 1 << ycb
+
+    if gray:
+        comps = [a.astype(np.float64) - 128.0]
+        use_mct = 0
+    else:
+        rgb = [a[:, :, i].astype(np.float64) - 128.0 for i in range(3)]
+        if ict:
+            comps = [sum(_ICT_FWD[j][i] * rgb[i] for i in range(3))
+                     for j in range(3)]
+        else:
+            comps = rgb
+        use_mct = 1 if ict else 0
+
+    layout = _band_layout(w, h, levels)
+    eps_list = []
+    for bands in layout:
+        eps_list.extend(base_eps + _band_gain(bt)
+                        for (bt, _bw, _bh) in bands)
+
+    comp_bands = []
+    for cdat in comps:
+        res_bands = [None] * (levels + 1)
+        cur = cdat
+        for lev in range(1, levels + 1):
+            ll, hl, lh, hh = _fdwt_level97(cur)
+            res_bands[levels - lev + 1] = [hl, lh, hh]
+            cur = ll
+        res_bands[0] = [cur]
+        # floor-quantize each band with its step (real lossy encoders
+        # floor; the decoder's 0.5 bias recentres the cell)
+        flat = 0
+        for r, bands in enumerate(layout):
+            qb = []
+            for bi, (btype, _bw, _bh) in enumerate(bands):
+                delta = _step_size(eps_list[flat], 0,
+                                   8 + _band_gain(btype))
+                c = res_bands[r][bi]
+                qb.append((np.sign(c)
+                           * np.floor(np.abs(c) / delta)).astype(
+                               np.int64))
+                flat += 1
+            res_bands[r] = qb
+        comp_bands.append(res_bands)
+
+    tile, _ = _encode_tile(layout, comp_bands, ncomp, cbw, cbh,
+                           eps_list=eps_list)
+
+    out = bytearray(b"\xff\x4f")                       # SOC
+    out += b"\xff\x51" + struct.pack(                  # SIZ
+        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0,
+        w, h, 0, 0, ncomp) + b"\x07\x01\x01" * ncomp
+    out += b"\xff\x52" + struct.pack(                  # COD (9/7)
+        ">HBBHBBBBBB", 12, 0, 0, 1, use_mct, levels,
+        xcb - 2, ycb - 2, 0, 0)
+    nb_all = 3 * levels + 1
+    out += b"\xff\x5c" + struct.pack(                  # QCD expounded
+        ">HB", 3 + 2 * nb_all, (_GUARD_BITS << 5) | 2)
+    for e in eps_list:
+        out += struct.pack(">H", e << 11)
+    psot = 2 + 10 + 2 + len(tile)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + tile + b"\xff\xd9"            # SOD .. EOC
+    return bytes(out)
+
+
+def encode_lossless(arr, levels: int = 2, cb=(4, 4),
+                    rct: bool = True) -> bytes:
+    """Encode a uint8 (h, w) grey or (h, w, 3) RGB array into a raw
+    JPEG 2000 codestream (SOC..EOC) inside the module's subset.
+    Lossless: decode_jp2k(encode_lossless(a)) == a exactly."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("jp2k: array must be (h,w) or (h,w,3)")
+    h, w = int(a.shape[0]), int(a.shape[1])
+    ncomp = 1 if gray else 3
+    if w <= 0 or h <= 0 or w * h * ncomp > MAX_SAMPLES:
+        raise ValueError("jp2k: fixture exceeds sample budget")
+    if not 0 <= levels <= 32:
+        raise ValueError("jp2k: bad decomposition levels")
+    xcb, ycb = cb
+    if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
+        raise ValueError("jp2k: bad code-block size")
+    cbw, cbh = 1 << xcb, 1 << ycb
+
+    if gray:
+        comps = [a.astype(np.int64) - 128]
+        use_mct = 0
+    else:
+        comps = [a[:, :, i].astype(np.int64) - 128 for i in range(3)]
+        if rct:
+            comps = list(_rct_fwd(*comps))
+        use_mct = 1 if rct else 0
+
+    layout = _band_layout(w, h, levels)
+    comp_bands = []
+    for cdat in comps:
+        res_bands = [None] * (levels + 1)
+        cur = cdat
+        for lev in range(1, levels + 1):
+            ll, hl, lh, hh = _fdwt_level(cur)
+            res_bands[levels - lev + 1] = [hl, lh, hh]
+            cur = ll
+        res_bands[0] = [cur]
+        comp_bands.append(res_bands)
+
+    tile, eps_list = _encode_tile(layout, comp_bands, ncomp,
+                                  cbw, cbh)
 
     out = bytearray(b"\xff\x4f")                       # SOC
     out += b"\xff\x51" + struct.pack(                  # SIZ
@@ -1018,20 +1217,39 @@ def decode_jp2k(data: bytes) -> np.ndarray:
         raise ValueError("jp2k: bad code-block size")
     if cbsty != 0:
         raise ValueError("jp2k: code-block style out of subset")
-    if xform != 1:
-        raise ValueError("jp2k: 9/7 wavelet out of subset")
+    if xform not in (0, 1):
+        raise ValueError("jp2k: unknown wavelet transform")
+    irreversible = xform == 0
     cbw, cbh = 1 << xcb, 1 << ycb
 
-    # ---- QCD
+    # ---- QCD: style 0 (no quantization) pairs with the 5/3
+    # reversible transform; style 2 (scalar expounded, one
+    # exponent/mantissa pair per band) pairs with 9/7 irreversible.
+    # Style 1 (scalar derived) stays out of subset.
     if len(qcd) < 1:
         raise ValueError("jp2k: short QCD")
-    if qcd[0] & 0x1F:
-        raise ValueError("jp2k: quantized (lossy) out of subset")
+    qsty = qcd[0] & 0x1F
     guard = qcd[0] >> 5
     nbands = 3 * nl + 1
-    if len(qcd) < 1 + nbands:
-        raise ValueError("jp2k: short QCD exponents")
-    eps_flat = [qcd[1 + i] >> 3 for i in range(nbands)]
+    mu_flat = [0] * nbands
+    if qsty == 0:
+        if irreversible:
+            raise ValueError("jp2k: 9/7 without quantization style")
+        if len(qcd) < 1 + nbands:
+            raise ValueError("jp2k: short QCD exponents")
+        eps_flat = [qcd[1 + i] >> 3 for i in range(nbands)]
+    elif qsty == 2:
+        if not irreversible:
+            raise ValueError("jp2k: quantized 5/3 out of subset")
+        if len(qcd) < 1 + 2 * nbands:
+            raise ValueError("jp2k: short QCD exponents")
+        eps_flat, mu_flat = [], []
+        for i in range(nbands):
+            v = int.from_bytes(qcd[1 + 2 * i:3 + 2 * i], "big")
+            eps_flat.append(v >> 11)
+            mu_flat.append(v & 0x7FF)
+    else:
+        raise ValueError("jp2k: quantization style out of subset")
 
     # ---- SOT / SOD
     if pos + 12 > n:
@@ -1069,9 +1287,10 @@ def decode_jp2k(data: bytes) -> np.ndarray:
                for (_bt, bw, bh) in bands] for bands in layout]
              for _ in range(ncomp)]
     flat = 0
-    eps_of_res = []
+    eps_of_res, mu_of_res = [], []
     for bands in layout:
         eps_of_res.append(eps_flat[flat:flat + len(bands)])
+        mu_of_res.append(mu_flat[flat:flat + len(bands)])
         flat += len(bands)
     tpos = 0
     for r in range(nl + 1):
@@ -1079,18 +1298,47 @@ def decode_jp2k(data: bytes) -> np.ndarray:
             tpos = _dec_packet(tile, tpos, layout[r], eps_of_res[r],
                                guard, cbw, cbh, coefs[c][r])
 
-    # ---- IDWT + MCT + DC shift
+    # ---- dequant + IDWT + MCT + DC shift
     planes = []
     for c in range(ncomp):
-        cur = coefs[c][0][0]
-        for r in range(1, nl + 1):
-            hl, lh, hh = coefs[c][r]
-            cur = _idwt_level(cur, hl, lh, hh)
+        if irreversible:
+            # Δb dequant with the standard 0.5 mid-cell bias on
+            # nonzero magnitudes (floor-quantizing encoders), then
+            # float synthesis
+            deq = []
+            for r, bands in enumerate(layout):
+                row = []
+                for bi, (btype, _bw, _bh) in enumerate(bands):
+                    delta = _step_size(eps_of_res[r][bi],
+                                       mu_of_res[r][bi],
+                                       8 + _band_gain(btype))
+                    q = coefs[c][r][bi]
+                    row.append(np.sign(q) * (np.abs(q) + 0.5)
+                               * delta * (q != 0))
+                deq.append(row)
+            cur = deq[0][0]
+            for r in range(1, nl + 1):
+                hl, lh, hh = deq[r]
+                cur = _idwt_level97(cur, hl, lh, hh)
+        else:
+            cur = coefs[c][0][0]
+            for r in range(1, nl + 1):
+                hl, lh, hh = coefs[c][r]
+                cur = _idwt_level(cur, hl, lh, hh)
         planes.append(cur)
     if mct:
-        planes = list(_rct_inv(*planes))
-    planes = [np.clip(p + 128, 0, 255).astype(np.uint8)
-              for p in planes]
+        if irreversible:
+            y, cb_, cr = planes
+            planes = [sum(m * p for m, p in zip(row, (y, cb_, cr)))
+                      for row in _ICT_INV]
+        else:
+            planes = list(_rct_inv(*planes))
+    if irreversible:
+        planes = [np.clip(np.rint(p + 128), 0, 255).astype(np.uint8)
+                  for p in planes]
+    else:
+        planes = [np.clip(p + 128, 0, 255).astype(np.uint8)
+                  for p in planes]
     if ncomp == 1:
         return planes[0]
     return np.stack(planes, axis=2)

@@ -883,11 +883,12 @@ def _decode_image_payload(kind: str, head: bytes, raw: bytes,
         if name == "JPXDecode":
             if i != len(filters) - 1:
                 raise PDFError("image: JPX not last in chain")
-            # real decode inside kernel/jp2k's lossless Part 1
-            # subset; anything outside it (9/7 lossy, precincts,
-            # multi-tile, oversized) still yields truthful
-            # dimensions from the JP2/J2K header walk for the
-            # size-only entry (the /Width//Height dict keys can lie)
+            # real decode inside kernel/jp2k's Part 1 subset
+            # (lossless 5/3 + lossy 9/7+ICT); anything outside it
+            # (precincts, multi-tile, derived quantization,
+            # oversized) still yields truthful dimensions from the
+            # JP2/J2K header walk for the size-only entry (the
+            # /Width//Height dict keys can lie)
             from . import jp2k, mp4box
 
             try:

@@ -147,14 +147,16 @@ def test_subset_rejections():
         return bytes(d)
 
     cod = base.index(b"\xff\x52")
+    # transform 0 (9/7) with a no-quantization QCD: inconsistent
     with pytest.raises(ValueError, match="9/7"):
-        jp2k.decode_jp2k(_mut(cod + 13, 0))          # transform 0
+        jp2k.decode_jp2k(_mut(cod + 13, 0))
     with pytest.raises(ValueError, match="layers"):
         jp2k.decode_jp2k(_mut(cod + 7, 2))           # 2 layers
     with pytest.raises(ValueError, match="precinct"):
         jp2k.decode_jp2k(_mut(cod + 4, 1))           # Scod bits
     qcd = base.index(b"\xff\x5c")
-    with pytest.raises(ValueError, match="lossy"):
+    # quantized (expounded) QCD paired with the 5/3 transform
+    with pytest.raises(ValueError, match="quantized 5/3"):
         jp2k.decode_jp2k(_mut(qcd + 4, (2 << 5) | 2))
     # oversized SIZ dims rejected before any allocation
     siz = base.index(b"\xff\x51")
@@ -257,8 +259,9 @@ def test_pdf_jpx_xobject_blank_pruning_and_fallback():
     doc = pdfk.PDFDoc(blank)
     assert pdfk.extract_pdf(blank, "application/pdf",
                             doc=doc).pages[0].method == "blank"
-    # out-of-subset (9/7 transform): size-only entry keeps needs-ocr
-    # even for a white fill — pruning requires DECODED pixels
+    # malformed (9/7 transform byte but no-quantization QCD — an
+    # inconsistent stream): size-only entry keeps needs-ocr even for
+    # a white fill — pruning requires DECODED pixels
     cs = bytearray(jp2k.encode_lossless(
         np.full((h, w), 255, np.uint8)))
     cs[cs.index(b"\xff\x52") + 13] = 0
@@ -269,3 +272,129 @@ def test_pdf_jpx_xobject_blank_pruning_and_fallback():
     assert st["pixels"] == h * w and st["sum_luma"] == 0
     assert pdfk.extract_pdf(bad, "application/pdf",
                             doc=doc).pages[0].method == "needs-ocr"
+
+
+# ------------------------------------------- 9/7 irreversible + ICT
+def test_lossy_flat_exact():
+    """Flat images reconstruct EXACTLY through the 9/7 path: high
+    bands quantize to zero, the LL lattice error (Δ/2 bias ≤ 0.125)
+    vanishes in the rint — the closed-form oracle anchor."""
+    for v in (0, 1, 7, 128, 200, 254, 255):
+        img = np.full((40, 56), v, dtype=np.uint8)
+        out = jp2k.decode_jp2k(jp2k.encode_lossy_97(img))
+        assert out.dtype == np.uint8 and out.shape == img.shape
+        assert (out == img).all()
+    rgb = np.zeros((32, 24, 3), dtype=np.uint8)
+    rgb[...] = (37, 200, 90)
+    out = jp2k.decode_jp2k(jp2k.encode_lossy_97(rgb))
+    assert (out == rgb).all()
+    # ICT off (component-independent 9/7) is also exact on flats
+    out = jp2k.decode_jp2k(jp2k.encode_lossy_97(rgb, ict=False))
+    assert (out == rgb).all()
+
+
+@pytest.mark.parametrize("shape,levels,cb", [
+    ((16, 16), 1, (4, 4)),
+    ((37, 23), 2, (4, 4)),
+    ((63, 65), 2, (6, 6)),
+    ((96, 80), 3, (6, 6)),
+])
+def test_lossy_structured_near_exact(shape, levels, cb):
+    """At base_eps=10 (Δ = 1/4 on LL) structured content reconstructs
+    within ±2 — the quantizer cell, not the transform, is the error."""
+    h, w = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    for img in [((xx * 255) // max(w - 1, 1)).astype(np.uint8),
+                np.where((yy % 12 < 2) & (xx % 5 < 4),
+                         20, 245).astype(np.uint8),
+                ((xx * 3 + yy * 2) % 251).astype(np.uint8)]:
+        out = jp2k.decode_jp2k(
+            jp2k.encode_lossy_97(img, levels=levels, cb=cb))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_lossy_rgb_ict_near_exact():
+    yy, xx = np.mgrid[0:48, 0:40]
+    img = np.dstack([(xx + yy) % 256, (xx * 5) % 256,
+                     (yy * 7) % 256]).astype(np.uint8)
+    out = jp2k.decode_jp2k(jp2k.encode_lossy_97(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_dwt97_forward_inverse_float_exact():
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((31, 17)) * 100
+    ll, hl, lh, hh = jp2k._fdwt_level97(x)
+    back = jp2k._idwt_level97(ll, hl, lh, hh)
+    assert np.abs(back - x).max() < 1e-9
+
+
+def test_ict_matrices_inverse_pair():
+    prod = jp2k._ICT_INV @ jp2k._ICT_FWD
+    assert np.abs(prod - np.eye(3)).max() < 1e-6
+
+
+def test_lossy_subset_rejections():
+    img = np.full((16, 16), 9, np.uint8)
+    good = bytearray(jp2k.encode_lossy_97(img, levels=1))
+    qcd = good.index(b"\xff\x5c")
+    # style 1 (scalar derived) is out of subset
+    d = bytearray(good)
+    d[qcd + 4] = (d[qcd + 4] & 0xE0) | 1
+    with pytest.raises(ValueError):
+        jp2k.decode_jp2k(bytes(d))
+    # expounded QCD with the 5/3 transform is inconsistent
+    d = bytearray(good)
+    d[d.index(b"\xff\x52") + 13] = 1
+    with pytest.raises(ValueError):
+        jp2k.decode_jp2k(bytes(d))
+
+
+def test_lossy_mutation_fuzz_valueerror_only():
+    rng = np.random.default_rng(29)
+    img = (rng.integers(0, 2, size=(14, 18)) * 255).astype(np.uint8)
+    base = bytearray(jp2k.encode_lossy_97(img, levels=2))
+    for _trial in range(250):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 5))):
+            op = rng.integers(0, 3)
+            if op == 0 and len(data) > 1:
+                del data[int(rng.integers(0, len(data)))]
+            elif op == 1:
+                data.insert(int(rng.integers(0, len(data) + 1)),
+                            int(rng.integers(0, 256)))
+            else:
+                data[int(rng.integers(0, len(data)))] = \
+                    int(rng.integers(0, 256))
+        try:
+            jp2k.decode_jp2k(bytes(data))
+        except ValueError:
+            pass
+
+
+def test_pdf_jpx_lossy_scan_pruning():
+    """A 9/7+ICT 'scanner output' page drives the same pixel-stat
+    needs-ocr decision as the lossless path (hybrid.go:113-123
+    escalation semantics)."""
+    from pdf_to_text_extraction_service_spark.kernel import pdfk
+    from pdf_to_text_extraction_service_spark.sources import pdfgen
+
+    h, w = 16, 24
+
+    def _pdf(cs):
+        head = (b"/Width %d /Height %d /BitsPerComponent 8 "
+                b"/ColorSpace /DeviceGray /Filter /JPXDecode"
+                % (w, h))
+        return pdfgen.build_pdf_jpeg_pages([([], [(head, cs)])])
+
+    dark = _pdf(jp2k.encode_lossy_97(np.full((h, w), 40, np.uint8)))
+    doc = pdfk.PDFDoc(dark)
+    st = doc.page_image_stats(1)
+    assert st["n_decoded"] == 1 and st["ink_samples"] == h * w
+    assert st["sum_luma"] == 40 * h * w   # flat lossy decode is exact
+    assert pdfk.extract_pdf(dark, "application/pdf",
+                            doc=doc).pages[0].method == "needs-ocr"
+    blank = _pdf(jp2k.encode_lossy_97(np.full((h, w), 255, np.uint8)))
+    doc = pdfk.PDFDoc(blank)
+    assert pdfk.extract_pdf(blank, "application/pdf",
+                            doc=doc).pages[0].method == "blank"
