@@ -1618,13 +1618,22 @@ def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
             # r6: every 7th-ish fax page ships as JBIG2 instead of
             # raw CCITT (MMR for odd ids, MQ-arithmetic generic
             # region for even) — pixel stats identical, so the
-            # oracle's closed form is untouched
+            # oracle's closed form is untouched.  r7: ids with
+            # i%3==0 in this class use the HUFFMAN production shape
+            # instead (custom table segments + Huffman symbol dict +
+            # text region placing the page as one symbol) — again
+            # pixel-identical, oracle untouched.
             from pdf_to_text_extraction_service_spark.kernel \
                 import jbig2
+            if i % 3 == 0:
+                jb = jbig2.build_embedded_text_huff(
+                    16, fh, [fax], [(0, 0, 0)], mmr=bool(i % 2))
+            else:
+                jb = jbig2.build_embedded(fax, mmr=bool(i % 2))
             fax_entry = (
                 b"/Width 16 /Height %d /BitsPerComponent 1 "
                 b"/ColorSpace /DeviceGray /Filter /JBIG2Decode" % fh,
-                jbig2.build_embedded(fax, mmr=bool(i % 2)))
+                jb)
         else:
             fenc = (ccitt.encode_g3_1d if i % 2 else ccitt.encode_g4)
             fax_entry = pdfgen.ccitt_image_entry(

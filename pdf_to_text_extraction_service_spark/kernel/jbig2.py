@@ -26,11 +26,22 @@ organization):
   bitplanes over the 8.8 fixed-point skewable grid, pattern
   stamping with the region combinators).
 
+- **Huffman coding** (r7, kernel/jbig2huff.py): custom table
+  segments (type 53, Annex B.2), Annex B.3 canonical prefix
+  assignment, Huffman symbol dictionaries (6.5.9 height classes
+  with MMR / raw collective bitmaps, B.1 export runs) and Huffman
+  text regions (runcode symbol-ID lengths, FS/DS/DT table reads,
+  raw CURT bits).  Standard tables B.1-B.5 ship; **B.6-B.15
+  selections raise ValueError** — their rows cannot be re-verified
+  against T.88 in this offline sandbox, and a guessed table would
+  silently desync real streams (jbig2huff.py docstring).
+
 Out of the subset (raise ValueError → size-only needs-ocr entries):
-Huffman-table variants, refinement/aggregate coding, halftone skip
-coding, intermediate regions.  The MQ coder and the IAx/IAID
-procedures ship with ENCODERS so dictionary/text/generic round-trips
-are testable without external tools.
+standard-table selections B.6-B.15, refinement/aggregate coding,
+halftone skip coding, intermediate regions.  The MQ coder, the
+IAx/IAID procedures, and the Huffman tables all ship with ENCODERS
+so dictionary/text/generic round-trips are testable without
+external tools.
 
 All errors raise ValueError; dimensions are budget-capped before
 allocation.  Bit order inside the arithmetic decoder follows T.88's
@@ -447,19 +458,22 @@ def _ceil_log2(n: int) -> int:
 
 def _decode_symbol_dict(payload: bytes,
                         input_syms: list[np.ndarray],
-                        budget: list | None = None) -> list:
-    """Arithmetic symbol dictionary (SDHUFF=0, SDREFAGG=0) → exported
-    symbol bitmaps."""
+                        budget: list | None = None,
+                        tables: list | None = None) -> list:
+    """Symbol dictionary (SDREFAGG=0) → exported symbol bitmaps:
+    arithmetic (SDHUFF=0) or Huffman (SDHUFF=1, 6.5.9 height classes
+    with MMR/raw collective bitmaps)."""
     if len(payload) < 2:
         raise ValueError("jbig2: truncated symbol dictionary")
     flags = struct.unpack(">H", payload[:2])[0]
     sdhuff = flags & 1
     sdrefagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
-    if sdhuff:
-        raise ValueError("jbig2: huffman symbol dictionary")
     if sdrefagg:
         raise ValueError("jbig2: refinement/aggregate symbol coding")
+    if sdhuff:
+        return _decode_symbol_dict_huff(payload, flags, input_syms,
+                                        tables or [])
     if template != 0:
         raise ValueError("jbig2: only GB template 0 supported")
     pos = 2
@@ -526,12 +540,154 @@ def _decode_symbol_dict(payload: bytes,
     return exported
 
 
+def _decode_symbol_dict_huff(payload: bytes, flags: int,
+                             input_syms: list, tables: list) -> list:
+    """Huffman symbol dictionary (6.5.9): DH/DW/BMSIZE via Annex B
+    tables (standard B.1-B.5 or referred custom segments), height
+    classes carried as collective bitmaps — BMSIZE=0 row-padded raw,
+    else MMR through kernel/ccitt.py — split by accumulated widths;
+    EXFLAGS runs over standard Table B.1."""
+    from . import ccitt
+    from . import jbig2huff as HF
+
+    sel_dh = (flags >> 2) & 3
+    sel_dw = (flags >> 4) & 3
+    sel_bm = (flags >> 6) & 1
+    sel_ag = (flags >> 7) & 1
+    if sel_dh == 2 or sel_dw == 2:
+        raise ValueError("jbig2: reserved huffman table selection")
+    pos = 2                              # no AT pixels when SDHUFF=1
+    if len(payload) < pos + 8:
+        raise ValueError("jbig2: truncated symbol dictionary")
+    num_ex, num_new = struct.unpack(">II", payload[pos:pos + 8])
+    pos += 8
+    if num_new > 1 << 16 or num_ex > 1 << 16:
+        raise ValueError("jbig2: symbol count exceeds budget")
+
+    it = iter(tables)
+
+    def custom():
+        t = next(it, None)
+        if t is None:
+            raise ValueError("jbig2: missing referred huffman table")
+        return t
+
+    tdh = custom() if sel_dh == 3 else HF.std_table(4 + sel_dh)
+    tdw = custom() if sel_dw == 3 else HF.std_table(2 + sel_dw)
+    tbm = custom() if sel_bm else HF.std_table(1)
+    if sel_ag:
+        custom()                         # selected, unread (REFAGG=0)
+
+    r = HF.HBitReader(payload, pos)
+    new_syms: list[np.ndarray] = []
+    hcheight = 0
+    guard = 0
+    pixel_pool = MAX_PIXELS
+    while len(new_syms) < num_new:
+        guard += 1
+        if guard > num_new + 8:
+            raise ValueError("jbig2: runaway height classes")
+        dh = tdh.read(r)
+        if dh is HF.OOB:
+            raise ValueError("jbig2: OOB height delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 1 << 14:
+            raise ValueError("jbig2: bad symbol height")
+        symwidth = 0
+        totwidth = 0
+        widths: list[int] = []
+        while True:
+            dw = tdw.read(r)
+            if dw is HF.OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 1 << 14:
+                raise ValueError("jbig2: bad symbol width")
+            if len(new_syms) + len(widths) >= num_new:
+                raise ValueError("jbig2: too many symbols")
+            widths.append(symwidth)
+            totwidth += symwidth
+        if not widths:
+            raise ValueError("jbig2: empty huffman height class")
+        pixel_pool -= totwidth * hcheight
+        if pixel_pool < 0:
+            raise ValueError("jbig2: dictionary exceeds pixel budget")
+        bmsize = tbm.read(r)
+        if bmsize is HF.OOB or bmsize < 0:
+            raise ValueError("jbig2: bad collective bitmap size")
+        r.align()
+        if bmsize == 0:
+            stride = (totwidth + 7) // 8
+            need = stride * hcheight
+            coll = HF.unpack_rows(payload[r.pos:r.pos + need],
+                                  totwidth, hcheight)
+            r.pos += need
+        else:
+            if r.pos + bmsize > len(payload):
+                raise ValueError("jbig2: truncated collective bitmap")
+            coll = ccitt.decode_g4(payload[r.pos:r.pos + bmsize],
+                                   totwidth, hcheight)
+            r.pos += bmsize
+        x = 0
+        for wd in widths:
+            new_syms.append(coll[:, x:x + wd])
+            x += wd
+
+    # export flags: alternating run lengths over standard Table B.1
+    texp = HF.std_table(1)
+    allsyms = list(input_syms) + new_syms
+    exported: list[np.ndarray] = []
+    i = 0
+    cur = 0
+    guard = 0
+    while i < len(allsyms):
+        guard += 1
+        if guard > 2 * len(allsyms) + 8:
+            raise ValueError("jbig2: runaway export runs")
+        run = texp.read(r)
+        if run is HF.OOB or run < 0:
+            raise ValueError("jbig2: bad export run")
+        if cur:
+            exported.extend(allsyms[i:i + run])
+        i += run
+        cur ^= 1
+    if len(exported) != num_ex:
+        raise ValueError("jbig2: export count mismatch")
+    return exported
+
+
 # --------------------------------------------- text region (T.88 6.4)
 
 
-def _decode_text_region(payload: bytes, syms: list) -> tuple:
-    """Arithmetic text region (SBHUFF=0, SBREFINE=0) → (bitmap, x, y,
-    combop)."""
+def _place_instance(out: np.ndarray, sym: np.ndarray, curs: int,
+                    ti: int, refcorner: int, transposed: int,
+                    sbcombop: int) -> int:
+    """Draw one symbol instance per 6.4.5 step 3(c)(x) and return the
+    advanced CURS (shared by the arithmetic and Huffman loops)."""
+    hi, wi = sym.shape
+    if not transposed:
+        if refcorner in (2, 3):       # BOTTOMRIGHT / TOPRIGHT
+            curs += wi - 1
+        x0 = curs - (wi - 1) if refcorner in (2, 3) else curs
+        y0 = ti if refcorner in (1, 3) else ti - (hi - 1)
+        _draw(out, sym, x0, y0, sbcombop)
+        if refcorner in (0, 1):       # BOTTOMLEFT / TOPLEFT
+            curs += wi - 1
+    else:
+        if refcorner in (0, 2):       # BOTTOM corners
+            curs += hi - 1
+        y0 = curs - (hi - 1) if refcorner in (0, 2) else curs
+        x0 = ti if refcorner in (0, 1) else ti - (wi - 1)
+        _draw(out, sym, x0, y0, sbcombop)
+        if refcorner in (1, 3):       # TOP corners
+            curs += hi - 1
+    return curs
+
+
+def _decode_text_region(payload: bytes, syms: list,
+                        tables: list | None = None) -> tuple:
+    """Text region (SBREFINE=0) → (bitmap, x, y, combop): arithmetic
+    (SBHUFF=0) or Huffman (SBHUFF=1, kernel/jbig2huff.py tables)."""
     rw, rh, rx, ry, combop = _region_info(payload)
     pos = 17
     if len(payload) < pos + 2:
@@ -548,11 +704,14 @@ def _decode_text_region(payload: bytes, syms: list) -> tuple:
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32                    # 5-bit two's complement
-    if sbhuff:
-        raise ValueError("jbig2: huffman text region")
     if sbrefine:
         raise ValueError("jbig2: refinement text region")
     strips = 1 << logstrips
+    if sbhuff:
+        if len(payload) < pos + 2:
+            raise ValueError("jbig2: truncated huffman flags")
+        hflags = struct.unpack(">H", payload[pos:pos + 2])[0]
+        pos += 2
     num_instances = struct.unpack(">I", payload[pos:pos + 4])[0]
     pos += 4
     if num_instances > 1 << 20:
@@ -561,6 +720,11 @@ def _decode_text_region(payload: bytes, syms: list) -> tuple:
         raise ValueError("jbig2: text region without symbols")
     if rw <= 0 or rh <= 0 or rw * rh > ARITH_MAX_PIXELS:
         raise ValueError("jbig2: region exceeds arithmetic budget")
+    if sbhuff:
+        return _decode_text_region_huff(
+            payload, pos, syms, tables or [], hflags, rw, rh, rx, ry,
+            combop, strips, logstrips, refcorner, transposed,
+            sbcombop, defpixel, dsoffset, num_instances)
     codelen = _ceil_log2(len(syms))
 
     dec = MQDecoder(payload[pos:])
@@ -603,24 +767,89 @@ def _decode_text_region(payload: bytes, syms: list) -> tuple:
             sid = _iaid_decode(dec, iaid_cx, codelen)
             if sid >= len(syms):
                 raise ValueError("jbig2: symbol id out of range")
-            sym = syms[sid]
-            hi, wi = sym.shape
-            if not transposed:
-                if refcorner in (2, 3):   # BOTTOMRIGHT / TOPRIGHT
-                    curs += wi - 1
-                x0 = curs - (wi - 1) if refcorner in (2, 3) else curs
-                y0 = ti if refcorner in (1, 3) else ti - (hi - 1)
-                _draw(out, sym, x0, y0, sbcombop)
-                if refcorner in (0, 1):   # BOTTOMLEFT / TOPLEFT
-                    curs += wi - 1
-            else:
-                if refcorner in (0, 2):   # BOTTOM corners
-                    curs += hi - 1
-                y0 = curs - (hi - 1) if refcorner in (0, 2) else curs
-                x0 = ti if refcorner in (0, 1) else ti - (wi - 1)
-                _draw(out, sym, x0, y0, sbcombop)
-                if refcorner in (1, 3):   # TOP corners
-                    curs += hi - 1
+            curs = _place_instance(out, syms[sid], curs, ti,
+                                   refcorner, transposed, sbcombop)
+            ninst += 1
+    return out, rx, ry, combop
+
+
+def _decode_text_region_huff(payload, pos, syms, tables, hflags,
+                             rw, rh, rx, ry, combop, strips,
+                             logstrips, refcorner, transposed,
+                             sbcombop, defpixel, dsoffset,
+                             num_instances) -> tuple:
+    """Huffman text region body (7.4.3 value reads over the 6.4.5
+    loop): FS/DS/DT via Annex B tables (standard B.1-B.5 or custom
+    segments; B.6-B.13 selections raise — offline-unverifiable,
+    kernel/jbig2huff.py docstring), runcode-coded symbol-ID lengths,
+    raw log2(SBSTRIPS) CURT bits."""
+    from . import jbig2huff as HF
+
+    sel_fs = hflags & 3
+    sel_ds = (hflags >> 2) & 3
+    sel_dt = (hflags >> 4) & 3
+    it = iter(tables)
+
+    def custom():
+        t = next(it, None)
+        if t is None:
+            raise ValueError("jbig2: missing referred huffman table")
+        return t
+
+    if sel_fs == 2:
+        raise ValueError("jbig2: reserved SBHUFFFS selection")
+    tfs = custom() if sel_fs == 3 else HF.std_table(
+        6 if sel_fs == 0 else 7)
+    tds = custom() if sel_ds == 3 else HF.std_table(8 + sel_ds)
+    tdt = custom() if sel_dt == 3 else HF.std_table(11 + sel_dt)
+    # RDW/RDH/RDX/RDY/RSIZE are selected but unread with SBREFINE=0;
+    # custom selections still consume referred tables in order
+    for shift in (6, 8, 10, 12):
+        if (hflags >> shift) & 3 == 3:
+            custom()
+    if (hflags >> 14) & 1:
+        custom()
+
+    r = HF.HBitReader(payload, pos)
+    lengths = HF.read_symbol_id_lengths(r, len(syms))
+    symtab = HF.symbol_code_table(lengths)
+
+    out = np.full((rh, rw), bool(defpixel), dtype=bool)
+    dt0 = tdt.read(r)
+    if dt0 is HF.OOB:
+        raise ValueError("jbig2: OOB strip T")
+    stript = -dt0 * strips
+    firsts = 0
+    ninst = 0
+    guard = 0
+    while ninst < num_instances:
+        guard += 1
+        if guard > num_instances + 8:
+            raise ValueError("jbig2: runaway strips")
+        dt = tdt.read(r)
+        if dt is HF.OOB:
+            raise ValueError("jbig2: OOB strip delta")
+        stript += dt * strips
+        dfs = tfs.read(r)
+        if dfs is HF.OOB:
+            raise ValueError("jbig2: OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while ninst < num_instances:
+            if not first:
+                ids = tds.read(r)
+                if ids is HF.OOB:
+                    break                 # end of strip
+                curs += ids + dsoffset
+            first = False
+            curt = r.bits(logstrips) if strips > 1 else 0
+            ti = stript + curt
+            sid = symtab.read(r)
+            if sid is HF.OOB or sid >= len(syms):
+                raise ValueError("jbig2: symbol id out of range")
+            curs = _place_instance(out, syms[sid], curs, ti,
+                                   refcorner, transposed, sbcombop)
             ninst += 1
     return out, rx, ry, combop
 
@@ -845,6 +1074,7 @@ def _decode_embedded(data: bytes,
     page = None
     default_pixel = 0
     sym_store: dict[int, list] = {}
+    table_store: dict[int, object] = {}   # custom Huffman tables
     arith_budget = [ARITH_MAX_PIXELS]     # shared across the stream
     streams = ([globals_data] if globals_data else []) + [data]
     for blob in streams:
@@ -874,19 +1104,26 @@ def _decode_embedded(data: bytes,
                 continue
             if seg_type == 0:             # symbol dictionary
                 input_syms: list = []
+                ref_tabs: list = []
                 for r in referred:
                     input_syms.extend(sym_store.get(r, []))
+                    if r in table_store:
+                        ref_tabs.append(table_store[r])
                 sym_store[seg_num] = _decode_symbol_dict(
-                    payload, input_syms, budget=arith_budget)
+                    payload, input_syms, budget=arith_budget,
+                    tables=ref_tabs)
                 continue
             if seg_type in (6, 7):        # immediate text region
                 if page is None:
                     raise ValueError("jbig2: region before page info")
                 syms: list = []
+                ref_tabs = []
                 for r in referred:
                     syms.extend(sym_store.get(r, []))
+                    if r in table_store:
+                        ref_tabs.append(table_store[r])
                 bitmap, rx, ry, combop = _decode_text_region(
-                    payload, syms)
+                    payload, syms, tables=ref_tabs)
                 rh, rw = bitmap.shape
                 if rx + rw > page.shape[1] or ry + rh > page.shape[0]:
                     raise ValueError("jbig2: region outside page")
@@ -947,8 +1184,11 @@ def _decode_embedded(data: bytes,
                     page[ry:ry + rh, rx:rx + rw] = bitmap
             elif seg_type in (49, 50, 51, 62):
                 continue                  # end/extension markers
-            elif seg_type == 53:
-                continue                  # custom tables: ignorable
+            elif seg_type == 53:          # custom Huffman table
+                from . import jbig2huff
+
+                table_store[seg_num] = \
+                    jbig2huff.parse_table_segment(payload)
             else:
                 raise ValueError(
                     f"jbig2: unsupported segment type {seg_type}")
@@ -1161,4 +1401,134 @@ def build_embedded_text(w: int, h: int, symbols: list[np.ndarray],
     out += _segment(2, 6, encode_text_region(w, h, widths, instances),
                     refs=(1,))
     out += _segment(3, 49, b"")
+    return out
+
+
+# ------------------------------------ Huffman fixture encoders (r7)
+def _huff_fixture_tables():
+    """The three custom tables the Huffman fixtures use: a 0..31
+    value table (DH / FS / DT), an OOB variant (DW / DS), and a
+    0..65535 table (BMSIZE).  All complete canonical trees; the
+    32-bit lower/upper lines make every int encodable."""
+    from . import jbig2huff as HF
+
+    plain = ([(1, 5)], 0, 32, 2, 2, 0)
+    oob = ([(1, 5)], 0, 32, 2, 3, 3)
+    wide = ([(1, 16)], 0, 1 << 16, 2, 2, 0)
+    segs = [HF.encode_table_segment(*spec)
+            for spec in (plain, oob, wide)]
+    tabs = [HF.table_from_spec(*spec) for spec in (plain, oob, wide)]
+    return segs, tabs
+
+
+def encode_huff_symbol_dict(symbols: list[np.ndarray],
+                            mmr: bool = True) -> bytes:
+    """Huffman symbol-dictionary payload (SDHUFF=1) exporting
+    ``symbols`` (height-sorted) with custom DH/DW/BMSIZE tables —
+    collective bitmaps MMR-coded (default) or BMSIZE=0 raw."""
+    from . import ccitt
+    from . import jbig2huff as HF
+
+    heights = [s.shape[0] for s in symbols]
+    if heights != sorted(heights):
+        raise ValueError("jbig2: symbols must be height-sorted")
+    _segs, (tdh, tdw, tbm) = _huff_fixture_tables()
+    # SDHUFF=1, SDHUFFDH=3, SDHUFFDW=3, SDHUFFBMSIZE=1(custom)
+    flags = 1 | (3 << 2) | (3 << 4) | (1 << 6)
+    out = struct.pack(">H", flags)
+    out += struct.pack(">II", len(symbols), len(symbols))
+    w = HF.HBitWriter()
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        j = i
+        while j < len(symbols) and symbols[j].shape[0] \
+                == symbols[i].shape[0]:
+            j += 1
+        tdh.write(w, symbols[i].shape[0] - hcheight)
+        hcheight = symbols[i].shape[0]
+        symwidth = 0
+        for k in range(i, j):
+            tdw.write(w, symbols[k].shape[1] - symwidth)
+            symwidth = symbols[k].shape[1]
+        tdw.write(w, HF.OOB)
+        coll = np.concatenate(
+            [np.ascontiguousarray(s, dtype=bool)
+             for s in symbols[i:j]], axis=1)
+        body = ccitt.encode_g4(coll) if mmr else HF.pack_rows(coll)
+        tbm.write(w, len(body) if mmr else 0)
+        w.align()
+        w.out += body
+        i = j
+    # export all: run 0 unexported, run N exported (Table B.1)
+    texp = HF.std_table(1)
+    texp.write(w, 0)
+    texp.write(w, len(symbols))
+    return out + w.payload()
+
+
+def encode_huff_text_region(w: int, h: int, sym_widths: list[int],
+                            instances: list[tuple[int, int, int]]) \
+        -> bytes:
+    """Huffman text-region payload (SBHUFF=1): custom FS/DS/DT
+    tables, runcode-coded equal-length symbol IDs, SBSTRIPS=1,
+    REFCORNER=TOPLEFT, OR composition."""
+    from . import jbig2huff as HF
+
+    _segs, (tplain, toob, _wide) = _huff_fixture_tables()
+    flags = 1 | (1 << 4)                  # SBHUFF, REFCORNER=TOPLEFT
+    # SBHUFFFS=3, SBHUFFDS=3, SBHUFFDT=3; RD*/RSIZE standard (unread)
+    hflags = 3 | (3 << 2) | (3 << 4)
+    out = struct.pack(">IIII", w, h, 0, 0) + b"\x00"
+    out += struct.pack(">H", flags)
+    out += struct.pack(">H", hflags)
+    out += struct.pack(">I", len(instances))
+    bw = HF.HBitWriter()
+    n = len(sym_widths)
+    codelen = max(1, _ceil_log2(n))
+    HF.write_symbol_id_lengths(bw, [codelen] * n)
+    symtab = HF.symbol_code_table([codelen] * n)
+    rows: dict[int, list[tuple[int, int]]] = {}
+    for x, y, sid in instances:
+        rows.setdefault(y, []).append((x, sid))
+    tplain.write(bw, 0)                   # initial STRIPT = 0
+    stript = 0
+    firsts = 0
+    for y in sorted(rows):
+        tplain.write(bw, y - stript)      # DT (FS/DT share a table)
+        stript = y
+        insts = sorted(rows[y])
+        curs = 0
+        for k, (x, sid) in enumerate(insts):
+            if k == 0:
+                tplain.write(bw, x - firsts)
+                firsts = x
+            else:
+                toob.write(bw, x - curs)
+            symtab.write(bw, sid)
+            curs = x + sym_widths[sid] - 1
+        toob.write(bw, HF.OOB)
+    return out + bw.payload()
+
+
+def build_embedded_text_huff(w: int, h: int,
+                             symbols: list[np.ndarray],
+                             instances: list[tuple[int, int, int]],
+                             mmr: bool = True) -> bytes:
+    """Embedded JBIG2 stream in the HUFFMAN production shape: page
+    info + three custom table segments + Huffman symbol dictionary +
+    Huffman immediate text region."""
+    segs, _tabs = _huff_fixture_tables()
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00\x00\x00"
+    out = _segment(0, 48, page_info)
+    out += _segment(1, 53, segs[0])       # plain (DH / FS / DT)
+    out += _segment(2, 53, segs[1])       # OOB   (DW / DS)
+    out += _segment(3, 53, segs[2])       # wide  (BMSIZE)
+    out += _segment(4, 0, encode_huff_symbol_dict(symbols, mmr=mmr),
+                    refs=(1, 2, 3))
+    widths = [sym.shape[1] for sym in symbols]
+    # text region custom order FS, DS, DT -> plain, oob, plain
+    out += _segment(5, 6, encode_huff_text_region(
+        w, h, widths, instances), refs=(4, 1, 2, 1))
+    out += _segment(6, 49, b"")
     return out

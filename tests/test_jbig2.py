@@ -66,9 +66,10 @@ def test_embedded_stream_round_trip(kwargs):
 def test_unsupported_segments_raise():
     import struct
 
-    # huffman-coded symbol dictionary (flags bit 0) is out of subset
-    blob = jbig2._segment(0, 0, struct.pack(">H", 1) + b"\x00" * 16)
-    with pytest.raises(ValueError, match="huffman"):
+    # refinement/aggregate symbol dictionary (flags bit 1) is out of
+    # subset (huffman — bit 0 — is IN subset since r7)
+    blob = jbig2._segment(0, 0, struct.pack(">H", 2) + b"\x00" * 16)
+    with pytest.raises(ValueError, match="refinement"):
         jbig2.decode_embedded(blob)
     # halftone region
     blob = jbig2._segment(0, 20, b"\x00" * 20)
@@ -335,3 +336,169 @@ def test_halftone_budget_and_reserved_combop():
         jbig2._decode_halftone_region(bytes(big), pats)
     # the untouched stream still decodes
     assert jbig2.decode_embedded(blob).shape == (6, 9)
+
+
+# ---------------------------------------- Huffman variants (r7)
+def test_standard_tables_complete_and_roundtrip():
+    """B.1-B.5: every recalled row set forms a COMPLETE canonical
+    prefix tree (Kraft sum exactly 1) — independent corroboration of
+    the rows — and encode->decode round-trips assorted values
+    including the 32-bit lower/upper ranges and OOB."""
+    from pdf_to_text_extraction_service_spark.kernel import (
+        jbig2huff as H,
+    )
+
+    vals = {1: [0, 5, 16, 100, 272, 70000, 65808, 1 << 20],
+            2: [0, 1, 2, 5, 12, 74, 75, 400, H.OOB],
+            3: [-256, -100, 0, 3, 11, 74, 75, 900, -257, -5000,
+                H.OOB],
+            4: [1, 2, 3, 4, 8, 13, 75, 76, 1000],
+            5: [-255, -10, 1, 4, 14, 76, 3000, -256, -999]}
+    for n, vs in vals.items():
+        t = H.std_table(n)
+        assert sum(2 ** -pl for (pl, _c) in t.codes) == 1.0
+        for v in vs:
+            w = H.HBitWriter()
+            t.write(w, v)
+            got = t.read(H.HBitReader(w.payload()))
+            assert (got is H.OOB) if v is H.OOB else got == v
+    # B.6+ selections are out of the offline-verifiable subset
+    for n in (6, 7, 8, 11, 14, 15):
+        with pytest.raises(ValueError, match="B.%d" % n):
+            H.std_table(n)
+
+
+def test_custom_table_segment_mirror():
+    from pdf_to_text_extraction_service_spark.kernel import (
+        jbig2huff as H,
+    )
+
+    specs = [([(1, 5)], 0, 32, 2, 3, 3),
+             ([(2, 0), (2, 2), (2, 4)], -3, 18, 3, 3, 0),
+             ([(1, 16)], 0, 1 << 16, 2, 2, 0)]
+    for spec in specs:
+        seg = H.encode_table_segment(*spec)
+        t1 = H.parse_table_segment(seg)
+        t2 = H.table_from_spec(*spec[:5], oob_len=spec[5])
+        lo, hi = spec[1], spec[2]
+        probe = [lo, hi - 1, hi, hi + 321, lo - 1, lo - 777]
+        if spec[5]:
+            probe.append(H.OOB)
+        for v in probe:
+            w = H.HBitWriter()
+            t2.write(w, v)
+            got = t1.read(H.HBitReader(w.payload()))
+            assert (got is H.OOB) if v is H.OOB else got == v, spec
+
+
+def test_runcode_symbol_id_lengths():
+    from pdf_to_text_extraction_service_spark.kernel import (
+        jbig2huff as H,
+    )
+
+    for lengths in ([3, 3, 3, 3], [2, 0, 5, 5, 2, 7], [1, 1],
+                    [4] * 40, [6] * 3 + [0] * 20 + [6]):
+        w = H.HBitWriter()
+        H.write_symbol_id_lengths(w, lengths)
+        got = H.read_symbol_id_lengths(
+            H.HBitReader(w.payload()), len(lengths))
+        assert got == lengths
+
+
+def test_huffman_text_page_matches_arithmetic():
+    """The Huffman production shape (custom tables + Huffman symbol
+    dict + Huffman text region) decodes pixel-identically to the
+    arithmetic shape on the same symbols/placements, for both MMR
+    and raw collective bitmaps."""
+    rng = np.random.default_rng(5)
+    syms = [rng.integers(0, 2, (4, 3)).astype(bool),
+            rng.integers(0, 2, (4, 5)).astype(bool),
+            rng.integers(0, 2, (6, 4)).astype(bool),
+            rng.integers(0, 2, (6, 6)).astype(bool)]
+    for s in syms:
+        s[0, 0] = True
+    insts = [(2, 1, 0), (10, 1, 1), (20, 2, 2), (3, 12, 3),
+             (14, 12, 0), (25, 12, 2)]
+    ref = jbig2.decode_embedded(
+        jbig2.build_embedded_text(40, 24, syms, insts))
+    for mmr in (True, False):
+        page = jbig2.decode_embedded(
+            jbig2.build_embedded_text_huff(40, 24, syms, insts,
+                                           mmr=mmr))
+        assert (page == ref).all()
+
+
+def test_huffman_single_symbol_page():
+    for fh in (8, 16):
+        for k in range(0, fh + 1, 4):
+            fax = np.zeros((fh, 16), dtype=bool)
+            fax[:k] = True
+            for mmr in (True, False):
+                st = jbig2.build_embedded_text_huff(
+                    16, fh, [fax], [(0, 0, 0)], mmr=mmr)
+                assert (jbig2.decode_embedded(st) == fax).all()
+
+
+def test_huffman_std_table_selection_rejected():
+    """A text region selecting SBHUFFFS=0 (standard B.6) raises the
+    documented out-of-subset ValueError instead of guessing rows."""
+    fax = np.zeros((8, 16), dtype=bool)
+    fax[:3] = True
+    st = bytearray(jbig2.build_embedded_text_huff(
+        16, 8, [fax], [(0, 0, 0)]))
+    # locate the text-region huffman flags: segment 5 type 6; its
+    # payload starts region info (17) + flags (2), hflags next
+    idx = st.find(b"\x00\x00\x00\x05\x06")
+    assert idx >= 0
+    hoff = idx + 5 + 1 + 4 + 1 + 4 + 17 + 2
+    st[hoff:hoff + 2] = (0).to_bytes(2, "big") \
+        + b""  # FS=B.6 DS=B.8 DT=B.11
+    st[hoff + 1] = st[hoff + 1] & ~0x3F
+    with pytest.raises(ValueError, match="B\\.6|B\\.8|B\\.11"):
+        jbig2.decode_embedded(bytes(st))
+
+
+def test_huffman_mutation_fuzz_valueerror_only():
+    rng = np.random.default_rng(31)
+    syms = [(rng.integers(0, 2, (5, 4)) > 0) for _ in range(3)]
+    for s in syms:
+        s[0, 0] = True
+    base = jbig2.build_embedded_text_huff(
+        24, 12, [np.asarray(s) for s in syms],
+        [(0, 0, 0), (8, 2, 1), (16, 4, 2)])
+    for _trial in range(300):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 5))):
+            op = rng.integers(0, 3)
+            if op == 0 and len(data) > 1:
+                del data[int(rng.integers(0, len(data)))]
+            elif op == 1:
+                data.insert(int(rng.integers(0, len(data) + 1)),
+                            int(rng.integers(0, 256)))
+            else:
+                data[int(rng.integers(0, len(data)))] = \
+                    int(rng.integers(0, 256))
+        try:
+            jbig2.decode_embedded(bytes(data))
+        except ValueError:
+            pass
+
+
+def test_pdf_jbig2_huffman_xobject():
+    """Huffman-shape JBIG2 inside a PDF drives the same pixel-stat
+    pruning as the arithmetic shape."""
+    from pdf_to_text_extraction_service_spark.kernel import pdfk
+    from pdf_to_text_extraction_service_spark.sources import pdfgen
+
+    fh = 8
+    fax = np.zeros((fh, 16), dtype=bool)
+    fax[:3] = True
+    blob = jbig2.build_embedded_text_huff(16, fh, [fax], [(0, 0, 0)])
+    head = (b"/Width 16 /Height %d /BitsPerComponent 1 "
+            b"/ColorSpace /DeviceGray /Filter /JBIG2Decode" % fh)
+    pdf = pdfgen.build_pdf_jpeg_pages([([], [(head, blob)])])
+    doc = pdfk.PDFDoc(pdf)
+    st = doc.page_image_stats(1)
+    assert st["n_decoded"] == 1
+    assert st["ink_samples"] == 3 * 16
+    assert st["sum_luma"] == 255 * (fh - 3) * 16
