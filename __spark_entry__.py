@@ -2206,7 +2206,7 @@ def _q_video_container_features(spark: SparkSession,
 
 def _q_image_codec_breadth(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
-    """BMP/GIF/TIFF/WebP-VP8L/JPEG-2000 real decode + WebP-lossy/
+    """BMP/GIF/TIFF/WebP-VP8L/WebP-VP8-lossy/JPEG-2000 real decode +
     AVIF dimension sniff over
     synthetic images whose stats are CLOSED FORM from doc_id: kind
     cycles flat gray BMP / flat RGB BMP / flat gray GIF / WebP header
@@ -2278,6 +2278,16 @@ def _q_image_codec_breadth(spark: SparkSession,
                 np.full((3 + i % 6, 4 + i % 9), v, np.uint8))
         if kind == 3:
             variant = ("vp8", "vp8l", "vp8x")[i % 3]
+            if variant == "vp8" and (i // 8) % 2:
+                # r7: REAL lossy key-frame payload (kernel/vp8 from-
+                # spec decoder) — flat grey Y decodes to the exact
+                # fill through the Y2/WHT path, so mean_sample =
+                # (i*23)%256 closed-form (luma-only mean)
+                from pdf_to_text_extraction_service_spark.kernel \
+                    import vp8
+                fill = (i * 23) % 256
+                return vp8.encode_webp_vp8(np.full(
+                    (80 + i % 40, 100 + i % 50), fill, np.uint8))
             if variant == "vp8l":
                 # r6: REAL lossless payload (kernel/vp8l from-spec
                 # codec) — flat RGBA decodes to exact fill values,
@@ -4157,6 +4167,9 @@ def oracle_sql() -> dict[str, str]:
                         WHEN kind = 3 AND media_id % 3 = 1 THEN
                           ((media_id * 17) % 256 + (media_id * 29) % 256
                            + (media_id * 5) % 256 + 255) // 4
+                        WHEN kind = 3 AND media_id % 3 = 0
+                             AND (media_id // 8) % 2 = 1 THEN
+                          (media_id * 23) % 256
                         WHEN kind = 4 AND media_id % 4 = 2
                              AND (media_id // 12) % 3 = 0
                           THEN (media_id * 19) % 256

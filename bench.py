@@ -309,9 +309,8 @@ def _codec_microbench() -> dict:
                                     jp2k.decode_jp2k, gray.size)
     try:
         from pdf_to_text_extraction_service_spark.kernel import vp8
-        fixtures["vp8_lossy"] = (
-            vp8.encode_vp8(np.dstack([gray] * 3)),
-            vp8.decode_vp8, gray.size)
+        fixtures["vp8_lossy"] = (vp8.encode_vp8(gray),
+                                 vp8.decode_vp8, gray.size)
     except ImportError:
         pass
 

@@ -258,9 +258,24 @@ def _decode_gray(payload: bytes):
         img = imgcodec.decode_gif(payload)
     elif payload.startswith(b"II*\x00") or payload.startswith(b"MM\x00*"):
         img = imgcodec.decode_tiff(payload)
+    elif payload.startswith(b"RIFF") and payload[8:16] == b"WEBPVP8 ":
+        # r7: lossy WebP key frames within kernel/vp8's verified
+        # subset decode for thumbnails/dHash too; luma IS the gray
+        from ..kernel import vp8 as vp8_codec
+
+        size = int.from_bytes(payload[16:20], "little")
+        if 20 + size > len(payload):
+            raise ValueError("webp: bad VP8 chunk")
+        y, _u, _v = vp8_codec.decode_vp8(payload[20:20 + size])
+        return int(y.shape[1]), int(y.shape[0]), y
+    elif payload.startswith(b"RIFF") and payload[8:16] == b"WEBPVP8L":
+        from ..kernel import vp8l as vp8l_codec
+
+        img = vp8l_codec.decode_webp_lossless(payload)
     else:
         raise ValueError(
-            "unsupported image format (PNG, JPEG, BMP, GIF, TIFF, or FAKEIMG)")
+            "unsupported image format (PNG, JPEG, BMP, GIF, TIFF, "
+            "WEBP, or FAKEIMG)")
     gray = imgcodec.to_gray(img)
     return int(gray.shape[1]), int(gray.shape[0]), gray
 
@@ -900,6 +915,13 @@ def image_breadth_features(df: DataFrame, id_col: str = "media_id",
     codecs are out of scope.  ``mean_sample`` is the integer mean
     over every decoded sample byte (NULL for dims-only formats)."""
 
+    def _vp8_chunk(data: bytes) -> bytes:
+        """Simple-format WebP: the VP8 chunk payload at offset 20."""
+        size = int.from_bytes(data[16:20], "little")
+        if data[12:16] != b"VP8 " or 20 + size > len(data):
+            raise ValueError("webp: bad VP8 chunk")
+        return data[20:20 + size]
+
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -942,6 +964,24 @@ def image_breadth_features(df: DataFrame, id_col: str = "media_id",
                             h, w = arr.shape[0], arr.shape[1]
                             mean = int(arr.astype("int64").sum()) \
                                 // arr.size
+                        elif variant == "vp8":
+                            # r7: real lossy key-frame decode within
+                            # kernel/vp8.py's verified subset; real-
+                            # world streams outside it (default coef
+                            # probs / qi>3 / B_PRED / loop filter)
+                            # stay dims-only
+                            from ..kernel import vp8 as vp8_codec
+
+                            try:
+                                yp, up, vpn = vp8_codec.decode_vp8(
+                                    _vp8_chunk(payload))
+                                h, w = yp.shape
+                                # luma-only mean: no YUV->RGB
+                                # rounding ambiguity in the oracle
+                                mean = int(yp.astype("int64").sum()
+                                           ) // yp.size
+                            except ValueError:
+                                pass    # outside subset: dims-only
                     elif fam == "avif":
                         brand, w, h = mp4box.parse_avif_dims(payload)
                         codec = "avif"
