@@ -2491,71 +2491,16 @@ def _q_audio_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the immediately-previous CORRECTNESS file AND are pytest-parity-
 # covered AND unchanged.  After ANY insertion, re-check
 # list(queries())[49].
-# Round-5 rotation: r4's 12 unchecked (the 10 extract_* kernel probes
-# rotated out in r4, plus never-checked dedup_video_signature /
-# audio_wav_features) move INTO the head; the displaced 12 tail
-# entries (office extracts, TPC-H trio, url/window dedup,
-# resize-thumbs — all r4 hash-green and stable) rotate out.
+# Round-7 rotation: the complete 28-query r5-green tail moves INTO
+# the head (nothing goes two rounds unchecked — VERDICT r6 next #2),
+# followed by every query whose fixtures/kernels changed in r7
+# (jp2k 9/7, jbig2 huffman, vp8, _decode_gray, audiotags/sniff
+# advice fixes) and 13 stable flagships; the displaced tail is
+# entirely r6-hash-green and r7-untouched.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- HEAD (first 50 = driver-checked): the 21 r4-rotation
-    # queries come back first (nothing goes 2 rounds unchecked),
-    # then every query modified in r6, then stable flagships ---
-    "scrub_pii_docs": _q_scrub_pii,
-    "repetition_stats_docs": _q_repetition_stats,
-    "normalize_nfc_docs": _q_normalize_nfc,
-    "lang_id_heuristic": _q_lang_id,
-    "token_count_bpe": _q_token_count,
-    "doc_fingerprint": _q_doc_fingerprint,
-    "quality_scores_docs": _q_quality_scores,
-    "streaming_extract_docs": _q_streaming_extract,
-    "streaming_bitemporal_dedup": _q_streaming_bitemporal,
-    "extract_doc_docs": _q_extract_doc,
-    "extract_xls_docs": _q_extract_xls,
-    "extract_ppt_docs": _q_extract_ppt,
-    "extract_docx_docs": _q_extract_docx,
-    "extract_xlsx_docs": _q_extract_xlsx,
-    "extract_pptx_docs": _q_extract_pptx,
-    "stratified_sample_lang": _q_stratified_sample,
-    "dedup_latest_url": _q_dedup_latest_url,
-    "dedup_window_events": _q_dedup_window_events,
-    "q1_lineitem_agg": _q1_lineitem_agg,
-    "join_topk_customers": _q_join_topk_customers,
-    "anti_join_manifest": _q_anti_join_manifest,
-    "pdf_image_ocr": _q_pdf_image_ocr,  # modified r6 (CCITT pages)
-    "pdf_page_stats": _q_pdf_page_stats,  # pdfk touched r6
-    "pdf_font_encodings": _q_pdf_font_encodings,  # NEW r6 (/Encoding tables)
-    "mime_sniff_breadth": _q_mime_sniff_breadth,  # NEW r6 (magic long tail)
-    "image_exif_features": _q_image_exif_features,  # NEW r6 (EXIF/PII gate)
-    "image_text_metadata": _q_image_text_metadata,  # NEW r6 (PNG tEXt/zTXt/iTXt)
-    "gif_animation_features": _q_gif_animation_features,  # NEW r6
-    "robots_meta_gate": _q_robots_meta_gate,  # modified r6 (attr order/unquoted/header)
-    "domain_stats": _q_domain_stats,  # modified r6 (PSL suffix-only NULL)
-    "domain_blocklist_gate": _q_domain_blocklist_gate,  # PSL change r6
-    "image_codec_breadth": _q_image_codec_breadth,  # modified r6 (VP8L real decode)
-    "extract_yaml_docs": _q_extract_yaml,  # modified r6 (folded scalars)
-    "audio_mp3_features": _q_audio_mp3_features,  # trailing tags r6
-    "audio_container_features": _q_audio_container_features,  # trailing tags + sniff table r6
-    "audio_flac_decode": _q_audio_flac_decode,  # NEW r6 (real FLAC decode)
-    "audio_tag_metadata": _q_audio_tag_metadata,  # NEW r6 (ID3v2/Vorbis tags)
-    "media_features_unified": _q_media_features_unified,  # sniff table r6
-    "video_container_features": _q_video_container_features,  # sniff table r6
-    "media_mp4_features": _q_media_mp4_features,  # sniff table r6
-    "dedup_minhash_lsh": _q_minhash_lsh,  # floodcap + eager r6
-    "dedup_simhash": _q_simhash_pairs,  # floodcap + eager r6
-    "dedup_embedding_cosine": _q_embedding_neardup,  # floodcap + eager r6
-    "dedup_image_dhash": _q_dedup_image_dhash,  # floodcap r6
-    "neardup_components": _q_neardup_components,  # minhash path r6
-    "multimodal_image_features": _q_multimodal_features,  # imgcodec budget r6
-    "multimodal_resize_thumbs": _q_multimodal_resize,  # imgcodec budget r6
-    "extract_html_docs": _q_extract_html_docs,
-    "extract_lang_agg": _q_extract_lang_agg,
-    "extract_warc_docs": _q_extract_warc,
-    # --- TAIL: r5 hash-green, untouched this round, rotate back r7
-    # (dedup_exact, canonical_urls, boilerplate_filter,
-    # dedup_ngram_jaccard and the three ann_* queries displaced by
-    # the r6 insertions audio_flac_decode, audio_tag_metadata,
-    # pdf_font_encodings, mime_sniff_breadth, image_exif_features,
-    # image_text_metadata, gif_animation_features) ---
+    # --- HEAD (first 50 = driver-checked), round-7 rotation ---
+    # 1-28: the full r5-green tail rotates back in (VERDICT r6 next
+    # #2 — nothing goes two rounds unchecked)
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "ann_cosine_topk": _q_ann_cosine_topk,
@@ -2584,6 +2529,60 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_remove_spans": _q_remove_dup_spans,
     "pack_sequences": _q_pack_sequences,
     "unigram_lm_quality": _q_unigram_quality,
+    # 29-37: every query whose fixtures or kernels changed in r7
+    "pdf_image_ocr": _q_pdf_image_ocr,  # r7: 9/7 JPX + huffman JBIG2
+    "image_codec_breadth": _q_image_codec_breadth,  # r7: VP8 + j2k
+    "multimodal_image_features": _q_multimodal_features,
+    "multimodal_resize_thumbs": _q_multimodal_resize,  # _decode_gray r7
+    "dedup_image_dhash": _q_dedup_image_dhash,  # _decode_gray r7
+    "mime_sniff_breadth": _q_mime_sniff_breadth,  # sniff line model r7
+    "audio_tag_metadata": _q_audio_tag_metadata,  # id3 unsync fix r7
+    "audio_mp3_features": _q_audio_mp3_features,  # audiotags touched r7
+    "audio_container_features": _q_audio_container_features,
+    # 38-50: stable r6-green flagships (the suite's core signal)
+    "extract_html_docs": _q_extract_html_docs,
+    "extract_lang_agg": _q_extract_lang_agg,
+    "extract_warc_docs": _q_extract_warc,
+    "streaming_extract_docs": _q_streaming_extract,
+    "streaming_bitemporal_dedup": _q_streaming_bitemporal,
+    "dedup_latest_url": _q_dedup_latest_url,
+    "dedup_window_events": _q_dedup_window_events,
+    "q1_lineitem_agg": _q1_lineitem_agg,
+    "join_topk_customers": _q_join_topk_customers,
+    "anti_join_manifest": _q_anti_join_manifest,
+    "dedup_minhash_lsh": _q_minhash_lsh,
+    "dedup_simhash": _q_simhash_pairs,
+    "dedup_embedding_cosine": _q_embedding_neardup,
+    # --- TAIL (28): hash-green in CORRECTNESS_r06, code paths
+    # untouched in r7, pytest-parity covered; rotate back r8 ---
+    "neardup_components": _q_neardup_components,
+    "scrub_pii_docs": _q_scrub_pii,
+    "repetition_stats_docs": _q_repetition_stats,
+    "normalize_nfc_docs": _q_normalize_nfc,
+    "lang_id_heuristic": _q_lang_id,
+    "token_count_bpe": _q_token_count,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "quality_scores_docs": _q_quality_scores,
+    "extract_doc_docs": _q_extract_doc,
+    "extract_xls_docs": _q_extract_xls,
+    "extract_ppt_docs": _q_extract_ppt,
+    "extract_docx_docs": _q_extract_docx,
+    "extract_xlsx_docs": _q_extract_xlsx,
+    "extract_pptx_docs": _q_extract_pptx,
+    "stratified_sample_lang": _q_stratified_sample,
+    "pdf_page_stats": _q_pdf_page_stats,
+    "pdf_font_encodings": _q_pdf_font_encodings,
+    "image_exif_features": _q_image_exif_features,
+    "image_text_metadata": _q_image_text_metadata,
+    "gif_animation_features": _q_gif_animation_features,
+    "robots_meta_gate": _q_robots_meta_gate,
+    "domain_stats": _q_domain_stats,
+    "domain_blocklist_gate": _q_domain_blocklist_gate,
+    "extract_yaml_docs": _q_extract_yaml,
+    "audio_flac_decode": _q_audio_flac_decode,
+    "media_features_unified": _q_media_features_unified,
+    "video_container_features": _q_video_container_features,
+    "media_mp4_features": _q_media_mp4_features,
 }
 
 # DuckDB mirror of the language-ID stopword scores (same formula as
