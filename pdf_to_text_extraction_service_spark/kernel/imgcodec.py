@@ -47,6 +47,13 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # and a 1 MB IDAT can inflate to gigabytes). 64 MP covers any sane
 # crawl image; callers surface the ValueError as an error row.
 MAX_PIXELS = 1 << 26
+# GIF's LZW inner loop is pure Python at ~31 us/px measured on the
+# photo-like bench fixture (bench.py codec_us, r7) - 2^26 px would
+# be ~35 min for one crafted payload.  2^23 px caps the worst case
+# at ~4 min, mirroring the reference's 300 s per-file timeout
+# (config.go:120-127); the other decoders stay under that envelope
+# at MAX_PIXELS (PNG 0.01, JPEG 0.5/1.4, CCITT-TIFF 0.6 us/px).
+GIF_MAX_PIXELS = 1 << 23
 
 # JPEG coefficient-buffer budget in CELLS (64 per 8x8 block), summed
 # over ALL components including MCU padding.  MAX_PIXELS alone is not
@@ -1445,7 +1452,7 @@ def _decode_gif(data: bytes) -> np.ndarray:
             raise ValueError("gif: truncated color table")
         gct = gct.reshape(-1, 3)
         pos += 3 * n
-    if sw * sh > MAX_PIXELS:
+    if sw * sh > GIF_MAX_PIXELS:
         raise ValueError("gif: bad dimensions")
     n_data = len(data)
     while pos < n_data:
@@ -1473,7 +1480,7 @@ def _decode_gif(data: bytes) -> np.ndarray:
             pos += 3 * n
         if table is None:
             raise ValueError("gif: no color table")
-        if w == 0 or h == 0 or w * h > MAX_PIXELS:
+        if w == 0 or h == 0 or w * h > GIF_MAX_PIXELS:
             raise ValueError("gif: bad frame dimensions")
         min_code = data[pos]
         pos += 1
@@ -1604,7 +1611,7 @@ def _gif_animation(data: bytes) \
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad magic or truncated")
     sw, sh, flags, bg_idx = _s.unpack_from("<HHBB", data, 6)
-    if sw == 0 or sh == 0 or sw * sh > MAX_PIXELS:
+    if sw == 0 or sh == 0 or sw * sh > GIF_MAX_PIXELS:
         raise ValueError("gif: bad dimensions")
     pos = 13
     gct = None
