@@ -1674,8 +1674,11 @@ def _q_pdf_image_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_payload(i: int) -> bytes:
-    """Deterministic payload for media id i, cycling through the three
-    supported kinds: i%3==0 FAKEIMG container, i%3==1 a REAL grayscale
+    """Deterministic payload for media id i, cycling through the
+    supported kinds: i%3==0 FAKEIMG container (or, r7, a REAL lossy
+    WebP-VP8 key frame of the flat value (i*7+13)%256 when i%6==3 —
+    kernel/vp8 decodes flats exactly, so every downstream mirror
+    keeps its closed form), i%3==1 a REAL grayscale
     PNG whose pixel bytes follow the same closed form as the fake body
     ((j*31 + i*7 + 13) % 256), i%3==2 a REAL JPEG of the flat gray
     value (i*7+13)%256 with an all-ones quant table (DC-only blocks
@@ -1692,6 +1695,18 @@ def _multimodal_payload(i: int) -> bytes:
     w, hgt = 4 + i % 16, 4 + i % 8
     kind = i % 3
     if kind == 0:
+        if i % 6 == 3:
+            # r7: REAL lossy WebP (kernel/vp8) — flat luma
+            # (i*7+13)%256 decodes exactly, so the histogram digest,
+            # thumbnail mirror, and dHash cluster all stay closed
+            # form (same flat model as the JPEG kind)
+            from pdf_to_text_extraction_service_spark.kernel import (
+                vp8,
+            )
+            import numpy as np
+
+            return vp8.encode_webp_vp8(np.full(
+                (hgt, w), (i * 7 + 13) % 256, np.uint8))
         return make_fake_image(w, hgt, seed=i)
     if kind == 1:
         body = ((np.arange(w * hgt, dtype=np.int64) * 31 + i * 7 + 13)
@@ -2805,7 +2820,8 @@ def _media_pixels_mirror(i: int):
     import numpy as np
 
     w, hgt = 4 + i % 16, 4 + i % 8
-    if i % 3 == 2:
+    if i % 3 == 2 or i % 6 == 3:
+        # flat kinds: JPEG (i%3==2) and r7's lossy WebP (i%6==3)
         return np.full((hgt, w), (i * 7 + 13) % 256, dtype=np.uint8)
     return ((np.arange(w * hgt, dtype=np.int64) * 31 + i * 7 + 13)
             % 256).astype(np.uint8).reshape(hgt, w)
@@ -2931,7 +2947,7 @@ def _multimodal_oracle_sql() -> str:
                CAST(w AS INTEGER) AS width,
                CAST(h AS INTEGER) AS height,
                CAST(nb.nbytes AS BIGINT) AS n_bytes,
-               CASE WHEN d.doc_id % 3 = 2 THEN
+               CASE WHEN d.doc_id % 3 = 2 OR d.doc_id % 6 = 3 THEN
                    list_reduce(
                        list_prepend(0::BIGINT, list_transform(range(0, 16),
                            b -> CAST(CASE WHEN b = v // 16

@@ -183,8 +183,23 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
         img = imgcodec.decode_tiff(payload)
         gray = imgcodec.to_gray(img)
         return int(gray.shape[1]), int(gray.shape[0]), _hist16(gray)
+    if payload.startswith(b"RIFF") and payload[8:16] == b"WEBPVP8 ":
+        from ..kernel import vp8 as vp8_codec
+
+        size = int.from_bytes(payload[16:20], "little")
+        if 20 + size > len(payload):
+            raise ValueError("webp: bad VP8 chunk")
+        y, _u, _v = vp8_codec.decode_vp8(payload[20:20 + size])
+        return int(y.shape[1]), int(y.shape[0]), _hist16(y)
+    if payload.startswith(b"RIFF") and payload[8:16] == b"WEBPVP8L":
+        from ..kernel import vp8l as vp8l_codec
+
+        img = vp8l_codec.decode_webp_lossless(payload)
+        gray = imgcodec.to_gray(img)
+        return int(gray.shape[1]), int(gray.shape[0]), _hist16(gray)
     raise ValueError(
-        "unsupported image format (PNG, JPEG, BMP, GIF, TIFF, or FAKEIMG)"
+        "unsupported image format (PNG, JPEG, BMP, GIF, TIFF, WEBP, "
+        "or FAKEIMG)"
     )
 
 
