@@ -2274,9 +2274,13 @@ def _q_image_codec_breadth(spark: SparkSession,
                 return imgcodec.encode_tiff(
                     fimg, fax=(4 if i % 2 else 3), rows_per_strip=2)
             v = (i * 13) % 256
+            # r7: every i%5==1 TIFF ships Adobe-Deflate (comp 8,
+            # predictor 2) — decoded mean is compression-invariant,
+            # so the oracle is untouched
             return imgcodec.encode_tiff(
                 np.full((bh, bw), v, np.uint8),
                 big_endian=(i % 3 == 0), packbits=bool(i % 2),
+                deflate=(i % 5 == 1), predictor=(i % 5 == 1),
                 rows_per_strip=2)
         if kind == 0:
             v = (i * 3) % 256

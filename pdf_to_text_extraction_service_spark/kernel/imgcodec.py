@@ -1996,14 +1996,15 @@ def _decode_tiff(data: bytes) -> np.ndarray:
     if fax:
         if spp != 1 or bits != [1] or photo not in (0, 1):
             raise ValueError("tiff: unsupported fax format")
-    elif comp not in (1, 5, 32773) or spp not in (1, 3) \
+    elif comp not in (1, 5, 8, 32773, 32946) or spp not in (1, 3) \
             or any(b != 8 for b in bits) \
             or photo not in (0, 1, 2) \
             or (photo == 2) != (spp == 3):
         raise ValueError("tiff: unsupported format")
     predictor = one(317, 1)
-    # only none (1), or horizontal differencing (2) under LZW
-    if predictor != 1 and not (predictor == 2 and comp == 5):
+    # only none (1), or horizontal differencing (2) under LZW/Deflate
+    if predictor != 1 and not (predictor == 2
+                               and comp in (5, 8, 32946)):
         raise ValueError("tiff: unsupported predictor")
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -2054,6 +2055,18 @@ def _decode_tiff(data: bytes) -> np.ndarray:
                 strip = _lzw_decode(strip)
             except PDFError as exc:
                 raise ValueError(f"tiff: {exc}")
+        elif comp in (8, 32946):
+            # Adobe Deflate (8) / legacy Deflate (32946): zlib
+            # streams; output capped at the expected strip size
+            # (decompression-bomb guard — extra output is a format
+            # error, not an allocation)
+            import zlib
+
+            try:
+                dec = zlib.decompressobj()
+                strip = dec.decompress(strip, expect)
+            except zlib.error as exc:
+                raise ValueError(f"tiff: bad deflate strip ({exc})")
         if len(strip) < expect:
             raise ValueError("tiff: truncated strip")
         strip = strip[:expect]
@@ -2080,11 +2093,13 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False,
                 rows_per_strip: int | None = None,
                 fax: int | None = None,
                 lzw: bool = False,
+                deflate: bool = False,
                 predictor: bool = False) -> bytes:
     """uint8 (h, w) gray or (h, w, 3) RGB -> TIFF (photometric 1/2,
-    striped, optional PackBits).  ``fax`` (2, 3 or 4) encodes a BOOL
-    array (True = black) as a CCITT fax TIFF instead: 1 bit/sample,
-    photometric 0 (MinIsWhite), strips coded per kernel/ccitt.py."""
+    striped, optional PackBits / LZW / Adobe Deflate).  ``fax``
+    (2, 3 or 4) encodes a BOOL array (True = black) as a CCITT fax
+    TIFF instead: 1 bit/sample, photometric 0 (MinIsWhite), strips
+    coded per kernel/ccitt.py."""
     import struct as _s
 
     bo = ">" if big_endian else "<"
@@ -2116,7 +2131,7 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False,
             strips.append(raw)
             continue
         band = arr[r0:r0 + rps]
-        if lzw and predictor:
+        if (lzw or deflate) and predictor:
             d = band.astype(np.int64).reshape(band.shape[0], w, spp)
             d = np.concatenate([d[:, :1], np.diff(d, axis=1)], axis=1)
             band = (d & 0xFF).astype(np.uint8)
@@ -2124,6 +2139,11 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False,
         if lzw:
             raw = _tiff_lzw_encode(raw)
             strips.append(raw)
+            continue
+        if deflate:
+            import zlib
+
+            strips.append(zlib.compress(raw))
             continue
         if packbits:
             enc = bytearray()
@@ -2156,9 +2176,10 @@ def encode_tiff(img: np.ndarray, big_endian: bool = False,
     entry(257, 4, [h])
     entry(258, 3, ([1] if fax is not None else [8] * spp))
     entry(259, 3, [fax if fax is not None
-                   else (5 if lzw else (32773 if packbits else 1))])
+                   else (5 if lzw else 8 if deflate
+                         else (32773 if packbits else 1))])
     entry(262, 3, [0 if fax is not None else (2 if spp == 3 else 1)])
-    if lzw and predictor:
+    if (lzw or deflate) and predictor:
         entry(317, 3, [2])
     entry(273, 4, [0] * n_strips)      # patched below
     entry(277, 3, [spp])

@@ -735,3 +735,55 @@ class TestTiff:
                 ic.decode_tiff(bytes(blob))
             except ValueError:
                 pass  # error envelope; other exceptions fail
+
+
+def test_tiff_deflate_round_trip():
+    """Adobe Deflate (compression 8) strips, with and without the
+    horizontal-differencing predictor, both byte orders."""
+    rng = np.random.default_rng(2)
+    for shape in ((13, 17), (9, 11, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for pred in (False, True):
+            for be in (False, True):
+                t = ic.encode_tiff(
+                    img, big_endian=be, deflate=True,
+                    predictor=pred, rows_per_strip=4)
+                assert (ic.decode_tiff(t) == img).all()
+
+
+def test_tiff_deflate_bomb_guard():
+    """A deflate strip inflating past the expected strip size is a
+    format error, not an allocation: output is capped at `expect`."""
+    import struct as _s
+    import zlib
+
+    base = bytearray(ic.encode_tiff(
+        np.zeros((4, 4), np.uint8), deflate=True))
+    bomb = zlib.compress(b"\x00" * 10_000_000)
+    # strip data sits at the end; rebuild with the oversize strip by
+    # re-encoding manually is brittle — instead decode a hand-built
+    # minimal TIFF whose single strip is the bomb
+    def tiff_with_strip(strip: bytes) -> bytes:
+        entries = []
+        def entry(tag, typ, val):
+            fmt = {3: "H", 4: "I"}[typ]
+            raw = _s.pack("<" + fmt, val)
+            raw += b"\x00" * (4 - len(raw))
+            entries.append(_s.pack("<HHI", tag, typ, 1) + raw)
+        strip_off = 8 + 2 + 12 * 8 + 4
+        entry(256, 4, 4)          # width
+        entry(257, 4, 4)          # height
+        entry(258, 3, 8)          # bits
+        entry(259, 3, 8)          # deflate
+        entry(262, 3, 1)          # photometric
+        entry(273, 4, strip_off)  # strip offset
+        entry(278, 4, 4)          # rows per strip
+        entry(279, 4, len(strip))
+        body = b"II*\x00" + _s.pack("<I", 8) + _s.pack("<H", 8) \
+            + b"".join(entries) + _s.pack("<I", 0) + strip
+        return body
+    out = ic.decode_tiff(tiff_with_strip(bomb))
+    assert out.shape == (4, 4) and (out == 0).all()
+    # and a truncated/garbage deflate strip errors cleanly
+    with pytest.raises(ValueError):
+        ic.decode_tiff(tiff_with_strip(b"\x01\x02\x03"))
