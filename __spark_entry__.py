@@ -2296,7 +2296,11 @@ def _q_image_codec_breadth(spark: SparkSession,
             return imgcodec.encode_gif(
                 np.full((3 + i % 6, 4 + i % 9), v, np.uint8))
         if kind == 3:
-            variant = ("vp8", "vp8l", "vp8x")[i % 3]
+            # r7 fix: kind==3 forces i%3==0, so an i%3 selector made
+            # the vp8l/vp8x arms DEAD (r6's vp8l rows in this query
+            # were vacuous — the real-decode coverage lived only in
+            # pytest).  (i//6)%3 reaches all three variants.
+            variant = ("vp8", "vp8l", "vp8x")[(i // 6) % 3]
             if variant == "vp8" and (i // 8) % 2:
                 # r7: REAL lossy key-frame payload (kernel/vp8 from-
                 # spec decoder) — flat grey Y decodes to the exact
@@ -4148,7 +4152,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN kind IN (0, 1) THEN 'bmp'
                         WHEN kind = 2 THEN 'gif'
                         WHEN kind = 3 THEN 'webp-' ||
-                          (CASE media_id % 3 WHEN 0 THEN 'vp8'
+                          (CASE (media_id // 6) % 3 WHEN 0 THEN 'vp8'
                                WHEN 1 THEN 'vp8l' ELSE 'vp8x' END)
                         WHEN kind = 5 THEN 'tiff'
                         WHEN media_id % 4 = 2
@@ -4183,10 +4187,11 @@ def oracle_sql() -> dict[str, str]:
                           255 * (bh - media_id % (bh + 1)) * bw
                               // (bh * bw)
                         WHEN kind = 5 THEN tiffv
-                        WHEN kind = 3 AND media_id % 3 = 1 THEN
+                        WHEN kind = 3 AND (media_id // 6) % 3 = 1
+                          THEN
                           ((media_id * 17) % 256 + (media_id * 29) % 256
                            + (media_id * 5) % 256 + 255) // 4
-                        WHEN kind = 3 AND media_id % 3 = 0
+                        WHEN kind = 3 AND (media_id // 6) % 3 = 0
                              AND (media_id // 8) % 2 = 1 THEN
                           (media_id * 23) % 256
                         WHEN kind = 4 AND media_id % 4 = 2
