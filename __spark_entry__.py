@@ -759,6 +759,46 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    threshold=0.99)
 
 
+def _semdedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup input: embeddings ∪ planted mutants
+    (dim 0 scaled 1.02, id + 100000) — same construction as
+    _q_embedding_neardup so the planted near-dups are the truth."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> cast(v as double))")
+        .alias("embedding"),
+    )
+    mutants = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (v, i) -> cast(v as double) * "
+            "(case when i = 0 then cast(1.02 as double) else "
+            "cast(1.0 as double) end))"
+        ).alias("embedding"),
+    )
+    return base.unionByName(mutants)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-prune dedup (operators/semdedup.py
+    — public method, Abbas et al. 2023): k-means clusters are the
+    candidate generator, exact cosine >= 0.95 within clusters, each
+    removed id reports its lowest-id witness.  The engine's k-means
+    is bit-deterministic (operators/ivf.py reduction tree), so the
+    oracle retrains IDENTICAL centroids driver-side
+    (train_kmeans_mirror) and mirrors assignment + pairing in SQL —
+    the planted mutants are recovered exactly (a mutant and its base
+    always share a cluster: their distance to every centroid differs
+    by a hair while inter-centroid gaps are O(1))."""
+    from pdf_to_text_extraction_service_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(_semdedup_union(spark, sf_dir),
+                          k=8, iters=3, threshold=0.95)
+
+
 def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with planted email/IP/phone —
     the oracle asserts the exact closed-form scrubbed string (the
@@ -2558,6 +2598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": _q_multimodal_features,
     "multimodal_resize_thumbs": _q_multimodal_resize,  # _decode_gray r7
     "dedup_image_dhash": _q_dedup_image_dhash,  # _decode_gray r7
+    "semantic_dedup_embeddings": _q_semantic_dedup,  # NEW r7 (SemDeDup)
     "mime_sniff_breadth": _q_mime_sniff_breadth,  # sniff line model r7
     "audio_tag_metadata": _q_audio_tag_metadata,  # id3 unsync fix r7
     "audio_mp3_features": _q_audio_mp3_features,  # audiotags touched r7
@@ -2571,13 +2612,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_latest_url": _q_dedup_latest_url,
     "dedup_window_events": _q_dedup_window_events,
     "q1_lineitem_agg": _q1_lineitem_agg,
-    "join_topk_customers": _q_join_topk_customers,
     "anti_join_manifest": _q_anti_join_manifest,
     "dedup_minhash_lsh": _q_minhash_lsh,
     "dedup_simhash": _q_simhash_pairs,
     "dedup_embedding_cosine": _q_embedding_neardup,
     # --- TAIL (28): hash-green in CORRECTNESS_r06, code paths
-    # untouched in r7, pytest-parity covered; rotate back r8 ---
+    # untouched in r7, pytest-parity covered; rotate back r8
+    # (join_topk_customers displaced by the semantic_dedup insert) ---
+    "join_topk_customers": _q_join_topk_customers,
     "neardup_components": _q_neardup_components,
     "scrub_pii_docs": _q_scrub_pii,
     "repetition_stats_docs": _q_repetition_stats,
@@ -3104,6 +3146,97 @@ def _ivf_oracle_sql(sf_dir: str | None = None, k: int = 16,
 
 
 _IVF_ORACLE_CACHE: dict[tuple, str] = {}
+
+
+def _semdedup_oracle_sql(sf_dir: str | None = None, k: int = 8,
+                         iters: int = 3,
+                         threshold: float = 0.95) -> str:
+    """DuckDB oracle for semantic_dedup_embeddings: recompute the
+    engine's bit-deterministic centroids over the SAME union
+    (base ∪ 1.02-dim0 mutants) via ivf.train_kmeans_mirror, mirror
+    the argmin assignment (same left-fold squared distance, ties to
+    lowest cluster), pair within clusters, keep cosine >= threshold,
+    and report each removed id's lowest-id witness.  Memoized per
+    corpus fingerprint."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_to_text_extraction_service_spark.operators.ivf import (
+        train_kmeans_mirror,
+    )
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        st = os.stat(f"{sf_dir}/embeddings.parquet")
+    except OSError:
+        return ("SELECT CAST(NULL AS BIGINT) AS vec_id, "
+                "CAST(NULL AS BIGINT) AS kept_id, "
+                "CAST(NULL AS DOUBLE) AS cosine WHERE FALSE")
+    key = (sf_dir, st.st_mtime_ns, st.st_size, k, iters, threshold)
+    cached = _SEMDEDUP_ORACLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [[float(v) for v in e] for e in
+            t.column("embedding").to_pylist()]
+    dim = len(vecs[0])
+    # the union the query builds: mutants scale dim 0 by 1.02 AFTER
+    # the float->double cast (exact in doubles)
+    u_ids = list(ids) + [i + 100000 for i in ids]
+    u_vecs = vecs + [[e[0] * 1.02] + e[1:] for e in vecs]
+    cents = train_kmeans_mirror(u_ids, u_vecs, k=k, iters=iters)
+    cent_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]" for c in cents
+    ) + "]::DOUBLE[][]"
+    dist = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> (u.emb[i] - cv[c + 1][i]) * (u.emb[i] - cv[c + 1][i])"
+        ")), (a, v) -> a + v)"
+    )
+    sql = f"""
+        WITH cent AS (SELECT {cent_lit} AS cv),
+        u AS (
+            SELECT vec_id, list_transform(embedding,
+                       v -> v::DOUBLE) AS emb
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(range(1, {dim + 1}),
+                       i -> embedding[i]::DOUBLE *
+                            (CASE WHEN i = 1 THEN 1.02
+                                  ELSE 1.0 END))
+            FROM embeddings
+        ),
+        assigned AS (
+            SELECT u.vec_id, u.emb,
+                   (list_sort(list_transform(range(0, {k}),
+                        c -> {{'d': {dist}, 'c': c}})))[1]['c']
+                       AS cluster
+            FROM u CROSS JOIN cent
+        ),
+        pairs AS (
+            SELECT a.vec_id AS ka, b.vec_id AS kb,
+                   list_cosine_similarity(a.emb, b.emb) AS cos
+            FROM assigned a JOIN assigned b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        )
+        SELECT kb AS vec_id,
+               MIN(ka) AS kept_id,
+               ROUND(MIN_BY(cos, ka), 6) AS cosine
+        FROM pairs
+        WHERE cos >= {threshold}
+        GROUP BY kb
+    """
+    _SEMDEDUP_ORACLE_CACHE[key] = sql
+    return sql
+
+
+_SEMDEDUP_ORACLE_CACHE: dict[tuple, str] = {}
 
 
 # DuckDB mirror of the stratified-sampling hash rule.
@@ -3702,6 +3835,7 @@ def oracle_sql() -> dict[str, str]:
         # them driver-side (numpy mirror, identical IEEE fold order)
         # and mirrors assignment + nprobe + exact cosine in SQL.
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "semantic_dedup_embeddings": _semdedup_oracle_sql(),
         # SimHash mirror: identical 31-bit rolling token hashes
         # (bases 31/37/41 mod 2^31-1), identical sign-bit fold,
         # identical 4x16-bit banding — DuckDB >> is arithmetic like

@@ -116,3 +116,79 @@ def test_ivf_persisted_index_partition_pruning(spark, emb, tmp_path):
              for r in ivf_topk(indexed, centroids, q, topk=10,
                                nprobe=8).collect()]
     assert exact == brute
+
+
+def test_semantic_dedup_recovers_planted_mutants(spark):
+    """SemDeDup-style cluster-then-prune (operators/semdedup.py):
+    every planted near-duplicate (dim-0 scaled copy, id+1000) is
+    removed with its base as the witness; no false removals among
+    the random base vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdf_to_text_extraction_service_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((60, 16))
+    rows = [(int(i), [float(v) for v in base[i]]) for i in range(60)]
+    rows += [(int(i + 1000),
+              [float(base[i][0] * 1.02)] + [float(v)
+                                            for v in base[i][1:]])
+             for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=4, iters=2, threshold=0.95)
+    got = {r["vec_id"]: (r["kept_id"], r["cosine"])
+           for r in out.collect()}
+    assert set(got) == {i + 1000 for i in range(60)}
+    for i in range(60):
+        kept, cos = got[i + 1000]
+        assert kept == i and cos >= 0.99
+
+
+def test_semantic_dedup_reuses_centroids_and_is_deterministic(spark):
+    import numpy as np
+
+    from pdf_to_text_extraction_service_spark.operators.ivf import (
+        train_kmeans,
+    )
+    from pdf_to_text_extraction_service_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), [float(v) for v in rng.standard_normal(8)])
+            for i in range(40)]
+    rows += [(1000, list(rows[0][1])), (1001, list(rows[1][1]))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    cents = train_kmeans(df, k=3, iters=2)
+    a = sorted(map(tuple, semantic_dedup(
+        df, threshold=0.999, centroids=cents).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        df, k=3, iters=2, threshold=0.999).collect()))
+    assert a == b                      # codebook reuse == retrain
+    assert [r[0] for r in a] == [1000, 1001]   # exact copies removed
+
+
+def test_semantic_dedup_flood_cap_bounds_quadratic(spark):
+    """A degenerate cluster (every vector identical — the boilerplate
+    flood) is sampled to ~max_cluster, so the self-join is bounded;
+    sampling only loses flood-internal pairs, never fabricates."""
+    rows = [(int(i), [1.0, 0.0, 0.0, 0.0]) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_import().semantic_dedup(
+        df, k=2, iters=1, threshold=0.99, max_cluster=32)
+    removed = {r["vec_id"] for r in out.collect()}
+    assert removed                      # the flood still dedups
+    assert all(r > 0 for r in removed)  # id 0 (lowest) never removed
+
+
+def semantic_dedup_import():
+    from pdf_to_text_extraction_service_spark.operators import (
+        semdedup,
+    )
+    return semdedup
