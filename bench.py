@@ -156,7 +156,8 @@ def _run_suite(spark, sf_dir: str, ctx: dict):
     for name in ("q1_lineitem_agg", "join_topk_customers",
                  "dedup_window_events", "anti_join_manifest",
                  "dedup_minhash_lsh", "dedup_simhash",
-                 "dedup_embedding_cosine", "ann_cosine_topk",
+                 "dedup_embedding_cosine", "semantic_dedup_embeddings",
+                 "ann_cosine_topk",
                  "doc_fingerprint", "lang_id_heuristic",
                  "decontam_benchmark", "pack_sequences",
                  "unigram_lm_quality", "neardup_components",
@@ -349,7 +350,7 @@ def main() -> None:
         # `value` IS the number the metric string names (VERDICT r6
         # wrong #1): suite wall-clock seconds.  Extraction throughput
         # lives in extraction_docs_per_sec.
-        "metric": "bench suite seconds (sum of 18 per-query medians; "
+        "metric": "bench suite seconds (sum of 19 per-query medians; "
                   "throughput in extraction_docs_per_sec)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",

@@ -16,10 +16,13 @@ Chains the engine's training-pipeline operators end-to-end, the way a
 3. quality  — kernel quality scorer (quality.go parity); drop
               needs_ocr and below --min-quality / --min-words
 4. exact    — corpus-wide exact dedup (sha2 groupBy, min-id wins)
-5. paras    — paragraph dedup (first corpus-wide occurrence wins)
-6. spans    — ExactSubstr removal of duplicated 13-gram windows
-7. decontam — drop docs sharing any 13-gram with --benchmark
-8. pack     — concat-and-chunk into --seq-len sequences
+5. semantic — OPTIONAL (--embeddings): SemDeDup-style cluster-then-
+              prune over the surviving docs' embeddings
+              (operators/semdedup.py)
+6. paras    — paragraph dedup (first corpus-wide occurrence wins)
+7. spans    — ExactSubstr removal of duplicated 13-gram windows
+8. decontam — drop docs sharing any 13-gram with --benchmark
+9. pack     — concat-and-chunk into --seq-len sequences
 
 Every stage is declarative DataFrame work over the same operators the
 driver queries gate (operators/neardup, paradedup, dupspans,
@@ -69,7 +72,8 @@ from pdf_to_text_extraction_service_spark.plans.session import (
 
 def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
            seq_len=1024, benchmark=None, span_removal=True,
-           blocklist=None, stats=True):
+           blocklist=None, embeddings=None, sem_threshold=0.95,
+           sem_k=64, stats=True):
     """Run the curation chain over ``docs(url, text, ...)``; returns
     (packed DataFrame, stage-stats dict).
 
@@ -169,6 +173,26 @@ def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
     keep_e = exact_dedup(base).select("doc_id")
     base = note("exact_dedup", base.join(keep_e, "doc_id"))
 
+    if embeddings is not None:
+        # SemDeDup-style semantic dedup (operators/semdedup.py):
+        # ``embeddings`` maps doc ids to vectors under the SAME id
+        # space as `docs.url` hashed above — callers pass
+        # (url, embedding) and we key it identically.  Only ids
+        # still alive reach the clusterer; the removed set comes
+        # back as a broadcast-size scalar list.
+        from pdf_to_text_extraction_service_spark.operators.semdedup \
+            import semantic_dedup
+
+        emb = embeddings.select(
+            F.xxhash64("url").alias("doc_id"), "embedding",
+        ).join(base.select("doc_id"), "doc_id")
+        removed = semantic_dedup(
+            emb, k=sem_k, threshold=sem_threshold,
+            id_col="doc_id", vec_col="embedding",
+        ).select("doc_id")
+        base = note("semantic_dedup",
+                    base.join(removed, "doc_id", "left_anti"))
+
     paras = paragraph_dedup(base)
     base = note("paragraph_dedup", base.drop("text").join(
         paras.filter(F.col("text_out") != "")
@@ -247,6 +271,12 @@ def main() -> None:
     ap.add_argument("--benchmark", default=None,
                     help="parquet with a text column to decontaminate "
                          "against")
+    ap.add_argument("--embeddings", default=None,
+                    help="parquet with (url, embedding) columns; "
+                         "enables the SemDeDup-style semantic-dedup "
+                         "stage (operators/semdedup.py)")
+    ap.add_argument("--sem-threshold", type=float, default=0.95)
+    ap.add_argument("--sem-k", type=int, default=64)
     ap.add_argument("--blocklist", default=None,
                     help="parquet with a 'domain' column; docs whose "
                          "registered domain matches are dropped at "
@@ -270,6 +300,9 @@ def main() -> None:
         seq_len=args.seq_len, benchmark=bench,
         blocklist=(spark.read.parquet(args.blocklist)
                    if args.blocklist else None),
+        embeddings=(spark.read.parquet(args.embeddings)
+                    if args.embeddings else None),
+        sem_threshold=args.sem_threshold, sem_k=args.sem_k,
         span_removal=not args.no_span_removal,
         stats=(False if args.no_stats
                else "exact" if args.exact_stats else True),

@@ -342,6 +342,39 @@ def test_curate_pipeline_stages(spark, tmp_path):
     assert all(r["seq_id"] >= 0 and r["seq_offset"] >= 0 for r in got)
 
 
+def test_curate_semantic_dedup_stage(spark):
+    """--embeddings enables the SemDeDup stage: a doc whose embedding
+    is a near-copy of a lower-id doc's is dropped even though its
+    TEXT differs (semantic, not verbatim, dedup); unrelated docs
+    survive."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from jobs.curate import curate
+
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "the dog chases the fox around the quiet green meadow "
+             "until both animals rest under the old oak tree")
+    docs = spark.createDataFrame(
+        [("https://s.test/a", True, prose + " first telling", "en"),
+         ("https://s.test/b", True, prose + " second telling", "en"),
+         ("https://s.test/c", True, prose + " unrelated topic", "en")],
+        "url string, success boolean, text string, lang string")
+    emb = spark.createDataFrame(
+        [("https://s.test/a", [1.0, 0.0, 0.0, 0.1]),
+         ("https://s.test/b", [1.0, 0.0, 0.0, 0.100001]),
+         ("https://s.test/c", [0.0, 1.0, 0.0, 0.0])],
+        "url string, embedding array<double>")
+    out, st = curate(spark, docs, min_words=5, seq_len=64,
+                     embeddings=emb, sem_k=2, sem_threshold=0.99)
+    urls = {r["url"] for r in out.collect()}
+    assert st["exact_dedup"] == 3 and st["semantic_dedup"] == 2
+    # xxhash64 order decides which of a/b is the kept witness
+    assert "https://s.test/c" in urls and len(urls) == 2
+
+
 def test_curate_observe_stats_equal_exact(spark):
     """The default zero-action observation stats (one materializing
     checkpoint resolves every CollectMetrics node) must equal the
