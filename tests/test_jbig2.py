@@ -502,3 +502,42 @@ def test_pdf_jbig2_huffman_xobject():
     assert st["n_decoded"] == 1
     assert st["ink_samples"] == 3 * 16
     assert st["sum_luma"] == 255 * (fh - 3) * 16
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(2, 6), st.integers(0, 6)),
+                min_size=1, max_size=6),
+       st.integers(-40, 40), st.integers(0, 1),
+       st.data())
+def test_custom_table_hypothesis_mirror(lines, htlow, oob, data):
+    """parse(encode(spec)) decodes every encodable value the
+    encoder-side table_from_spec writes — arbitrary line shapes,
+    negative ranges, OOB on/off."""
+    from pdf_to_text_extraction_service_spark.kernel import (
+        jbig2huff as H,
+    )
+
+    hthigh = htlow + sum(1 << rl for _pl, rl in lines)
+    oob_len = 6 if oob else 0
+    try:
+        seg = H.encode_table_segment(lines, htlow, hthigh, 6, 6,
+                                     oob_len=oob_len)
+        t_enc = H.table_from_spec(lines, htlow, hthigh, 6, 6,
+                                  oob_len=oob_len)
+    except ValueError:
+        return                      # over-full prefix table: legal
+    t_dec = H.parse_table_segment(seg)
+    probes = [htlow, hthigh - 1, hthigh, hthigh + 7919,
+              htlow - 1, htlow - 5000,
+              data.draw(st.integers(htlow, hthigh - 1))]
+    if oob:
+        probes.append(H.OOB)
+    for v in probes:
+        w = H.HBitWriter()
+        t_enc.write(w, v)
+        got = t_dec.read(H.HBitReader(w.payload()))
+        assert (got is H.OOB) if v is H.OOB else got == v
