@@ -350,7 +350,7 @@ def _q_extract_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     fp = hashlib.sha256(
-        f"warc-v2-cap500:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:16]
+        f"warc-v3-cap500:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:16]
     tag = sf_dir.strip("/").replace("/", "-")
     path = os.path.join(tempfile.gettempdir(),
                         f"warc-{tag}-{fp}.warc.gz")
@@ -368,7 +368,14 @@ def _q_extract_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
             html = (f"<html><head><title>Doc {i}</title></head>"
                     f"<body><h1>Doc {i}</h1><p>{t}</p></body></html>"
                     ).encode()
-            records.append((url, "2026-01-01T00:00:00Z", html))
+            # r7: records cycle the HTTP codings real crawls store
+            # as-delivered (chunked framing, gzip/deflate bodies);
+            # the reader decodes them back to the identical payload,
+            # so the oracle is untouched
+            coding = ("identity", "chunked", "gzip", "deflate",
+                      "chunked+gzip")[i % 5]
+            records.append((url, "2026-01-01T00:00:00Z", html,
+                            coding))
         with open(path, "wb") as f:
             f.write(gzip.compress(write_warc(records)))
     pages = read_warc_pages(spark, path)

@@ -5,7 +5,14 @@ environment). The reader turns ``response`` records into page rows
 ``(url, warc_ts, html)``; other record types (warcinfo, request,
 metadata) are skipped, HTTP response headers are stripped from the
 payload, and malformed records end the file's parse (partial output,
-the same stop-at-first-error posture as the XML kernels).
+the same stop-at-first-error posture as the XML kernels).  r7: the
+transfer/content codings real crawls store as-delivered are decoded
+— Transfer-Encoding: chunked framing (RFC 9112 §7.1) and
+gzip/x-gzip/deflate bodies (both zlib-wrapped and raw deflate) —
+with any malformation falling back to the undecoded bytes (the
+router then yields an honest error row) and decompressed output
+capped at the router's 500 MiB payload gate.  Brotli bodies stay
+raw (no brotli codec in this environment — documented boundary).
 
 Spark integration: ``read_warc_pages`` loads whole files via the
 binaryFile source and parses records inside ``mapInPandas`` — one
@@ -37,16 +44,56 @@ if TYPE_CHECKING:
 _CRLF = b"\r\n"
 
 
-def write_warc(records: list[tuple[str, str, bytes]],
+def _encode_body(payload: bytes, coding: str) -> tuple[bytes, bytes]:
+    """Apply an HTTP coding for fixture records → (extra response
+    headers, encoded body).  Codings: identity, chunked, gzip,
+    deflate, chunked+gzip (gzip inside chunked framing — the real
+    nginx shape)."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    def chunk(b: bytes) -> bytes:
+        out = bytearray()
+        step = 1024
+        for i in range(0, len(b), step):
+            c = b[i:i + step]
+            out += format(len(c), "x").encode() + _CRLF + c + _CRLF
+        out += b"0" + _CRLF + _CRLF
+        return bytes(out)
+
+    if coding == "identity":
+        return (b"Content-Length: " + str(len(payload)).encode()
+                + _CRLF, payload)
+    if coding == "gzip":
+        enc = _gzip.compress(payload)
+        return (b"Content-Encoding: gzip\r\nContent-Length: "
+                + str(len(enc)).encode() + _CRLF, enc)
+    if coding == "deflate":
+        enc = _zlib.compress(payload)
+        return (b"Content-Encoding: deflate\r\nContent-Length: "
+                + str(len(enc)).encode() + _CRLF, enc)
+    if coding == "chunked":
+        return b"Transfer-Encoding: chunked\r\n", chunk(payload)
+    if coding == "chunked+gzip":
+        return (b"Content-Encoding: gzip\r\n"
+                b"Transfer-Encoding: chunked\r\n",
+                chunk(_gzip.compress(payload)))
+    raise ValueError(f"warc fixture: unknown coding {coding}")
+
+
+def write_warc(records: list[tuple],
                with_http_headers: bool = True) -> bytes:
-    """records: (url, iso_ts 'YYYY-MM-DDTHH:MM:SSZ', payload)."""
+    """records: (url, iso_ts 'YYYY-MM-DDTHH:MM:SSZ', payload
+    [, coding]) — coding defaults to identity (see _encode_body)."""
     out = bytearray()
-    for url, ts, payload in records:
+    for rec in records:
+        url, ts, payload = rec[0], rec[1], rec[2]
+        coding = rec[3] if len(rec) > 3 else "identity"
         if with_http_headers:
+            extra, body = _encode_body(payload, coding)
             http = (b"HTTP/1.1 200 OK\r\n"
                     b"Content-Type: text/html\r\n"
-                    b"Content-Length: " + str(len(payload)).encode()
-                    + b"\r\n\r\n" + payload)
+                    + extra + _CRLF + body)
         else:
             http = payload
         headers = (
@@ -94,8 +141,89 @@ def parse_warc(data: bytes) -> Iterator[tuple[str, str, bytes]]:
         if body[:5] in (b"HTTP/",):
             http_end = body.find(b"\r\n\r\n")
             if http_end >= 0:
-                payload = body[http_end + 4:]
+                payload = _decode_http_body(
+                    body[:http_end], body[http_end + 4:])
         yield url, ts, payload
+
+
+# decompressed-body cap: matches the router's 500 MiB payload gate
+# downstream — a crafted gzip bomb inside a crawl record must not
+# allocate past what the pipeline would reject anyway
+_BODY_CAP = 500 * 1024 * 1024
+
+
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode a Transfer-Encoding: chunked body (RFC 9112 §7.1:
+    hex size [;extensions] CRLF data CRLF ... 0 CRLF trailers).
+    None on malformed framing (caller keeps the raw bytes)."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while True:
+        eol = body.find(b"\r\n", i)
+        if eol < 0:
+            return None
+        size_tok = body[i:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        if size < 0 or len(out) + size > _BODY_CAP:
+            return None
+        if size == 0:
+            return bytes(out)          # trailers (if any) discarded
+        chunk = body[eol + 2:eol + 2 + size]
+        if len(chunk) != size:
+            return None
+        out += chunk
+        i = eol + 2 + size
+        if body[i:i + 2] != b"\r\n":
+            return None
+        i += 2
+        if i > n:
+            return None
+
+
+def _decode_http_body(http_head: bytes, body: bytes) -> bytes:
+    """Undo the HTTP transfer/content codings a crawl record stores
+    as-delivered (real Common Crawl responses carry chunked framing
+    and gzip/deflate bodies verbatim): dechunk, then gunzip/inflate,
+    each falling back to the undecoded bytes on any malformation —
+    the downstream sniffer/router then produces an honest error row
+    instead of this layer crashing a task.  Brotli bodies stay raw
+    (no brotli codec in the environment — documented boundary)."""
+    import zlib
+
+    hdrs: dict[str, str] = {}
+    for line in http_head.split(b"\r\n")[1:]:
+        k, _, v = line.partition(b":")
+        if v:
+            hdrs[k.strip().lower().decode("latin-1")] = (
+                v.strip().lower().decode("latin-1"))
+    if "chunked" in hdrs.get("transfer-encoding", ""):
+        decoded = _dechunk(body)
+        if decoded is not None:
+            body = decoded
+    ce = hdrs.get("content-encoding", "")
+    if ce in ("gzip", "x-gzip"):
+        try:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            out = d.decompress(body, _BODY_CAP)
+            if not d.unconsumed_tail:
+                body = out
+        except zlib.error:
+            pass
+    elif ce == "deflate":
+        # servers send both zlib-wrapped and raw deflate; try both
+        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+            try:
+                d = zlib.decompressobj(wbits)
+                out = d.decompress(body, _BODY_CAP)
+                if not d.unconsumed_tail:
+                    body = out
+                    break
+            except zlib.error:
+                continue
+    return body
 
 
 PAGES_SCHEMA = StructType([

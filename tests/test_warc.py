@@ -204,3 +204,57 @@ def test_stage_warc_idempotent(spark, tmp_path):
     pages3 = _stage_warc(spark, glob_, manifest)
     assert pages3.count() == 2
     assert (staged / "_SUCCESS").exists()
+
+
+from pdf_to_text_extraction_service_spark.sources import (
+    warc as _warcmod,
+)
+
+
+def test_http_codings_decode_to_identity():
+    """Real crawl records store bodies as-delivered: chunked framing
+    and gzip/deflate content codings must decode back to the exact
+    payload (RFC 9112 §7.1 + RFC 9110 content codings)."""
+    html = b"<html><body><p>hello crawl world</p></body></html>" * 40
+    recs = [(f"https://x.test/{c}", "2026-01-01T00:00:00Z", html, c)
+            for c in ("identity", "chunked", "gzip", "deflate",
+                      "chunked+gzip")]
+    got = list(_warcmod.parse_warc(_warcmod.write_warc(recs)))
+    assert len(got) == 5
+    for (url, _ts, p), (u0, _t0, orig, coding) in zip(got, recs):
+        assert url == u0 and p == orig, coding
+
+
+def test_malformed_codings_keep_raw_bytes():
+    """Bad chunk framing / corrupt gzip fall back to the undecoded
+    body (downstream router yields an error row; this layer never
+    drops the record or raises)."""
+    html = b"<html><body>x</body></html>"
+    blob = bytearray(_warcmod.write_warc(
+        [("https://x.test/a", "2026-01-01T00:00:00Z", html,
+          "chunked")]))
+    # corrupt the first chunk-size hex token
+    idx = blob.find(b"\r\n\r\n1b\r\n")
+    if idx < 0:
+        idx = blob.find(b"<html") - 6
+        blob[idx:idx + 2] = b"zz"
+    else:
+        blob[idx + 4:idx + 6] = b"zz"
+    got = list(_warcmod.parse_warc(bytes(blob)))
+    assert len(got) == 1 and got[0][2].startswith(b"zz")
+
+    gz = bytearray(_warcmod.write_warc(
+        [("https://x.test/b", "2026-01-01T00:00:00Z", html, "gzip")]))
+    # flip a byte inside the gzip body (after the deflate header)
+    gz[-5] ^= 0xFF
+    got = list(_warcmod.parse_warc(bytes(gz)))
+    assert len(got) == 1      # record survives; body raw or partial
+
+
+def test_chunk_bomb_capped():
+    """A chunked record claiming a > _BODY_CAP total is rejected by
+    the framing decoder (raw fallback), never allocated."""
+    head = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n")
+    body = b"20000000\r\n" + b"x" * 16 + b"\r\n0\r\n\r\n"   # lying size
+    assert _warcmod._dechunk(body) is None
+    assert _warcmod._decode_http_body(head, body) == body
