@@ -24,6 +24,8 @@ DuckDB/numpy oracle mirror the index exactly
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,7 +44,12 @@ def _dist2_expr(vec_col: str, centroid: list[float]) -> str:
 def assign_clusters(df: DataFrame, centroids: list[list[float]],
                     vec_col: str = "embedding") -> DataFrame:
     """Nearest-centroid assignment as one JVM expression (argmin over
-    k squared distances via struct-least)."""
+    k squared distances via struct-least).
+
+    Reference implementation: interpreted higher-order functions cost
+    k x dim lambda evaluations per row; the vectorized Arrow path
+    (:func:`assign_clusters_pd`, bit-identical — pinned by
+    tests/test_ivf.py) is the hot-path variant."""
     structs = ", ".join(
         f"struct({_dist2_expr(vec_col, c)} as d, {i} as c)"
         for i, c in enumerate(centroids)
@@ -50,6 +57,49 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]],
     return df.withColumn(
         "cluster", F.expr(f"array_min(array({structs})).c")
     )
+
+
+def _argmin_dist2(mat, cents):
+    """(rows, k) argmin of the SEQUENTIAL left-fold squared distance —
+    the exact IEEE sum `aggregate(zip_with(...))` computes (np.cumsum
+    is defined sequentially; np.sum is pairwise and would differ in
+    the last bits).  First minimum == lowest cluster, matching
+    array_min over struct(d, c)."""
+    d2 = np.empty((mat.shape[0], len(cents)), dtype=np.float64)
+    for c in range(len(cents)):
+        diff2 = (mat - cents[c][None, :]) ** 2
+        d2[:, c] = np.cumsum(diff2, axis=1)[:, -1]
+    return np.argmin(d2, axis=1)
+
+
+def assign_clusters_pd(df: DataFrame, centroids: list[list[float]],
+                       vec_col: str = "embedding") -> DataFrame:
+    """Vectorized nearest-centroid assignment (Arrow pandas_udf) —
+    bit-identical to :func:`assign_clusters` (same left-fold squared
+    distance per `_argmin_dist2`, ties to the lowest cluster), one
+    numpy pass per batch instead of k x dim interpreted lambdas per
+    row (guide §4.2)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        vals = vs.to_numpy()
+        mask = np.array([v is not None for v in vals])
+        if not mask.any():
+            return pd.Series([None] * len(vals))
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vals[mask]],
+            dtype=np.float64)
+        assign = _argmin_dist2(mat, cents)
+        if mask.all():
+            return pd.Series(assign.astype(np.int32))
+        out = np.full(len(vals), None, dtype=object)
+        out[mask] = [int(a) for a in assign]
+        return pd.Series(out)
+
+    return df.withColumn("cluster", _assign(F.col(vec_col)))
 
 
 #: id-block width of the deterministic reduction tree — values fold
@@ -65,7 +115,124 @@ def train_kmeans(df: DataFrame, k: int = 16, iters: int = 5,
     The per-(cluster, dim) mean uses the fixed-shape reduction tree
     described in the module docstring, so the result is bit-identical
     across runs and across cluster sizes (mirrored by
-    ``train_kmeans_mirror`` for the DuckDB oracle)."""
+    ``train_kmeans_mirror`` for the DuckDB oracle).
+
+    Physical shape (r8 — guide §2.4/§4.2; bit-identical to the
+    previous posexplode implementation, kept as
+    :func:`train_kmeans_reference` and pinned by tests):
+
+    - the vector table is hash-repartitioned by id-block ONCE and
+      cached, so every FOLD_BLOCK id-block is whole inside one task
+      (one Exchange of the vectors total, vs 2 shuffles of n x dim
+      exploded rows per iteration before);
+    - each iteration is one Arrow mapInPandas pass (numpy assignment
+      + per-(cluster, block) ordered-fold block sums — np.cumsum is
+      a sequential fold, matching the SQL aggregate exactly) plus a
+      tiny shuffle of (cluster, blk, bsum) rows — ~n/FOLD_BLOCK x k
+      scalar-array rows, independent of corpus width;
+    - per-cluster block-sum folds (blk ascending) run in
+      applyInPandas, k rows come back to the driver per iteration.
+
+    Ids are assumed unique (the callers' contract: vec_id keys /
+    xxhash64-deduped doc ids); duplicate ids would make the fold
+    order within a block underspecified in BOTH implementations.
+    """
+    init = (
+        df.orderBy(id_col).limit(k)
+        .select(vec_col).collect()
+    )
+    centroids = [[float(v) for v in r[vec_col]] for r in init]
+    if not centroids:
+        return centroids
+    k_eff = len(centroids)
+
+    prep = df.select(
+        F.col(id_col).alias("_vid"),
+        (F.col(id_col) / F.lit(FOLD_BLOCK)).cast("long").alias("_blk"),
+        F.col(vec_col).alias("_v"),
+    ).repartition("_blk").persist()
+
+    def _block_sums(cents):
+        carr = np.asarray(cents, dtype=np.float64)
+
+        def fn(it):
+            vids, blks, mats = [], [], []
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                vids.append(pdf["_vid"].to_numpy(np.int64))
+                blks.append(pdf["_blk"].to_numpy(np.int64))
+                mats.append(np.asarray(
+                    [np.asarray(v, dtype=np.float64)
+                     for v in pdf["_v"]], dtype=np.float64))
+            if not vids:
+                return
+            vid = np.concatenate(vids)
+            blk = np.concatenate(blks)
+            mat = np.vstack(mats)
+            assign = _argmin_dist2(mat, carr)
+            order = np.lexsort((vid, blk, assign))
+            vid, blk, mat, assign = (vid[order], blk[order],
+                                     mat[order], assign[order])
+            cut = np.nonzero((np.diff(assign) != 0)
+                             | (np.diff(blk) != 0))[0] + 1
+            starts = np.concatenate(([0], cut))
+            ends = np.concatenate((cut, [len(vid)]))
+            out_c, out_b, out_n, out_s = [], [], [], []
+            for s, e in zip(starts, ends):
+                # ordered fold inside the id-block: cumsum is the
+                # sequential left-fold the SQL aggregate performs
+                out_s.append(np.cumsum(mat[s:e], axis=0)[-1].tolist())
+                out_c.append(int(assign[s]))
+                out_b.append(int(blk[s]))
+                out_n.append(int(e - s))
+            yield pd.DataFrame({
+                "cluster": np.asarray(out_c, dtype=np.int32),
+                "blk": np.asarray(out_b, dtype=np.int64),
+                "bn": np.asarray(out_n, dtype=np.int64),
+                "bsum": out_s,
+            })
+
+        return fn
+
+    def _fold_cluster(pdf):
+        pdf = pdf.sort_values("blk")
+        m = np.asarray([np.asarray(b, dtype=np.float64)
+                        for b in pdf["bsum"]], dtype=np.float64)
+        tot = np.cumsum(m, axis=0)[-1]   # blk-ascending ordered fold
+        n = int(pdf["bn"].sum())
+        return pd.DataFrame({
+            "cluster": [int(pdf["cluster"].iloc[0])],
+            "centroid": [(tot / np.float64(n)).tolist()],
+        })
+
+    try:
+        for _ in range(iters):
+            rows = (
+                prep.mapInPandas(
+                    _block_sums(centroids),
+                    "cluster int, blk long, bn long, bsum array<double>")
+                .groupBy("cluster")
+                .applyInPandas(_fold_cluster,
+                               "cluster int, centroid array<double>")
+                .collect()
+            )
+            new = {r["cluster"]: [float(v) for v in r["centroid"]]
+                   for r in rows}
+            centroids = [new.get(i, centroids[i]) for i in range(k_eff)]
+    finally:
+        prep.unpersist()
+    return centroids
+
+
+def train_kmeans_reference(df: DataFrame, k: int = 16, iters: int = 5,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           ) -> list[list[float]]:
+    """The original pure-SQL trainer (posexplode -> per-(cluster,
+    dim, blk) ordered collect_list folds).  Kept as the cross-check
+    for :func:`train_kmeans`'s vectorized path — 2 shuffles of
+    n x dim exploded rows per iteration make it the slow variant."""
     init = (
         df.orderBy(id_col).limit(k)
         .select(vec_col).collect()
@@ -73,10 +240,6 @@ def train_kmeans(df: DataFrame, k: int = 16, iters: int = 5,
     centroids = [[float(v) for v in r[vec_col]] for r in init]
     for _ in range(iters):
         assigned = assign_clusters(df, centroids, vec_col)
-        # per-(cluster, dim, block) ordered fold, then per-(cluster,
-        # dim) ordered fold of the block sums — two shuffles per
-        # iteration, both on tiny (cluster, dim[, block]) keys with
-        # bounded collect_list payloads (<= FOLD_BLOCK structs).
         exploded = assigned.select(
             "cluster",
             (F.col(id_col) / F.lit(FOLD_BLOCK)).cast("long").alias("blk"),
