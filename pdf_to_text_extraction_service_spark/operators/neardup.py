@@ -168,6 +168,181 @@ def minhash_signature_udf(k: int = 64, seed: int = 1):
     return _sig
 
 
+def _shingle_ids_chunk(texts, n: int):
+    """Core of the vectorized shingling: list of texts -> list of
+    int64 arrays of DISTINCT 31-bit shingle-hash ids (see
+    shingle_hash_ids_udf for the exact JVM-chain semantics)."""
+    from .xxh64np import xxh64_bytes
+
+    m31 = np.int64(_MERSENNE)
+    null_ids = np.array([42], dtype=np.int64)   # xxhash64(NULL) & M31
+    counts: list[int | None] = []
+    all_sh: list[bytes] = []
+    for t in texts:
+        if t is None:
+            counts.append(None)
+            continue
+        toks = t.split(" ")
+        if len(toks) >= n:
+            sh = [" ".join(toks[i:i + n])
+                  for i in range(len(toks) - n + 1)]
+        else:
+            sh = [" ".join(toks)]
+        sh = list(dict.fromkeys(sh))     # first-occurrence distinct
+        counts.append(len(sh))
+        all_sh.extend(s.encode("utf-8") for s in sh)
+    hs = xxh64_bytes(all_sh) & m31
+    # one global duplicate scan instead of a per-row np.unique: a
+    # 31-bit collision between two DISTINCT shingles of one row is
+    # ~2e-5 per row — detect globally (lexsort), fix locally
+    valid_counts = [c for c in counts if c is not None]
+    row_of = np.repeat(np.arange(len(valid_counts)),
+                       valid_counts) if valid_counts else \
+        np.empty(0, np.int64)
+    dup_rows: set[int] = set()
+    if len(hs):
+        order = np.lexsort((hs, row_of))
+        same = (np.diff(row_of[order]) == 0) & (np.diff(hs[order]) == 0)
+        if same.any():
+            dup_rows = set(row_of[order[1:][same]].tolist())
+    out, lo, vi = [], 0, 0
+    for c in counts:
+        if c is None:
+            out.append(null_ids)
+            continue
+        seg = hs[lo:lo + c]
+        lo += c
+        if vi in dup_rows:               # rare: keep first occurrence
+            _, idx = np.unique(seg, return_index=True)
+            seg = seg[np.sort(idx)]
+        vi += 1
+        out.append(seg)
+    return out
+
+
+def _mod_m31(y):
+    """y mod (2^31 - 1) for 0 <= y < 2^62 via the Mersenne shift
+    identity — exact (== numpy ``%``), ~3x cheaper than int64 ``%``."""
+    m = np.int64(_MERSENNE)
+    r = (y & m) + (y >> np.int64(31))
+    r = (r & m) + (r >> np.int64(31))
+    return np.where(r >= m, r - m, r)
+
+
+#: signature kernel block: the (k x N) permutation matrix and its
+#: temporaries must stay cache-sized — 32 concurrent workers each
+#: holding 100+ MB temporaries thrash the box's shared memory
+#: bandwidth (measured 40x slowdown per task vs this blocked shape).
+_SIG_BLOCK = 1 << 15
+
+
+def _minhash_sig_chunk(id_arrays, a, b):
+    """MinHash signatures for a list of shingle-id arrays — the
+    minhash_signature_udf kernel (same coefficients, same int64
+    arithmetic; the Mersenne ``%`` runs through the exact shift
+    identity and the per-row min through minimum.reduceat — both
+    value-identical, integer ops are order-free).  Work proceeds in
+    row blocks of <= _SIG_BLOCK total shingles (see above)."""
+    n = len(id_arrays)
+    out: list = []
+    i = 0
+    while i < n:
+        j, tot = i, 0
+        while j < n and (tot == 0
+                         or tot + len(id_arrays[j]) <= _SIG_BLOCK):
+            tot += len(id_arrays[j])
+            j += 1
+        block = id_arrays[i:j]
+        i = j
+        lens = np.array([len(v) for v in block], dtype=np.int64)
+        if tot == 0:
+            out.extend([None] * len(block))
+            continue
+        flat = np.concatenate([v for v in block if len(v)])
+        m = _mod_m31(a * flat[None, :] + b)      # k x <=block
+        nz = lens > 0
+        starts = (np.cumsum(lens) - lens)[nz]
+        mins = np.minimum.reduceat(m, starts, axis=1)
+        col = 0
+        for keep in nz:
+            if not keep:
+                out.append(None)
+                continue
+            out.append(mins[:, col])
+            col += 1
+    return out
+
+
+#: fused-prep rebatch size: Arrow hands the UDF the session's small
+#: payload-safe batches (256 rows); scalar text rows are cheap, so
+#: the prep function re-accumulates them into chunks this size to
+#: amortize the per-chunk numpy fixed costs.
+_PREP_CHUNK = 8192
+
+
+def minhash_prep_fn(n: int, num_perm: int, seed: int = 1):
+    """mapInPandas body: (id, text) batches -> (_id, _hsh, _sig) in
+    ONE Python hop — fuses shingle_hash_ids_udf + the signature
+    kernel so text crosses the Arrow boundary once and the two
+    chained ArrowEvalPython nodes (each paid per tiny batch)
+    collapse into a single rebatched pass (guide §4.1/§4.5)."""
+    coeffs = _perm_coeffs(num_perm, seed)
+    a = np.array([x for x, _ in coeffs], dtype=np.int64)[:, None]
+    b = np.array([y for _, y in coeffs], dtype=np.int64)[:, None]
+
+    def fn(it):
+        ids: list = []
+        texts: list = []
+
+        def flush():
+            hsh = _shingle_ids_chunk(texts, n)
+            sig = _minhash_sig_chunk(hsh, a, b)
+            return pd.DataFrame({"_id": np.asarray(ids, dtype=np.int64),
+                                 "_hsh": hsh, "_sig": sig})
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids.extend(pdf["_id"].tolist())
+            texts.extend(pdf["_t"].tolist())
+            if len(ids) >= _PREP_CHUNK:
+                yield flush()
+                ids, texts = [], []
+        if ids:
+            yield flush()
+
+    return fn
+
+
+def shingle_hash_ids_udf(n: int = 3):
+    """text -> DISTINCT 31-bit shingle-hash ids in one Arrow batch
+    pass — bit-identical to the JVM chain
+    ``array_distinct(shingle_hashes(array_distinct(
+    shingles_from_tokens(split(text, ' '), n))))`` (pinned by
+    tests/test_minhash_opt.py):
+
+    - split/slice/array_join replicated with Python string ops
+      (identical semantics for the literal-space split, the
+      whole-array shingle when the text has fewer than n tokens,
+      and first-occurrence distinct);
+    - the per-shingle ``xxhash64(s) & M31`` runs through the
+      vectorized XXH64 (operators/xxh64np.py, seed 42 — Spark's) on
+      the whole batch instead of building every shingle string with
+      interpreted ``array_join(slice(...))`` lambdas and hashing
+      row-at-a-time (the dominant cost of dedup_minhash_lsh);
+    - NULL text -> [42]: the JVM chain builds a single NULL shingle
+      (slice of a NULL token array), and ``xxhash64(NULL)`` returns
+      the seed — replicated literally so null rows band identically.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def _ids(texts: pd.Series) -> pd.Series:
+        return pd.Series(_shingle_ids_chunk(texts.tolist(), n))
+
+    return _ids
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", shingle_n: int = 3,
                       num_perm: int = 64, bands: int = 16,
@@ -198,18 +373,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     custom caching).
     """
     rows_per_band = num_perm // bands
-    sh = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            tokens_col(text_col).alias("_t"),
-        )
-        .select(
-            "_id",
-            F.array_distinct(shingles_from_tokens("_t", shingle_n))
-            .alias("_sh"),
-        )
-        .filter(F.size("_sh") > 0)
-    )
     # Shingle-hash ids AND signatures are computed ONCE into the
     # persisted relation (the self-join below reads it twice; without
     # the persist each side would re-run the signature UDF) and never
@@ -220,12 +383,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # so the verify join ships ~8 bytes per shingle instead of the
     # shingle text (set-identical Jaccard up to xxhash collisions at
     # ~2^-31 per differing-shingle pair — and the threshold filter is
-    # the verified property anyway).
-    sig_udf = minhash_signature_udf(num_perm)
-    sh = sh.select(
-        "_id",
-        F.array_distinct(shingle_hashes("_sh")).alias("_hsh"),
-    ).withColumn("_sig", sig_udf("_hsh")).persist()
+    # the verified property anyway).  Shingling + hashing + the
+    # MinHash signature run in ONE rebatched mapInPandas hop
+    # (minhash_prep_fn — bit-identical to the previous JVM expression
+    # chain + signature UDF, parity-pinned); the size(...) > 0 gate
+    # is unchanged (never drops — every text, even null, yields at
+    # least one shingle id, exactly as the JVM chain did).
+    # deterministic hash repartition on the id BEFORE the Python hop:
+    # a compact parquet corpus scans as a handful of 128 MB splits,
+    # which would serialize the shingling on 2-4 tasks (guide §2.5 —
+    # deterministic key, not round-robin, so retries are safe; one
+    # Exchange of (id, text) buys full-width parallelism for the
+    # dominant compute stage)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(text_col).alias("_t"))
+        .repartition(par, F.col("_id"))
+        .mapInPandas(minhash_prep_fn(shingle_n, num_perm),
+                     "_id long, _hsh array<bigint>, _sig array<bigint>")
+        .filter(F.size("_hsh") > 0)
+        .persist()
+    )
     sig = sh
     banded = sig.select(
         "_id",
@@ -370,6 +549,99 @@ def simhash64_udf():
     return _sig
 
 
+def simhash64_text_udf():
+    """Whole-signature SimHash from the raw TEXT column in one Arrow
+    pandas_udf — bit-identical to
+    ``simhash64_udf()(sim_token_hashes(text))`` (pinned by
+    tests/test_training_ops.py parity) but with the per-character
+    rolling hashes vectorized in numpy instead of interpreted JVM
+    lambdas over every character (guide §4.2; the char fold was the
+    dominant cost of dedup_simhash signatures).
+
+    Exact replication of the JVM semantics:
+    - ``split(text, ' ')`` == segments between code point 32
+      (consecutive spaces yield empty tokens; trailing empties kept);
+    - per token, per (base, mult, add) in SIM_MIX:
+      ``(fold(acc*base + ord(c)) % P * mult + add) % P`` — integer
+      modular arithmetic is associativity-exact, so the padded
+      column-wise fold gives identical values;
+    - bit b of the signature reads bit (b % 31) of hash (b // 31);
+      token contributions sum (+1/-1); count >= 0 sets the bit
+      (integer sums — summation order free);
+    - NULL text -> -1 (the old UDF's None branch), empty text ->
+      one empty token (hash = add % P), matching ``split('', ' ')``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    bases = np.array([m[0] for m in SIM_MIX], dtype=np.int64)[:, None]
+    mults = np.array([m[1] for m in SIM_MIX], dtype=np.int64)[:, None]
+    adds = np.array([m[2] for m in SIM_MIX], dtype=np.int64)[:, None]
+    bits = np.arange(64)
+    idx = bits // 31
+    sh = bits % 31
+    weights = (np.uint64(1) << bits.astype(np.uint64))
+
+    @pandas_udf("bigint")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        cps, tok_lens, row_ntok = [], [], []
+        for r, t in enumerate(texts):
+            if t is None:
+                row_ntok.append(-1)   # sentinel: null text
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"),
+                               dtype=np.uint32).astype(np.int64)
+            cuts = np.nonzero(cp == 32)[0]
+            starts = np.concatenate(([0], cuts + 1))
+            ends = np.concatenate((cuts, [len(cp)]))
+            cps.append(cp)
+            tok_lens.append(ends - starts)
+            row_ntok.append(len(starts))
+        if cps:
+            # flatten all tokens of the batch minus the spaces
+            flat = np.concatenate(
+                [cp[cp != 32] for cp in cps]) if cps else \
+                np.empty(0, np.int64)
+            lens = np.concatenate(tok_lens)
+            ntok = len(lens)
+            lmax = int(lens.max()) if ntok else 0
+            padded = np.full((ntok, lmax), -1, dtype=np.int64)
+            if ntok and lmax:
+                row_i = np.repeat(np.arange(ntok), lens)
+                col_i = (np.arange(len(flat))
+                         - np.repeat(np.cumsum(lens) - lens, lens))
+                padded[row_i, col_i] = flat
+            # column-wise modular fold == per-char left fold
+            acc = np.zeros((3, ntok), dtype=np.int64)
+            for pos in range(lmax):
+                col = padded[:, pos]
+                valid = col >= 0
+                if not valid.any():
+                    continue
+                acc[:, valid] = (acc[:, valid] * bases
+                                 + col[valid]) % SIM_PRIME
+            h = (acc * mults + adds) % SIM_PRIME       # (3, ntok)
+            b = (h[idx, :] >> sh[:, None]) & 1          # (64, ntok)
+            contrib = 2 * b - 1
+            # per-row integer sums over the row's token segment
+            seg = np.concatenate(
+                ([0], np.cumsum([n for n in row_ntok if n >= 0])))[:-1]
+            counts = np.add.reduceat(contrib, seg, axis=1) \
+                if ntok else np.empty((64, 0), np.int64)
+        ri = 0
+        for r, n in enumerate(row_ntok):
+            if n < 0:
+                out[r] = -1           # null text (old UDF branch)
+                continue
+            c = counts[:, ri]
+            ri += 1
+            sig = (weights[c >= 0]).sum(dtype=np.uint64)
+            out[r] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return _sig
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
                   max_hamming: int = 3,
@@ -387,9 +659,15 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     scalar pair output and releases the banded-signature cache
     (minhash_lsh_pairs' contract); ``eager=False`` keeps the lazy
     plan for audits/composition."""
-    sig = df.select(F.col(id_col).alias("_id"),
-                    simhash64_udf()(sim_token_hashes(text_col))
-                    .alias("_sig"))
+    # same parallelism guard as minhash_lsh_pairs: hash-repartition
+    # on the id so the signature UDF is not serialized on the scan's
+    # few parquet splits
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = (df.select(F.col(id_col).alias("_id"),
+                     F.col(text_col).alias("_t"))
+           .repartition(par, F.col("_id"))
+           .select("_id", simhash64_text_udf()(F.col("_t"))
+                   .alias("_sig")))
     # persist: the banded self-join below reads this relation twice —
     # without it each side re-hashes every token (same fix as the
     # MinHash signature persist)
@@ -411,8 +689,13 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
                 F.bit_count(F.expr("sig_a ^ sig_b")).alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
+        # the hamming verify runs BEFORE the pair dedup (equivalent —
+        # hamming is a function of the pair, so filter and
+        # dropDuplicates commute): the dedup Exchange then carries
+        # only verified pairs instead of every band-bucket candidate
+        # (measured 66M -> 26M rows at sf1.0; guide §2.3)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
     if eager:
         out = out.localCheckpoint(eager=True)
