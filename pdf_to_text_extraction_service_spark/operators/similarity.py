@@ -18,6 +18,8 @@ iterative state, so it is the round-1 scale path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -104,6 +106,125 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def hyperplane_buckets_pd(all_planes: list[list[list[float]]]):
+    """All LSH-table bucket ids in ONE Arrow pass: returns an
+    array<int> column (one bucket per table).  Bit-identical to
+    :func:`hyperplane_bucket` per table — the per-plane dot folds
+    sequentially over dims (np.cumsum == the SQL aggregate order)
+    and the sign test is the same ``>= 0`` on the identical IEEE
+    double, so every bucket bit matches the interpreted JVM
+    expression (pinned by tests/test_similarity_opt.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [np.asarray(p, dtype=np.float64) for p in all_planes]
+
+    @pandas_udf("array<int>")
+    def _bkts(vs: pd.Series) -> pd.Series:
+        vals = vs.to_numpy()
+        mask = np.array([v is not None for v in vals])
+        if not mask.any():
+            return pd.Series([None] * len(vals))
+        mat = np.asarray([np.asarray(v, dtype=np.float64)
+                          for v in vals[mask]], dtype=np.float64)
+        per_table = []
+        for planes in mats:
+            bits_val = np.zeros(mat.shape[0], dtype=np.int32)
+            for i in range(planes.shape[0]):
+                # sequential left-fold over dims == SQL aggregate
+                dot = np.cumsum(mat * planes[i][None, :],
+                                axis=1)[:, -1]
+                bits_val |= np.where(dot >= 0.0,
+                                     np.int32(1 << i), np.int32(0))
+            per_table.append(bits_val)
+        stacked = np.stack(per_table, axis=1)   # (rows, tables)
+        if mask.all():
+            return pd.Series(list(stacked))
+        out = np.full(len(vals), None, dtype=object)
+        out[mask] = list(stacked)
+        return pd.Series(out)
+
+    return _bkts
+
+
+def cosine_exact_pd(va_col: str, vb_col: str):
+    """Exact pairwise cosine as one vectorized Arrow pass —
+    bit-identical to ``_dot(a, b) / (_norm(a) * _norm(b))`` (same
+    sequential folds, same IEEE division).  Zero-norm pairs yield
+    NaN, which crosses the Arrow boundary as NULL and is dropped by
+    the threshold filter (the interpreted path raised an ANSI
+    DIVIDE_BY_ZERO error on such rows — strictly more tolerant)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.asarray([np.asarray(v, dtype=np.float64) for v in va],
+                       dtype=np.float64)
+        b = np.asarray([np.asarray(v, dtype=np.float64) for v in vb],
+                       dtype=np.float64)
+        if a.size == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        dots = np.cumsum(a * b, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(dots / (na * nb))
+
+    return _cos(F.col(va_col), F.col(vb_col))
+
+
+def _bucket_pairs_fn(threshold: float):
+    """applyInPandas body for embedding_neardup_pairs: all verified
+    pairs within one (table, bucket) group.
+
+    Same two-phase shape as semdedup._cluster_prune_fn: a float32
+    GEMM cosine prefilter with an error-bounded margin nominates
+    candidates, the exact float64 sequential fold (== the SQL
+    ``_dot/_norm`` expressions) decides — so every emitted cosine is
+    bit-identical to the interpreted per-pair path, while the
+    ~bucket^2/2 non-duplicate pairs never leave the group (the old
+    shape shipped 13M candidate rows through a dropDuplicates
+    Exchange and two vector-attach joins at sf1.0 for a 20k-pair
+    result).  NaN cosines (zero-norm vectors) qualify, matching
+    Spark/DuckDB NaN ordering (the interpreted path raised an ANSI
+    divide-by-zero on such rows)."""
+    from .semdedup import _PREFILTER_MARGIN
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                              "id_b": pd.array([], dtype="int64"),
+                              "cosine": pd.array([], dtype="float64")})
+        if m < 2:
+            return empty
+        ids_raw = pdf["_id"].to_numpy(np.int64)
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64)
+             for v in pdf["_v"].to_numpy()[order]], dtype=np.float64)
+        n64 = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        m32 = mat.astype(np.float32)
+        g = m32 @ m32.T
+        n32 = n64.astype(np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g /= np.multiply.outer(n32, n32)
+        cand = (g >= np.float32(threshold - _PREFILTER_MARGIN)) \
+            | ~np.isfinite(g)
+        cand &= np.tri(m, m, -1, dtype=bool).T
+        ii, jj = np.nonzero(cand)
+        if len(ii) == 0:
+            return empty
+        dots = np.cumsum(mat[ii] * mat[jj], axis=1)[:, -1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (n64[ii] * n64[jj])
+        ok = (cos >= threshold) | np.isnan(cos)
+        ii, jj, cos = ii[ok], jj[ok], cos[ok]
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj],
+                             "cosine": cos})
+
+    return fn
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.99,
@@ -139,41 +260,36 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
         return df.sparkSession.createDataFrame(
             [], f"id_a long, id_b long, cosine double")
     dim = dim_row["d"]
+    # hash-repartition on the id (deterministic — guide §2.5) so the
+    # bucket UDF and the verify joins are not serialized on the
+    # scan's few parquet splits
+    par = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(F.col(id_col).alias("_id"),
-                     F.col(vec_col).alias("_v")).persist()
-    banded = None
-    for t in range(tables):
-        planes = make_planes(dim, bits, seed + t)
-        part = base.select(
-            "_id", "_v", F.lit(t).alias("_tbl"),
-            hyperplane_bucket("_v", planes).alias("_bkt"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
-    # persist: the flood-count pass and both self-join sides read
-    # this relation — without it each reader recomputes all tables x
-    # bits hyperplane dot products per vector. The cap itself is the
-    # partial-agg flood sampler (operators/floodcap.py): the count
-    # shuffle carries (table, bucket, count) scalars only, never the
-    # vectors, and no rank window funnels a flooded bucket onto one
-    # reducer.
-    banded = banded.persist()
-    capped = cap_flooded_buckets(banded, ["_tbl", "_bkt"], "_id",
-                                 max_bucket)
-    left = capped.select("_tbl", "_bkt", F.col("_id").alias("id_a"),
-                         F.col("_v").alias("_va"))
-    right = capped.select("_tbl", "_bkt", F.col("_id").alias("id_b"),
-                          F.col("_v").alias("_vb"))
-    cand = (
-        left.join(right, ["_tbl", "_bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    scored = cand.withColumn(
-        "cosine",
-        _dot("_va", "_vb") / (_norm("_va") * _norm("_vb")),
-    )
+                     F.col(vec_col).alias("_v")) \
+        .repartition(par, F.col("_id")).persist()
+    # all LSH tables in ONE vectorized Arrow pass; the banded
+    # relation carries (id, table, bucket) SCALARS only — the old
+    # shape both evaluated tables x bits interpreted dot-folds per
+    # vector and carried the vector through banding, the candidate
+    # join and the pair dropDuplicates (r8: vectors now cross only
+    # the two verify joins, after the pair dedup)
+    all_planes = [make_planes(dim, bits, seed + t)
+                  for t in range(tables)]
+    banded = base.select(
+        "_id",
+        F.posexplode(hyperplane_buckets_pd(all_planes)(F.col("_v")))
+        .alias("_tbl", "_bkt"),
+    ).persist()
+    capped = cap_flooded_buckets(
+        banded.join(base, "_id"), ["_tbl", "_bkt"], "_id", max_bucket)
+    # per-bucket verified pairs (GEMM prefilter + exact fold inside
+    # the group — see _bucket_pairs_fn); only qualifying pairs reach
+    # the cross-table dropDuplicates, with their bit-exact cosine
+    pairs = capped.groupBy("_tbl", "_bkt").applyInPandas(
+        _bucket_pairs_fn(threshold),
+        "id_a long, id_b long, cosine double")
     out = (
-        scored.filter(F.col("cosine") >= threshold)
+        pairs.dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
     if eager:
