@@ -23,8 +23,15 @@ rate).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: xxh64 call block — keeps the padded byte matrix and its uint64
+#: temporaries cache-sized (32 concurrent workers share the box's
+#: memory bandwidth; see neardup._SIG_BLOCK for the measurement)
+_HASH_BLOCK = 1 << 16
 
 
 def _grams(tokens_col: str, n: int) -> str:
@@ -49,6 +56,83 @@ def _gram_struct(tokens_col: str, n: int) -> str:
     )
 
 
+def gram_rows_fn(n: int):
+    """mapInPandas body: (id, text) batches -> one row per DISTINCT
+    word n-gram: (_id, h1, h2, total) where total = the doc's
+    distinct-gram count (repeated per row — 8 bytes buys the totals
+    pass the old shape recomputed every gram string for).
+
+    Bit-identical to exploding ``_gram_struct`` (pinned by
+    tests/test_decontam_opt.py): split on the literal space,
+    n-token ``' '``-joined grams only when the text has >= n tokens
+    (zero grams otherwise — no rows, exactly like exploding an
+    empty/NULL array), first-occurrence distinct on the gram
+    STRINGS (so the totals are string-distinct counts, same as
+    ``size(array_distinct(...))``), h1 = xxhash64(s), h2 =
+    xxhash64(s, 's2') == xxh64('s2', seed=h1) — the vectorized
+    XXH64 (operators/xxh64np.py) replicates Spark's chaining."""
+    from .xxh64np import xxh64_bytes, xxh64_padded
+
+    s2 = np.frombuffer(b"s2", dtype=np.uint8)
+
+    def _hash_block(grams: list[bytes]):
+        h1 = xxh64_bytes(grams)                       # int64 view
+        pad = np.zeros((len(grams), 16), dtype=np.uint8)
+        pad[:, :2] = s2
+        h2 = xxh64_padded(pad, np.full(len(grams), 2, np.int64),
+                          h1.view(np.uint64)).view(np.int64)
+        return h1, h2
+
+    def fn(it):
+        ids: list = []
+        texts: list = []
+
+        def flush():
+            out_id, out_tot = [], []
+            grams_all: list[bytes] = []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                if len(toks) < n:
+                    continue
+                gs = list(dict.fromkeys(
+                    " ".join(toks[j:j + n])
+                    for j in range(len(toks) - n + 1)))
+                out_id.append((i, len(gs)))
+                grams_all.extend(g.encode("utf-8") for g in gs)
+            h1s, h2s = [], []
+            for lo in range(0, len(grams_all), _HASH_BLOCK):
+                h1, h2 = _hash_block(grams_all[lo:lo + _HASH_BLOCK])
+                h1s.append(h1)
+                h2s.append(h2)
+            h1 = np.concatenate(h1s) if h1s else np.empty(0, np.int64)
+            h2 = np.concatenate(h2s) if h2s else np.empty(0, np.int64)
+            rid = np.repeat(
+                np.array([i for i, _ in out_id], dtype=np.int64),
+                [c for _, c in out_id]) if out_id else \
+                np.empty(0, np.int64)
+            tot = np.repeat(
+                np.array([c for _, c in out_id], dtype=np.int64),
+                [c for _, c in out_id]) if out_id else \
+                np.empty(0, np.int64)
+            return pd.DataFrame({"_id": rid, "h1": h1, "h2": h2,
+                                 "total": tot})
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids.extend(pdf["_id"].tolist())
+            texts.extend(pdf["_t"].tolist())
+            if len(ids) >= 4096:
+                yield flush()
+                ids, texts = [], []
+        if ids:
+            yield flush()
+
+    return fn
+
+
 def benchmark_overlap(docs: DataFrame, bench: DataFrame, n: int = 13,
                       id_col: str = "doc_id", text_col: str = "text",
                       bench_text_col: str = "text") -> DataFrame:
@@ -58,43 +142,54 @@ def benchmark_overlap(docs: DataFrame, bench: DataFrame, n: int = 13,
     ``hit_ngrams`` counts the document's DISTINCT n-grams that appear
     anywhere in the benchmark; ``contaminated`` is the standard
     any-hit flag. The benchmark side is broadcast (see module
-    docstring) — at 100 TB the corpus never shuffles."""
+    docstring) — at 100 TB the corpus never shuffles.
+
+    r8 shape (results identical, pinned by tests/test_decontam_opt
+    .py): ONE fused Python pass per side (gram_rows_fn) emits hashed
+    gram rows carrying the doc's distinct-gram total, so the old
+    second full gram-string build for the totals column is gone; a
+    broadcast LEFT join + one partial-agg groupBy produce hits and
+    totals together; docs with zero grams re-enter via the final
+    left join (coalesce 0).  Unique ``id_col`` is assumed (both
+    callers guarantee it; the pre-r8 shape needed it too for the
+    totals join to be 1:1)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
     bench_grams = (
-        bench.select(F.explode(F.expr(
-            _gram_struct(f"split({bench_text_col}, ' ')", n)
-        )).alias("_g"))
-        .select("_g.h1", "_g.h2")
+        bench.select(F.lit(0).cast("long").alias("_id"),
+                     F.col(bench_text_col).alias("_t"))
+        .mapInPandas(gram_rows_fn(n),
+                     "_id long, h1 long, h2 long, total long")
+        .select("h1", "h2")
         .distinct()
     )
-    doc_grams = (
-        docs.select(
-            F.col(id_col),
-            F.explode(F.expr(
-                _gram_struct(f"split({text_col}, ' ')", n)
-            )).alias("_g"),
-        )
-        .select(id_col, "_g.h1", "_g.h2")
+    doc_rows = (
+        docs.select(F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("_t"))
+        .repartition(par, F.col("_id"))
+        .mapInPandas(gram_rows_fn(n),
+                     "_id long, h1 long, h2 long, total long")
     )
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), ["h1", "h2"])
-        .groupBy(id_col)
-        .agg(F.count("*").alias("hit_ngrams"))
-    )
-    doc_tokens = f"split({text_col}, ' ')"
-    totals = docs.select(
-        F.col(id_col),
-        F.expr(f"size({_grams(doc_tokens, n)})").alias("total_ngrams"),
+    agg = (
+        doc_rows.join(
+            F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
+            ["h1", "h2"], "left")
+        .groupBy("_id")
+        .agg(F.count("_hit").alias("hit_ngrams"),
+             F.max("total").alias("total_ngrams"))
+        .withColumnRenamed("_id", id_col)
     )
     return (
-        totals.join(hits, id_col, "left")
+        docs.select(id_col).join(agg, id_col, "left")
         .select(
             id_col,
             F.coalesce("hit_ngrams", F.lit(0)).cast("int")
             .alias("hit_ngrams"),
-            F.col("total_ngrams").cast("int").alias("total_ngrams"),
+            F.coalesce("total_ngrams", F.lit(0)).cast("int")
+            .alias("total_ngrams"),
             F.round(
                 F.coalesce("hit_ngrams", F.lit(0))
-                / F.greatest("total_ngrams", F.lit(1)), 6
+                / F.greatest(F.coalesce("total_ngrams", F.lit(0)),
+                             F.lit(1)), 6
             ).alias("overlap_frac"),
             (F.coalesce("hit_ngrams", F.lit(0)) > 0)
             .alias("contaminated"),

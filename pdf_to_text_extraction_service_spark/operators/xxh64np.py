@@ -55,25 +55,32 @@ def _u32_at(padded: np.ndarray, rows: np.ndarray,
 
 
 def xxh64_padded(padded: np.ndarray, lens: np.ndarray,
-                 seed: int = 42) -> np.ndarray:
+                 seed=42) -> np.ndarray:
     """XXH64 of N byte strings given as a zero-padded uint8 matrix
     ``padded`` (N x L, row i valid for ``lens[i]`` bytes; padding must
     allow 8 readable bytes past every offset actually used — pad the
     matrix width to a multiple of 8 plus 8 slack).  Returns uint64.
+
+    ``seed`` may be a scalar or a per-row uint64 array (the vector
+    form implements Spark's multi-argument ``xxhash64`` chaining,
+    where each value's hash seeds the next argument's hash).
     """
     n = len(lens)
     lens = lens.astype(np.int64)
-    seed_u = np.uint64(seed)
+    if np.isscalar(seed) or getattr(seed, "ndim", 0) == 0:
+        seed_u = np.full(n, np.uint64(seed), dtype=np.uint64)
+    else:
+        seed_u = seed.astype(np.uint64)
     h = np.empty(n, dtype=np.uint64)
 
     long = lens >= 32
     if long.any():
         li = np.nonzero(long)[0]
         llens = lens[li]
-        v1 = np.full(len(li), seed_u + _P1 + _P2, dtype=np.uint64)
-        v2 = np.full(len(li), seed_u + _P2, dtype=np.uint64)
-        v3 = np.full(len(li), seed_u, dtype=np.uint64)
-        v4 = np.full(len(li), seed_u - _P1, dtype=np.uint64)
+        v1 = seed_u[li] + _P1 + _P2
+        v2 = seed_u[li] + _P2
+        v3 = seed_u[li].copy()
+        v4 = seed_u[li] - _P1
         nblocks = llens // 32
         for blk in range(int(nblocks.max())):
             act = np.nonzero(nblocks > blk)[0]
@@ -87,7 +94,7 @@ def xxh64_padded(padded: np.ndarray, lens: np.ndarray,
         for v in (v1, v2, v3, v4):
             acc = (acc ^ (_rotl(v * _P2, 31) * _P1)) * _P1 + _P4
         h[li] = acc
-    h[~long] = seed_u + _P5
+    h[~long] = seed_u[~long] + _P5
 
     h += lens.astype(np.uint64)
 
