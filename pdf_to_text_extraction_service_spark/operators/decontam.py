@@ -28,11 +28,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: xxh64 call block — keeps the padded byte matrix and its uint64
-#: temporaries cache-sized (32 concurrent workers share the box's
-#: memory bandwidth; see neardup._SIG_BLOCK for the measurement)
-_HASH_BLOCK = 1 << 16
-
 
 def _grams(tokens_col: str, n: int) -> str:
     """Distinct word n-grams of a pre-split token array column —
@@ -71,17 +66,7 @@ def gram_rows_fn(n: int):
     ``size(array_distinct(...))``), h1 = xxhash64(s), h2 =
     xxhash64(s, 's2') == xxh64('s2', seed=h1) — the vectorized
     XXH64 (operators/xxh64np.py) replicates Spark's chaining."""
-    from .xxh64np import xxh64_bytes, xxh64_padded
-
-    s2 = np.frombuffer(b"s2", dtype=np.uint8)
-
-    def _hash_block(grams: list[bytes]):
-        h1 = xxh64_bytes(grams)                       # int64 view
-        pad = np.zeros((len(grams), 16), dtype=np.uint8)
-        pad[:, :2] = s2
-        h2 = xxh64_padded(pad, np.full(len(grams), 2, np.int64),
-                          h1.view(np.uint64)).view(np.int64)
-        return h1, h2
+    from .xxh64np import xxh64_pair
 
     def fn(it):
         ids: list = []
@@ -101,13 +86,7 @@ def gram_rows_fn(n: int):
                     for j in range(len(toks) - n + 1)))
                 out_id.append((i, len(gs)))
                 grams_all.extend(g.encode("utf-8") for g in gs)
-            h1s, h2s = [], []
-            for lo in range(0, len(grams_all), _HASH_BLOCK):
-                h1, h2 = _hash_block(grams_all[lo:lo + _HASH_BLOCK])
-                h1s.append(h1)
-                h2s.append(h2)
-            h1 = np.concatenate(h1s) if h1s else np.empty(0, np.int64)
-            h2 = np.concatenate(h2s) if h2s else np.empty(0, np.int64)
+            h1, h2 = xxh64_pair(grams_all)
             rid = np.repeat(
                 np.array([i for i, _ in out_id], dtype=np.int64),
                 [c for _, c in out_id]) if out_id else \

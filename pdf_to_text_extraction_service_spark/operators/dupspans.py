@@ -23,37 +23,89 @@ collision (≈1e-38 per pair) would fail the gate rather than hide.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .decontam import _gram_struct
+from .decontam import gram_rows_fn
+
+
+def window_occurrence_rows_fn(n: int, with_pos: bool):
+    """mapInPandas body: (id, text) batches -> one row per window
+    OCCURRENCE (id[, pos], h1, h2) — the vectorized replacement for
+    exploding the interpreted per-window expression, which built
+    every 13-gram string TWICE (once per hash) through
+    array_join(slice(...)) lambdas.  Bit-identical (pinned by
+    tests/test_dupspans_opt.py): split on the literal space, texts
+    with < n tokens (or NULL) contribute no rows, pos is the
+    0-based window start, h1/h2 are Spark's xxhash64(s) /
+    xxhash64(s, 's2') via operators/xxh64np.py."""
+    from .xxh64np import xxh64_pair
+
+    def fn(it):
+        ids: list = []
+        texts: list = []
+
+        def flush():
+            out_id: list = []
+            grams_all: list[bytes] = []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                if len(toks) < n:
+                    continue
+                cnt = len(toks) - n + 1
+                out_id.append((i, cnt))
+                grams_all.extend(
+                    " ".join(toks[j:j + n]).encode("utf-8")
+                    for j in range(cnt))
+            h1, h2 = xxh64_pair(grams_all)
+            rid = np.repeat(
+                np.array([i for i, _ in out_id], dtype=np.int64),
+                [c for _, c in out_id]) if out_id else \
+                np.empty(0, np.int64)
+            cols = {"_id": rid}
+            if with_pos:
+                cols["pos"] = np.concatenate(
+                    [np.arange(c, dtype=np.int32)
+                     for _, c in out_id]) if out_id else \
+                    np.empty(0, np.int32)
+            cols["h1"] = h1
+            cols["h2"] = h2
+            return pd.DataFrame(cols)
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids.extend(pdf["_id"].tolist())
+            texts.extend(pdf["_t"].tolist())
+            if len(ids) >= 4096:
+                yield flush()
+                ids, texts = [], []
+        if ids:
+            yield flush()
+
+    return fn
 
 
 def _window_occurrences(docs: DataFrame, n: int, id_col: str,
                         text_col: str, with_pos: bool) -> DataFrame:
-    """(id, [pos,] h1, h2) for EVERY window occurrence. The token
-    array is materialized ONCE per row (`_toks` projection) and
-    referenced inside the per-window lambda — re-splitting the text
-    inside the lambda would be O(tokens²) per document (the same
-    hoist neardup.shingles_from_tokens documents)."""
-    toks = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
-    expr = (
-        f"transform(case when size(_toks) >= {n} "
-        f"then sequence(0, size(_toks) - {n}) else array() end, "
-        f"i -> struct("
-        f"xxhash64(array_join(slice(_toks, i + 1, {n}), ' ')) as h1, "
-        f"xxhash64(array_join(slice(_toks, i + 1, {n}), ' '), 's2') "
-        f"as h2))"
+    """(id, [pos,] h1, h2) for EVERY window occurrence — one
+    rebatched Arrow pass (window_occurrence_rows_fn), hash-
+    repartitioned on the id so a few-split parquet scan does not
+    serialize the window hashing (guide §2.5)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    schema = (f"_id long, pos int, h1 long, h2 long" if with_pos
+              else "_id long, h1 long, h2 long")
+    return (
+        docs.select(F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("_t"))
+        .repartition(par, F.col("_id"))
+        .mapInPandas(window_occurrence_rows_fn(n, with_pos), schema)
+        .withColumnRenamed("_id", id_col)
     )
-    if with_pos:
-        return toks.select(
-            F.col(id_col),
-            F.posexplode(F.expr(expr)).alias("pos", "_g"),
-        ).select(id_col, "pos", "_g.h1", "_g.h2")
-    return toks.select(
-        F.col(id_col), F.explode(F.expr(expr)).alias("_g"),
-    ).select(id_col, "_g.h1", "_g.h2")
 
 
 
@@ -79,14 +131,17 @@ def duplicated_span_stats(docs: DataFrame, n: int = 13,
         .filter(F.col("_c") >= min_count)
         .select("h1", "h2")
     )
+    # distinct-per-doc windows via the decontam gram pass (same
+    # vectorized hashing; the `total` column is distinct-gram count,
+    # not the occurrence total this operator reports — ignored)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     doc_distinct = (
-        docs.select(F.col(id_col),
-                    F.split(F.col(text_col), " ").alias("_toks"))
-        .select(
-            F.col(id_col),
-            F.explode(F.expr(_gram_struct("_toks", n))).alias("_g"),
-        )
-        .select(id_col, "_g.h1", "_g.h2")
+        docs.select(F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("_t"))
+        .repartition(par, F.col("_id"))
+        .mapInPandas(gram_rows_fn(n),
+                     "_id long, h1 long, h2 long, total long")
+        .select(F.col("_id").alias(id_col), "h1", "h2")
     )
     dup_per_doc = (
         doc_distinct.join(dup_keys, ["h1", "h2"])
@@ -158,42 +213,73 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 13,
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("pos")).alias("rm_pos"))
     )
-    toks = F.split(F.col(text_col), " ")
-    # merge [pos, pos+n) intervals, then keep tokens outside them all
-    intervals = F.expr(
-        f"aggregate(rm_pos, cast(array() as array<struct<s:int,e:int>>), "
-        f"(acc, p) -> "
-        f"case when size(acc) > 0 "
-        f"and element_at(acc, -1).e >= p "
-        f"then concat(slice(acc, 1, size(acc) - 1), array(named_struct("
-        f"'s', element_at(acc, -1).s, "
-        f"'e', greatest(element_at(acc, -1).e, p + {n})))) "
-        f"else concat(acc, array(named_struct('s', p, 'e', p + {n}))) "
-        f"end)"
-    )
-    kept = F.transform(
-        F.filter(
-            F.transform(toks, lambda x, i: F.struct(
-                i.alias("i"), x.alias("x"))),
-            lambda s: ~F.exists(
-                F.col("_iv"),
-                lambda iv: (s["i"] >= iv["s"]) & (s["i"] < iv["e"]),
-            ),
-        ),
-        lambda s: s["x"],
-    )
+    # the rewrite itself runs vectorized (one Arrow pass) instead of
+    # the previous interpreted interval-merge + per-token exists()
+    # lambdas, which cost O(tokens x intervals) interpreted evals per
+    # doc and dominated the curate span stage; the interval merge is
+    # the same fold (fixed width n over ascending positions merges
+    # exactly where p <= prev + n), token coverage via a diff array —
+    # output row-identical (tests/test_dupspans_opt.py)
     return (
         docs.join(removals, id_col, "left")
-        .withColumn("_iv", F.coalesce(
-            intervals,
-            F.expr("cast(array() as array<struct<s:int,e:int>>)")))
-        .select(
-            F.col(id_col),
-            F.when(F.col("rm_pos").isNull(), F.col(text_col))
-            .otherwise(F.array_join(kept, " ")).alias("text_out"),
-            F.size(toks).cast("int").alias("n_tokens"),
-            F.coalesce(
-                F.expr("aggregate(_iv, 0, (a, iv) -> a + iv.e - iv.s)"),
-                F.lit(0)).cast("int").alias("n_removed"),
-        )
+        .select(F.col(id_col).alias("_id"),
+                F.col(text_col).alias("_t"), "rm_pos")
+        .mapInPandas(
+            _rewrite_rows_fn(n),
+            "_id long, text_out string, n_tokens int, n_removed int")
+        .withColumnRenamed("_id", id_col)
     )
+
+
+def _rewrite_rows_fn(n: int):
+    """mapInPandas body for remove_duplicated_spans' rewrite phase:
+    (id, text, rm_pos) -> (id, text_out, n_tokens, n_removed).
+
+    Replicates the old SQL exactly: merge [p, p+n) intervals over the
+    ascending rm_pos (with fixed width and sorted starts the fold's
+    ``last.e >= p`` merge rule reduces to breaking groups where
+    ``p > prev + n``), drop covered tokens, join with single spaces;
+    rm_pos NULL -> text unchanged, n_removed 0; NULL text -> NULL
+    text_out/n_tokens (size(NULL)), n_removed 0."""
+    def fn(it):
+        for pdf in it:
+            out_t, out_nt, out_nr = [], [], []
+            for t, rm in zip(pdf["_t"], pdf["rm_pos"]):
+                if t is None:
+                    out_t.append(None)
+                    out_nt.append(None)
+                    out_nr.append(0)
+                    continue
+                toks = t.split(" ")
+                if rm is None:
+                    out_t.append(t)
+                    out_nt.append(len(toks))
+                    out_nr.append(0)
+                    continue
+                if len(rm) == 0:     # non-null empty: old path still
+                    out_t.append(" ".join(toks))   # rejoined tokens
+                    out_nt.append(len(toks))
+                    out_nr.append(0)
+                    continue
+                p = np.asarray(rm, dtype=np.int64)
+                brk = np.nonzero(p[1:] > p[:-1] + n)[0] + 1
+                gs = np.concatenate(([0], brk))
+                ge = np.concatenate((brk, [len(p)])) - 1
+                starts = p[gs]
+                ends = p[ge] + n
+                cov = np.zeros(len(toks) + 1, dtype=np.int32)
+                np.add.at(cov, starts, 1)
+                np.add.at(cov, ends, -1)
+                mask = np.cumsum(cov[:-1]) > 0
+                out_t.append(" ".join(
+                    tok for tok, m in zip(toks, mask) if not m))
+                out_nt.append(len(toks))
+                out_nr.append(int((ends - starts).sum()))
+            yield pd.DataFrame({
+                "_id": pdf["_id"],
+                "text_out": out_t,
+                "n_tokens": pd.array(out_nt, dtype="Int32"),
+                "n_removed": pd.array(out_nr, dtype="Int32"),
+            })
+
+    return fn

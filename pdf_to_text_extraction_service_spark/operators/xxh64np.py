@@ -137,6 +137,33 @@ def xxh64_padded(padded: np.ndarray, lens: np.ndarray,
     return h
 
 
+#: per-call block for the pair hasher — keeps the padded byte matrix
+#: and uint64 temporaries cache-sized under 32 concurrent workers
+_PAIR_BLOCK = 1 << 16
+
+
+def xxh64_pair(items: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """The engine's dual 128-bit n-gram key: h1 = xxhash64(s),
+    h2 = xxhash64(s, 's2') (Spark's multi-arg chaining:
+    xxh64(b"s2", seed=h1)).  Processes in cache-sized blocks;
+    returns two int64 arrays."""
+    s2 = np.frombuffer(b"s2", dtype=np.uint8)
+    h1s, h2s = [], []
+    for lo in range(0, len(items), _PAIR_BLOCK):
+        block = items[lo:lo + _PAIR_BLOCK]
+        h1 = xxh64_bytes(block)
+        pad = np.zeros((len(block), 16), dtype=np.uint8)
+        pad[:, :2] = s2
+        h2 = xxh64_padded(pad, np.full(len(block), 2, np.int64),
+                          h1.view(np.uint64)).view(np.int64)
+        h1s.append(h1)
+        h2s.append(h2)
+    if not h1s:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(h1s), np.concatenate(h2s)
+
+
 def xxh64_bytes(items: list[bytes], seed: int = 42) -> np.ndarray:
     """XXH64 over a list of byte strings; returns int64 (two's
     complement — the signed value Spark's ``xxhash64`` returns)."""

@@ -40,6 +40,19 @@ def extract_pipeline(pages: DataFrame,
         if num_partitions is None:
             num_partitions = df.sparkSession.sparkContext.defaultParallelism
         df = size_tiered_repartition(df, num_partitions)
+    else:
+        # Scale-adaptive parallelism guard (guide §2.5/§6): a compact
+        # corpus scans as fewer 128 MB splits than the cluster has
+        # cores, which would serialize the CPU-bound extraction
+        # kernel on a handful of tasks (measured 7 tasks / 32 cores
+        # at bench sf1.0 — the Python kernel, not I/O, is the
+        # bottleneck at ~250 us/page).  One payload shuffle buys
+        # full-width extraction; at real scale split count >> cores
+        # and this is a no-op, preserving the map-only contract.
+        sc = df.sparkSession.sparkContext
+        scan_parts = df.rdd.getNumPartitions()
+        if scan_parts < sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism)
     out = extract(df)
     if not keep_pages_col:
         out = out.drop("pages")
