@@ -47,13 +47,15 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # and a 1 MB IDAT can inflate to gigabytes). 64 MP covers any sane
 # crawl image; callers surface the ValueError as an error row.
 MAX_PIXELS = 1 << 26
-# GIF's LZW inner loop is pure Python at ~31 us/px measured on the
-# photo-like bench fixture (bench.py codec_us, r7) - 2^26 px would
-# be ~35 min for one crafted payload.  2^23 px caps the worst case
-# at ~4 min, mirroring the reference's 300 s per-file timeout
-# (config.go:120-127); the other decoders stay under that envelope
-# at MAX_PIXELS (PNG 0.01, JPEG 0.5/1.4, CCITT-TIFF 0.6 us/px).
-GIF_MAX_PIXELS = 1 << 23
+# GIF budget re-derivation (r8): the LZW decode is vectorized
+# (schedule-batched code extraction + parallel chain expansion,
+# _gif_lzw_decode) and measures 0.06-0.10 us/px on the bench fixture
+# and 4 MP / 64 MP probes — 2^26 px now costs ~7 s worst case, far
+# inside the reference's 300 s per-file timeout (config.go:120-127),
+# so GIF rejoins the other decoders at the common MAX_PIXELS cap
+# (r7 had capped it at 2^23 because the per-byte Python loop cost
+# 31-34 us/px, ~35 min at 2^26).
+GIF_MAX_PIXELS = MAX_PIXELS
 
 # JPEG coefficient-buffer budget in CELLS (64 per 8x8 block), summed
 # over ALL components including MCU padding.  MAX_PIXELS alone is not
@@ -1381,7 +1383,273 @@ def encode_bmp(img: np.ndarray) -> bytes:
 # width 3..12, CLEAR/EOI codes).
 
 
+def _gif_lzw_schedule(min_code: int, width: int, next_code: int,
+                      first: bool, max_codes: int):
+    """Per-code width schedule for the next ``max_codes`` data codes
+    given the current decoder state: the reference grows the table by
+    one entry per decoded code (except the first code after a reset,
+    when ``prev`` is None) until 4096, bumping the code width at
+    powers of two — fully deterministic, so a whole run of codes can
+    be located without reading them one at a time.  Returns
+    (widths array, end state (width, next_code))."""
+    widths = np.empty(max_codes, dtype=np.int64)
+    for j in range(max_codes):
+        widths[j] = width
+        if (not first or j >= 1) and next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    return widths, (width, next_code)
+
+
+#: fresh-after-CLEAR schedules are identical per min_code — cache them
+_GIF_SCHEDULE_CACHE: dict = {}
+
+_GIF_LZW_CHUNK = 4400
+
+
 def _gif_lzw_decode(min_code: int, data: bytes, max_pixels: int) -> bytes:
+    """Vectorized GIF LZW decode — bit-identical to
+    :func:`_gif_lzw_decode_ref` (the original per-byte loop, kept as
+    the parity/fuzz pin; see tests/test_gif_lzw_opt.py):
+
+    1. code boundaries follow the deterministic width schedule
+       (``_gif_lzw_schedule``), so the variable-width codes are
+       extracted in vectorized chunks instead of a per-byte
+       accumulator loop; a CLEAR/EOI inside the chunk truncates it
+       and resets/ends the stream exactly like the reference;
+    2. a light Python loop per CODE (not per output byte) maintains
+       the table as parent/first-byte/last-byte/length integer
+       arrays, replicating the reference validity checks and the
+       max_pixels overflow check in the exact original order;
+    3. output bytes materialize with a vectorized backward
+       chain-walk (every emitted code writes its chain in parallel,
+       one numpy pass per chain-depth level) instead of per-entry
+       bytes concatenation.
+
+    Measured ~31 us/px -> ~0.1 us/px on the bench fixture; the GIF
+    decode-bomb budget (GIF_MAX_PIXELS) derives from this cost."""
+    if not (2 <= min_code <= 11):
+        raise ValueError("gif: bad LZW minimum code size")
+    clear = 1 << min_code
+    if clear > 256:
+        # the reference loop built its root table with bytes((i,))
+        # and raised this exact CPython error for min_code 9..11;
+        # callers surface it as a decode-failure row — replicated
+        raise ValueError("bytes must be in range(0, 256)")
+    eoi = clear + 1
+    total_bits = 8 * len(data)
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    cap = 4096
+    parent = np.full(cap, -1, dtype=np.int32)
+    first_b = np.zeros(cap, dtype=np.uint8)
+    last_b = np.zeros(cap, dtype=np.uint8)
+    length = np.zeros(cap, dtype=np.int64)
+    first_b[:clear] = np.arange(clear, dtype=np.uint8)
+    last_b[:clear] = np.arange(clear, dtype=np.uint8)
+    length[:clear] = 1
+    # NOTE on CLEAR: the reference rebuilds the table, but slots >=
+    # clear+2 are unreachable until this segment recreates them
+    # (codes beyond next_code are rejected), so the arrays are reused
+
+    emitted: list[np.ndarray] = []
+    out_chunks: list[np.ndarray] = []
+
+    def _flush_emitted():
+        # expand THIS segment's emitted codes before a CLEAR reuses
+        # table slots (entries are only valid within their segment)
+        if not emitted:
+            return
+        emit = np.concatenate(emitted)
+        emitted.clear()
+        lens = length[emit]
+        ends = np.cumsum(lens)
+        out = np.empty(int(ends[-1]), dtype=np.uint8)
+        pos = ends - 1
+        cur = emit.astype(np.int32)
+        active = np.arange(len(emit))
+        while len(active):
+            out[pos[active]] = last_b[cur[active]]
+            pos[active] -= 1
+            cur[active] = parent[cur[active]]
+            active = active[cur[active] >= 0]
+        out_chunks.append(out)
+
+    out_len = 0
+    bitpos = 0
+    width, next_code, prev = min_code + 1, clear + 2, -1
+    done = False
+    try_fast = True
+    w0 = min_code + 1
+
+    def _extract(off0, widths_arr):
+        offs = off0 + np.concatenate(
+            ([0], np.cumsum(widths_arr)))[:-1]
+        byte_i = (offs >> 3).astype(np.int64)
+        i1 = np.minimum(byte_i + 1, len(buf) - 1)
+        i2 = np.minimum(byte_i + 2, len(buf) - 1)
+        v = (buf[byte_i].astype(np.uint32)
+             | (np.where(byte_i + 1 < len(buf), buf[i1], 0)
+                .astype(np.uint32) << np.uint32(8))
+             | (np.where(byte_i + 2 < len(buf), buf[i2], 0)
+                .astype(np.uint32) << np.uint32(16)))
+        return offs, ((v >> (offs & 7).astype(np.uint32))
+                      & ((np.uint32(1) << widths_arr.astype(np.uint32))
+                         - np.uint32(1))).astype(np.int64)
+
+    while not done and bitpos + width <= total_bits:
+        # ---- fast path: streams that reset before every pixel
+        # (this repo's own encoder emits CLEAR per code; segments of
+        # one code would otherwise pay the schedule machinery per
+        # pixel).  While the state is width-stable (w0, fresh table)
+        # the strict (CLEAR data)* prefix is decoded with pure
+        # vector ops: the data codes ARE the output bytes.
+        if try_fast and width == w0 and next_code == clear + 2:
+            n_avail = (total_bits - bitpos) // w0
+            k = int(min(n_avail, 1 << 16))
+            if k >= 2:
+                _, cods = _extract(
+                    bitpos, np.full(k, w0, dtype=np.int64))
+                eoi_pos = np.nonzero(cods == eoi)[0]
+                limit = int(eoi_pos[0]) if len(eoi_pos) else k
+                m_full = limit // 2
+                pair_ok = (cods[0:2 * m_full:2] == clear) \
+                    & (cods[1:2 * m_full:2] != clear)
+                viol = np.nonzero(~pair_ok)[0]
+                m = int(viol[0]) if len(viol) else m_full
+                datas = cods[1:2 * m:2]
+                bad = np.nonzero(datas >= clear)[0]
+                p_bad = int(bad[0]) if len(bad) else m
+                j_over = max_pixels - out_len
+                if p_bad <= j_over and p_bad < m:
+                    raise ValueError("gif: bad LZW code")
+                if j_over < m:
+                    raise ValueError(
+                        "gif: pixel data exceeds descriptor")
+                if m:
+                    _flush_emitted()
+                    out_chunks.append(datas.astype(np.uint8))
+                    out_len += m
+                    prev = int(datas[-1])
+                bitpos += w0 * 2 * m
+                if len(eoi_pos) and (
+                        limit == 2 * m
+                        or (limit == 2 * m + 1
+                            and int(cods[limit - 1]) == clear)):
+                    done = True          # [CLEAR] EOI — ref returns
+                    continue
+                # stay in fast mode only after a clean full window;
+                # violations, EOI at the wrong parity, odd trailing
+                # codes and window tails resume the general path
+                # (which re-arms the fast path at the next tiny
+                # CLEAR segment)
+                try_fast = (not len(viol)) and (not len(eoi_pos)) \
+                    and (2 * m == k)
+                continue
+            # fall through to the general path for tiny tails
+        fresh = prev < 0 and next_code == clear + 2 \
+            and width == min_code + 1
+        if fresh:
+            cached = _GIF_SCHEDULE_CACHE.get(min_code)
+            if cached is None:
+                cached = _gif_lzw_schedule(
+                    min_code, width, next_code, True, _GIF_LZW_CHUNK)
+                _GIF_SCHEDULE_CACHE[min_code] = cached
+            widths_sched, end_state = cached
+        else:
+            widths_sched, end_state = _gif_lzw_schedule(
+                min_code, width, next_code, prev < 0, _GIF_LZW_CHUNK)
+
+        offs = bitpos + np.concatenate(
+            ([0], np.cumsum(widths_sched)))[:-1]
+        fits = offs + widths_sched <= total_bits
+        ncodes = int(fits.sum())
+        if ncodes == 0:
+            break
+        offs = offs[:ncodes]
+        w = widths_sched[:ncodes]
+        byte_i = (offs >> 3).astype(np.int64)
+        i1 = np.minimum(byte_i + 1, len(buf) - 1)
+        i2 = np.minimum(byte_i + 2, len(buf) - 1)
+        v = (buf[byte_i].astype(np.uint32)
+             | (np.where(byte_i + 1 < len(buf), buf[i1], 0)
+                .astype(np.uint32) << np.uint32(8))
+             | (np.where(byte_i + 2 < len(buf), buf[i2], 0)
+                .astype(np.uint32) << np.uint32(16)))
+        codes = ((v >> (offs & 7).astype(np.uint32))
+                 & ((np.uint32(1) << w.astype(np.uint32))
+                    - np.uint32(1))).astype(np.int64)
+        stop = np.nonzero((codes == clear) | (codes == eoi))[0]
+        seg_end = int(stop[0]) if len(stop) else ncodes
+        seg = codes[:seg_end]
+
+        # per-code table bookkeeping (reference semantics, in order)
+        seg_emit = np.empty(len(seg), dtype=np.int32)
+        n_emit = 0
+        for j in range(len(seg)):
+            code = int(seg[j])
+            if code < clear or (eoi + 1 <= code < next_code):
+                entry = code
+                out_len += int(length[entry])
+                if out_len > max_pixels:
+                    raise ValueError(
+                        "gif: pixel data exceeds descriptor")
+                seg_emit[n_emit] = entry
+                n_emit += 1
+                if prev >= 0 and next_code < 4096:
+                    parent[next_code] = prev
+                    first_b[next_code] = first_b[prev]
+                    last_b[next_code] = first_b[entry]
+                    length[next_code] = length[prev] + 1
+                    next_code += 1
+                prev = entry
+            elif code == next_code and prev >= 0:
+                # KwKwK: entry = prev + prev[:1], created as used
+                node = next_code
+                parent[node] = prev
+                first_b[node] = first_b[prev]
+                last_b[node] = first_b[prev]
+                length[node] = length[prev] + 1
+                out_len += int(length[node])
+                if out_len > max_pixels:
+                    raise ValueError(
+                        "gif: pixel data exceeds descriptor")
+                seg_emit[n_emit] = node
+                n_emit += 1
+                next_code += 1
+                prev = node
+            else:
+                raise ValueError("gif: bad LZW code")
+        if n_emit:
+            emitted.append(seg_emit[:n_emit].copy())
+
+        if seg_end < ncodes:                   # CLEAR or EOI
+            bitpos = int(offs[seg_end]) + int(w[seg_end])
+            if codes[seg_end] == eoi:
+                done = True
+            else:                              # CLEAR: reset state
+                _flush_emitted()
+                width, next_code, prev = min_code + 1, clear + 2, -1
+                # tiny segment before this CLEAR: likely the
+                # reset-per-code stream shape — re-arm the fast path
+                try_fast = seg_end <= 1
+        elif ncodes == _GIF_LZW_CHUNK:         # long run: continue
+            bitpos = int(offs[-1]) + int(w[-1])
+            width, next_code = end_state
+        else:                                  # data exhausted
+            break
+
+    _flush_emitted()
+    if not out_chunks:
+        return b""
+    return np.concatenate(out_chunks).tobytes()
+
+
+def _gif_lzw_decode_ref(min_code: int, data: bytes,
+                        max_pixels: int) -> bytes:
+    """Reference per-byte LZW loop (pre-r8) — parity/fuzz pin for the
+    vectorized decoder above."""
     if not (2 <= min_code <= 11):
         raise ValueError("gif: bad LZW minimum code size")
     clear = 1 << min_code
