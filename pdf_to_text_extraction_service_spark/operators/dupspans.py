@@ -176,7 +176,8 @@ def duplicated_span_stats(docs: DataFrame, n: int = 13,
 def remove_duplicated_spans(docs: DataFrame, n: int = 13,
                             min_count: int = 2,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            eager: bool = True) -> DataFrame:
     """The REMOVAL half of ExactSubstr dedup: rewrite each document
     dropping every token covered by a duplicated window occurrence
     that is not the window's corpus-wide FIRST occurrence (canonical
@@ -198,6 +199,11 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 13,
     in-row as JVM array expressions."""
     occurrences = _window_occurrences(docs, n, id_col, text_col,
                                       with_pos=True)
+    if eager:
+        # the canon aggregate AND the removal join both read the
+        # occurrence relation — persist so the Python window pass
+        # runs once, and release it after materializing the result
+        occurrences = occurrences.persist()
     dup_canon = (
         occurrences.groupBy("h1", "h2")
         .agg(F.count("*").alias("_c"),
@@ -220,7 +226,7 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 13,
     # the same fold (fixed width n over ascending positions merges
     # exactly where p <= prev + n), token coverage via a diff array —
     # output row-identical (tests/test_dupspans_opt.py)
-    return (
+    out = (
         docs.join(removals, id_col, "left")
         .select(F.col(id_col).alias("_id"),
                 F.col(text_col).alias("_t"), "rm_pos")
@@ -229,6 +235,10 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 13,
             "_id long, text_out string, n_tokens int, n_removed int")
         .withColumnRenamed("_id", id_col)
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        occurrences.unpersist()
+    return out
 
 
 def _rewrite_rows_fn(n: int):

@@ -137,9 +137,12 @@ def xxh64_padded(padded: np.ndarray, lens: np.ndarray,
     return h
 
 
-#: per-call block for the pair hasher — keeps the padded byte matrix
-#: and uint64 temporaries cache-sized under 32 concurrent workers
-_PAIR_BLOCK = 1 << 16
+#: per-call block — keeps the padded byte matrix and the uint64
+#: temporaries cache-sized: 32 concurrent workers each streaming
+#: multi-MB temporaries thrash the box's shared memory system
+#: (measured 10x per-task slowdown at 64k-item blocks under 32-way
+#: concurrency; 8k blocks are ~5x faster even solo)
+_PAIR_BLOCK = 1 << 13
 
 
 def xxh64_pair(items: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
@@ -151,7 +154,7 @@ def xxh64_pair(items: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     h1s, h2s = [], []
     for lo in range(0, len(items), _PAIR_BLOCK):
         block = items[lo:lo + _PAIR_BLOCK]
-        h1 = xxh64_bytes(block)
+        h1 = _xxh64_bytes_block(block, 42)
         pad = np.zeros((len(block), 16), dtype=np.uint8)
         pad[:, :2] = s2
         h2 = xxh64_padded(pad, np.full(len(block), 2, np.int64),
@@ -166,7 +169,17 @@ def xxh64_pair(items: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
 
 def xxh64_bytes(items: list[bytes], seed: int = 42) -> np.ndarray:
     """XXH64 over a list of byte strings; returns int64 (two's
-    complement — the signed value Spark's ``xxhash64`` returns)."""
+    complement — the signed value Spark's ``xxhash64`` returns).
+    Internally blocked (_PAIR_BLOCK) to keep temporaries cache-sized
+    under worker concurrency."""
+    if len(items) <= _PAIR_BLOCK:
+        return _xxh64_bytes_block(items, seed)
+    return np.concatenate([
+        _xxh64_bytes_block(items[lo:lo + _PAIR_BLOCK], seed)
+        for lo in range(0, len(items), _PAIR_BLOCK)])
+
+
+def _xxh64_bytes_block(items: list[bytes], seed: int) -> np.ndarray:
     n = len(items)
     if n == 0:
         return np.empty(0, dtype=np.int64)
