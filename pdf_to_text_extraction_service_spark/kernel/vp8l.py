@@ -78,13 +78,16 @@ class _BitReader:
         self.n = len(data) * 8
 
     def read(self, nbits: int) -> int:
-        if self.pos + nbits > self.n:
+        # bulk little-endian extract (identical value to the original
+        # per-bit loop: bit i of the result is stream bit pos+i)
+        p = self.pos
+        if p + nbits > self.n:
             raise ValueError("vp8l: truncated stream")
-        v = 0
-        for i in range(nbits):
-            p = self.pos + i
-            v |= ((self.data[p >> 3] >> (p & 7)) & 1) << i
-        self.pos += nbits
+        b = p >> 3
+        v = (int.from_bytes(self.data[b:b + ((nbits + (p & 7) + 7)
+                                             >> 3)], "little")
+             >> (p & 7)) & ((1 << nbits) - 1)
+        self.pos = p + nbits
         return v
 
 
@@ -92,7 +95,7 @@ class _Huffman:
     """Canonical prefix code (codes assigned DEFLATE-style in symbol
     order by increasing length; decoded MSB-of-code-first)."""
 
-    __slots__ = ("table", "max_len", "single")
+    __slots__ = ("table", "max_len", "single", "lut_sym", "lut_len")
 
     def __init__(self, lengths: list[int]):
         self.single: int | None = None
@@ -122,14 +125,50 @@ class _Huffman:
         if total != (1 << max_len):
             raise ValueError("vp8l: invalid prefix code")
         table: dict[tuple[int, int], int] = {}
+        # flat peek-LUT (r8): the stream is LSB-first while canonical
+        # codes compare MSB-first, so a code of length L matches every
+        # max_len-bit peek whose LOW L bits are the code reversed;
+        # the completeness check above guarantees the LUT has no
+        # holes, making one peek + one table lookup per symbol
+        # (bit-identical to the original per-bit tree walk, which is
+        # kept as read_slow for the parity pin)
+        size = 1 << max_len
+        lut_sym = [0] * size
+        lut_len = [0] * size
         for sym, ln in enumerate(lengths):
             if ln > 0:
-                table[(ln, next_code[ln])] = sym
+                code = next_code[ln]
+                table[(ln, code)] = sym
                 next_code[ln] += 1
+                rev = 0
+                c = code
+                for _ in range(ln):
+                    rev = (rev << 1) | (c & 1)
+                    c >>= 1
+                step = 1 << ln
+                for idx in range(rev, size, step):
+                    lut_sym[idx] = sym
+                    lut_len[idx] = ln
         self.table = table
         self.max_len = max_len
+        self.lut_sym = lut_sym
+        self.lut_len = lut_len
 
     def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        p = br.pos
+        b = p >> 3
+        idx = (int.from_bytes(br.data[b:b + 3], "little")
+               >> (p & 7)) & (len(self.lut_sym) - 1)
+        ln = self.lut_len[idx]
+        if p + ln > br.n:
+            raise ValueError("vp8l: truncated stream")
+        br.pos = p + ln
+        return self.lut_sym[idx]
+
+    def read_slow(self, br: _BitReader) -> int:
+        """Original per-bit tree walk — parity reference for read()."""
         if self.single is not None:
             return self.single
         code = 0

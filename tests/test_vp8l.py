@@ -400,3 +400,48 @@ def test_breadth_dispatcher_decodes_vp8l(spark):
     assert (row["width"], row["height"]) == (10, 8)
     assert row["mean_sample"] == (40 + 80 + 120 + 255) // 4
     assert row["error"] is None
+
+
+def test_huffman_lut_read_matches_tree_walk():
+    """r8: the peek-LUT read() must be bit-identical to the original
+    per-bit tree walk (kept as read_slow) on random valid canonical
+    codes and random streams, including truncation errors."""
+    import random
+
+    from pdf_to_text_extraction_service_spark.kernel.vp8l import (
+        _BitReader,
+        _Huffman,
+    )
+
+    rng = random.Random(13)
+    for trial in range(200):
+        # random complete canonical code via random split of probability
+        nsym = rng.randrange(2, 40)
+        # build a complete code: repeatedly split leaves (< 15 deep)
+        leaves = [1, 1]
+        while len(leaves) < nsym:
+            splittable = [i for i, d in enumerate(leaves) if d < 15]
+            if not splittable:
+                break
+            d = leaves.pop(rng.choice(splittable))
+            leaves += [d + 1, d + 1]
+        leaves.sort()
+        lens = [0] * max(nsym, len(leaves))
+        for i, d in enumerate(leaves):
+            lens[i] = d
+        h = _Huffman(lens)
+        data = bytes(rng.randrange(256) for _ in range(40))
+        a = _BitReader(data)
+        b = _BitReader(data)
+        for _ in range(30):
+            try:
+                ra = ("ok", h.read(a), a.pos)
+            except ValueError as e:
+                ra = ("err", str(e))
+            try:
+                rb = ("ok", h.read_slow(b), b.pos)
+            except ValueError as e:
+                rb = ("err", str(e))
+            assert ra == rb, (trial, lens)
+            if ra[0] == "err":
+                break
