@@ -75,6 +75,8 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
         payloads = batch["html"].tolist()
         ts = batch["warc_ts"].tolist() if "warc_ts" in batch else [None] * len(urls)
         langs = batch["lang"].tolist() if "lang" in batch else [None] * len(urls)
+        cerrs = batch["coding_error"].tolist() \
+            if "coding_error" in batch else [None] * len(urls)
 
         out: dict[str, list] = {k: [] for k in (
             "url", "warc_ts", "lang", "format", "success", "text",
@@ -85,7 +87,16 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
             payload = payloads[i]
             if payload is not None and not isinstance(payload, bytes):
                 payload = bytes(payload)
-            res, fmt = router.extract_document(url, payload)
+            if cerrs[i]:
+                # undecodable HTTP content coding (WARC reader
+                # boundary, sources/warc.py): a br/zstd/compress
+                # body must not reach extension-first routing as
+                # raw compressed bytes — failure-coded envelope,
+                # mirroring the reference's success=false philosophy
+                res, fmt = router.Result(
+                    success=False, error=str(cerrs[i])), "unknown"
+            else:
+                res, fmt = router.extract_document(url, payload)
             out["url"].append(url)
             out["warc_ts"].append(ts[i])
             out["lang"].append(langs[i])
@@ -176,7 +187,8 @@ def extract(pages_df: DataFrame) -> DataFrame:
     bytes out of every subsequent shuffle (SURVEY.md §4: the single
     biggest lever for scaling efficiency).
     """
-    cols = [c for c in ("url", "warc_ts", "html", "lang")
+    cols = [c for c in ("url", "warc_ts", "html", "lang",
+                        "coding_error")
             if c in pages_df.columns]
     return pages_df.select(*cols).mapInPandas(
         _extract_batches, schema=EXTRACTED_SCHEMA
