@@ -81,7 +81,12 @@ def curate(spark, docs, *, langs=None, min_words=20, min_quality=0.0,
       True (default) — observation mode: every stage count comes from
         a CollectMetrics node resolved by the ONE materializing action
         (the eager localCheckpoint below), so stats cost nothing extra
-        at any scale;
+        at any scale.  Caveat (ADVICE r7): observation accumulators
+        count PARTITION EXECUTIONS — under cache eviction or
+        speculative re-execution a recomputed partition is counted
+        again, inflating stage stats.  When memory pressure makes
+        eviction plausible, validate against --exact-stats on a
+        sample (the pytest equality pin covers the no-eviction case);
       "exact" — legacy mode: one count() action per stage (kept for
         the equality pytest and for debugging a single stage);
       False — no stats.

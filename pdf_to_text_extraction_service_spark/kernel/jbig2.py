@@ -473,7 +473,7 @@ def _decode_symbol_dict(payload: bytes,
         raise ValueError("jbig2: refinement/aggregate symbol coding")
     if sdhuff:
         return _decode_symbol_dict_huff(payload, flags, input_syms,
-                                        tables or [])
+                                        tables or [], budget=budget)
     if template != 0:
         raise ValueError("jbig2: only GB template 0 supported")
     pos = 2
@@ -541,7 +541,8 @@ def _decode_symbol_dict(payload: bytes,
 
 
 def _decode_symbol_dict_huff(payload: bytes, flags: int,
-                             input_syms: list, tables: list) -> list:
+                             input_syms: list, tables: list,
+                             budget: list | None = None) -> list:
     """Huffman symbol dictionary (6.5.9): DH/DW/BMSIZE via Annex B
     tables (standard B.1-B.5 or referred custom segments), height
     classes carried as collective bitmaps — BMSIZE=0 row-padded raw,
@@ -582,6 +583,9 @@ def _decode_symbol_dict_huff(payload: bytes, flags: int,
     new_syms: list[np.ndarray] = []
     hcheight = 0
     guard = 0
+    # per-segment sanity pool PLUS the stream-wide shared budget
+    # (ADVICE r7: a stream of many SDHUFF dictionaries must not
+    # allocate N x the whole-stream decode budget)
     pixel_pool = MAX_PIXELS
     while len(new_syms) < num_new:
         guard += 1
@@ -612,6 +616,12 @@ def _decode_symbol_dict_huff(payload: bytes, flags: int,
         pixel_pool -= totwidth * hcheight
         if pixel_pool < 0:
             raise ValueError("jbig2: dictionary exceeds pixel budget")
+        if budget is not None:
+            budget[0] -= totwidth * hcheight
+            if budget[0] < 0:
+                raise ValueError(
+                    "jbig2: stream exceeds aggregate arithmetic "
+                    "budget")
         bmsize = tbm.read(r)
         if bmsize is HF.OOB or bmsize < 0:
             raise ValueError("jbig2: bad collective bitmap size")

@@ -45,6 +45,14 @@ y2ac=155*ac/100 (min 8) / uvdc<=132 quantizer derivations.
 
 All errors raise ValueError (untrusted-bytes contract); dimensions
 are budget-capped before allocation.
+
+Unverified-constant boundary addendum (ADVICE r7): _predict's
+above-left sample for a left-edge macroblock (mbx=0, mby>0)
+reads 129 from the padded column; the RFC 6386 TM border
+convention there is not verifiable offline.  Currently
+unreachable on real streams (the default-coefficient-
+probability gate admits only in-repo-encoded streams); any
+future subset expansion must re-check this border.
 """
 
 from __future__ import annotations
