@@ -2559,23 +2559,78 @@ def _q_audio_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anything the driver has not checked in the last round, sits in the
 # HEAD (first 50); the TAIL holds only queries that were hash-green in
 # the immediately-previous CORRECTNESS file AND are pytest-parity-
-# covered AND unchanged.  After ANY insertion, re-check
-# list(queries())[49].
-# Round-7 rotation: the complete 28-query r5-green tail moves INTO
-# the head (nothing goes two rounds unchecked — VERDICT r6 next #2),
-# followed by every query whose fixtures/kernels changed in r7
-# (jp2k 9/7, jbig2 huffman, vp8, _decode_gray, audiotags/sniff
-# advice fixes) and 13 stable flagships; the displaced tail is
-# entirely r6-hash-green and r7-untouched.
+# covered AND re-verified green by the full tools/gate_sweep.py run
+# this round.  After ANY insertion, re-check list(queries())[49].
+# Round-8 rotation (VERDICT r7 next #4): the complete 29-query
+# r6-green tail moves INTO the head — nothing goes two rounds
+# without a hard driver row — followed by every query whose engine
+# path changed in the r8 optimization round (vectorized
+# minhash/simhash/semdedup/embedding-cosine/decontam/dupspans/
+# lang_id, GIF-LZW + VP8L decoders, WARC coding_error channel,
+# k-means trainer) and 5 stable flagships; the displaced tail is
+# entirely r7-hash-green, r8-sweep-green and r8-untouched (the one
+# shared change — extract()'s coding_error branch — is exercised in
+# the head by extract_warc/streaming/html).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- HEAD (first 50 = driver-checked), round-7 rotation ---
-    # 1-28: the full r5-green tail rotates back in (VERDICT r6 next
-    # #2 — nothing goes two rounds unchecked)
+    # --- HEAD (first 50 = driver-checked), round-8 rotation ---
+    # 1-29: the full r6-green tail rotates back in
+    "join_topk_customers": _q_join_topk_customers,
+    "neardup_components": _q_neardup_components,   # r8: minhash+CC path
+    "scrub_pii_docs": _q_scrub_pii,
+    "repetition_stats_docs": _q_repetition_stats,
+    "normalize_nfc_docs": _q_normalize_nfc,
+    "lang_id_heuristic": _q_lang_id,               # r8: vectorized
+    "token_count_bpe": _q_token_count,
+    "doc_fingerprint": _q_doc_fingerprint,
+    "quality_scores_docs": _q_quality_scores,
+    "extract_doc_docs": _q_extract_doc,
+    "extract_xls_docs": _q_extract_xls,
+    "extract_ppt_docs": _q_extract_ppt,
+    "extract_docx_docs": _q_extract_docx,
+    "extract_xlsx_docs": _q_extract_xlsx,
+    "extract_pptx_docs": _q_extract_pptx,
+    "stratified_sample_lang": _q_stratified_sample,
+    "pdf_page_stats": _q_pdf_page_stats,
+    "pdf_font_encodings": _q_pdf_font_encodings,
+    "image_exif_features": _q_image_exif_features,
+    "image_text_metadata": _q_image_text_metadata,
+    "gif_animation_features": _q_gif_animation_features,  # r8: LZW
+    "robots_meta_gate": _q_robots_meta_gate,
+    "domain_stats": _q_domain_stats,
+    "domain_blocklist_gate": _q_domain_blocklist_gate,
+    "extract_yaml_docs": _q_extract_yaml,
+    "audio_flac_decode": _q_audio_flac_decode,
+    "media_features_unified": _q_media_features_unified,
+    "video_container_features": _q_video_container_features,
+    "media_mp4_features": _q_media_mp4_features,
+    # 30-45: every query whose engine path changed in r8
+    "semantic_dedup_embeddings": _q_semantic_dedup,  # r8: GEMM prune
+    "dedup_minhash_lsh": _q_minhash_lsh,             # r8: fused prep
+    "dedup_simhash": _q_simhash_pairs,               # r8: text UDF
+    "dedup_embedding_cosine": _q_embedding_neardup,  # r8: bucket pairs
+    "decontam_benchmark": _q_decontam_benchmark,     # r8: gram pass
+    "dup_span_stats": _q_dup_span_stats,             # r8: window pass
+    "dedup_remove_spans": _q_remove_dup_spans,       # r8: rewrite pass
+    "extract_warc_docs": _q_extract_warc,            # r8: coding_error
+    "streaming_extract_docs": _q_streaming_extract,  # r8: coding_error
+    "image_codec_breadth": _q_image_codec_breadth,   # r8: GIF/VP8L
+    "multimodal_image_features": _q_multimodal_features,
+    "multimodal_resize_thumbs": _q_multimodal_resize,
+    "dedup_image_dhash": _q_dedup_image_dhash,
+    "pdf_image_ocr": _q_pdf_image_ocr,               # r8: jbig2 budget
+    "ann_ivf_topk": _q_ann_ivf_topk,                 # r8: trainer
+    "ann_lsh_topk": _q_ann_lsh_topk,
+    # 46-50: stable flagships (the suite's core signal)
+    "extract_html_docs": _q_extract_html_docs,
+    "extract_lang_agg": _q_extract_lang_agg,
+    "dedup_latest_url": _q_dedup_latest_url,
+    "streaming_bitemporal_dedup": _q_streaming_bitemporal,
     "dedup_exact": _q_dedup_exact,
+    # --- TAIL (29): hash-green in CORRECTNESS_r07, re-verified by
+    # the full r8 gate sweep, engine paths untouched this round
+    # beyond the head-covered extract() coding_error branch ---
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "ann_cosine_topk": _q_ann_cosine_topk,
-    "ann_lsh_topk": _q_ann_lsh_topk,
-    "ann_ivf_topk": _q_ann_ivf_topk,
     "canonical_urls": _q_canonical_urls,
     "boilerplate_filter": _q_boilerplate_filter,
     "dedup_video_signature": _q_dedup_video_sig,
@@ -2594,67 +2649,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "preview_truncation": _q_preview_truncation,
     "ocr_clean_docs": _q_ocr_clean_docs,
     "audio_transcripts": _q_audio_transcripts,
-    "decontam_benchmark": _q_decontam_benchmark,
-    "dup_span_stats": _q_dup_span_stats,
-    "dedup_remove_spans": _q_remove_dup_spans,
     "pack_sequences": _q_pack_sequences,
     "unigram_lm_quality": _q_unigram_quality,
-    # 29-37: every query whose fixtures or kernels changed in r7
-    "pdf_image_ocr": _q_pdf_image_ocr,  # r7: 9/7 JPX + huffman JBIG2
-    "image_codec_breadth": _q_image_codec_breadth,  # r7: VP8 + j2k
-    "multimodal_image_features": _q_multimodal_features,
-    "multimodal_resize_thumbs": _q_multimodal_resize,  # _decode_gray r7
-    "dedup_image_dhash": _q_dedup_image_dhash,  # _decode_gray r7
-    "semantic_dedup_embeddings": _q_semantic_dedup,  # NEW r7 (SemDeDup)
-    "mime_sniff_breadth": _q_mime_sniff_breadth,  # sniff line model r7
-    "audio_tag_metadata": _q_audio_tag_metadata,  # id3 unsync fix r7
-    "audio_mp3_features": _q_audio_mp3_features,  # audiotags touched r7
+    "mime_sniff_breadth": _q_mime_sniff_breadth,
+    "audio_tag_metadata": _q_audio_tag_metadata,
+    "audio_mp3_features": _q_audio_mp3_features,
     "audio_container_features": _q_audio_container_features,
-    # 38-50: stable r6-green flagships (the suite's core signal)
-    "extract_html_docs": _q_extract_html_docs,
-    "extract_lang_agg": _q_extract_lang_agg,
-    "extract_warc_docs": _q_extract_warc,
-    "streaming_extract_docs": _q_streaming_extract,
-    "streaming_bitemporal_dedup": _q_streaming_bitemporal,
-    "dedup_latest_url": _q_dedup_latest_url,
     "dedup_window_events": _q_dedup_window_events,
     "q1_lineitem_agg": _q1_lineitem_agg,
     "anti_join_manifest": _q_anti_join_manifest,
-    "dedup_minhash_lsh": _q_minhash_lsh,
-    "dedup_simhash": _q_simhash_pairs,
-    "dedup_embedding_cosine": _q_embedding_neardup,
-    # --- TAIL (28): hash-green in CORRECTNESS_r06, code paths
-    # untouched in r7, pytest-parity covered; rotate back r8
-    # (join_topk_customers displaced by the semantic_dedup insert) ---
-    "join_topk_customers": _q_join_topk_customers,
-    "neardup_components": _q_neardup_components,
-    "scrub_pii_docs": _q_scrub_pii,
-    "repetition_stats_docs": _q_repetition_stats,
-    "normalize_nfc_docs": _q_normalize_nfc,
-    "lang_id_heuristic": _q_lang_id,
-    "token_count_bpe": _q_token_count,
-    "doc_fingerprint": _q_doc_fingerprint,
-    "quality_scores_docs": _q_quality_scores,
-    "extract_doc_docs": _q_extract_doc,
-    "extract_xls_docs": _q_extract_xls,
-    "extract_ppt_docs": _q_extract_ppt,
-    "extract_docx_docs": _q_extract_docx,
-    "extract_xlsx_docs": _q_extract_xlsx,
-    "extract_pptx_docs": _q_extract_pptx,
-    "stratified_sample_lang": _q_stratified_sample,
-    "pdf_page_stats": _q_pdf_page_stats,
-    "pdf_font_encodings": _q_pdf_font_encodings,
-    "image_exif_features": _q_image_exif_features,
-    "image_text_metadata": _q_image_text_metadata,
-    "gif_animation_features": _q_gif_animation_features,
-    "robots_meta_gate": _q_robots_meta_gate,
-    "domain_stats": _q_domain_stats,
-    "domain_blocklist_gate": _q_domain_blocklist_gate,
-    "extract_yaml_docs": _q_extract_yaml,
-    "audio_flac_decode": _q_audio_flac_decode,
-    "media_features_unified": _q_media_features_unified,
-    "video_container_features": _q_video_container_features,
-    "media_mp4_features": _q_media_mp4_features,
 }
 
 # DuckDB mirror of the language-ID stopword scores (same formula as
