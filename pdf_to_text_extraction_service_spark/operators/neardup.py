@@ -642,6 +642,89 @@ def simhash64_text_udf():
     return _sig
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)],
+                 dtype=np.uint8)
+
+
+def _simhash_bucket_pairs_fn(max_hamming: int):
+    """mapInPandas body over (band, key, _id, _sig, _mask) rows
+    hash-partitioned by (band, key): every verified pair of each
+    bucket, emitted EXACTLY ONCE corpus-wide.
+
+    Replaces the bucket self-join -> 66M candidate rows -> hamming
+    filter -> 26M-row dropDuplicates Exchange (sf1.0 numbers) with
+    in-group numpy: hamming via xor + byte-popcount in cache-sized
+    row blocks, and the cross-band dedup via the MIN-SHARED-BAND
+    rule — a pair is emitted from bucket (band k, key) iff no lower
+    band j < k has both ids sharing their band-j key AND both
+    surviving band j's flood cap (``_mask`` bit j).  That predicate
+    is exactly "the pair is also a candidate in band j", so each
+    qualifying pair is emitted at its minimal candidate band and the
+    output SET equals the old join+dropDuplicates output (pinned by
+    tests/test_simhash_bucket_opt.py, including a flooded-bucket
+    construction where the caps differ per band)."""
+    def fn(it):
+        # accumulate the WHOLE partition: a bucket's rows span Arrow
+        # batches, and pairs across a split batch boundary would be
+        # lost (the hash repartition guarantees bucket-completeness
+        # per PARTITION, not per batch)
+        parts = [pdf for pdf in it if len(pdf)]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True) \
+                if len(parts) > 1 else parts[0]
+            band_a = pdf["band"].to_numpy(np.int64)
+            key_a = pdf["key"].to_numpy(np.int64)
+            id_a = pdf["_id"].to_numpy(np.int64)
+            sig_a = pdf["_sig"].to_numpy(np.int64)
+            mask_a = pdf["_mask"].to_numpy(np.int64)
+            order = np.lexsort((id_a, key_a, band_a))
+            band_a, key_a, id_a, sig_a, mask_a = (
+                band_a[order], key_a[order], id_a[order],
+                sig_a[order], mask_a[order])
+            cut = np.nonzero((np.diff(band_a) != 0)
+                             | (np.diff(key_a) != 0))[0] + 1
+            starts = np.concatenate(([0], cut))
+            ends = np.concatenate((cut, [len(id_a)]))
+            oa, ob, oh = [], [], []
+            for s, e in zip(starts, ends):
+                m = e - s
+                if m < 2:
+                    continue
+                k_band = int(band_a[s])
+                ids = id_a[s:e]
+                sig = sig_a[s:e]
+                mask = mask_a[s:e]
+                lower = [((sig >> np.int64(16 * j)) & np.int64(0xFFFF),
+                          (mask >> np.int64(j)) & np.int64(1) > 0)
+                         for j in range(k_band)]
+                blk = 256
+                for i0 in range(0, m, blk):
+                    i1 = min(i0 + blk, m)
+                    x = sig[i0:i1, None] ^ sig[None, :]
+                    ham = _POP8[
+                        x.view(np.uint8).reshape(i1 - i0, m, 8)
+                    ].sum(axis=2, dtype=np.int32)
+                    q = ham <= max_hamming
+                    q &= (np.arange(m)[None, :]
+                          > np.arange(i0, i1)[:, None])
+                    for sl, sv in lower:
+                        q &= ~((sl[i0:i1, None] == sl[None, :])
+                               & sv[i0:i1, None] & sv[None, :])
+                    r, c = np.nonzero(q)
+                    if len(r):
+                        oa.append(ids[i0 + r])
+                        ob.append(ids[c])
+                        oh.append(ham[r, c])
+            if oa:
+                yield pd.DataFrame({
+                    "id_a": np.concatenate(oa),
+                    "id_b": np.concatenate(ob),
+                    "hamming": np.concatenate(oh).astype(np.int32),
+                })
+
+    return fn
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
                   max_hamming: int = 3,
@@ -653,12 +736,19 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 
     max_bucket bounds each band bucket with the partial-agg flood cap
     (operators/floodcap.py) — identical-signature floods (boilerplate
-    at web scale) otherwise make the band self-join quadratic.
+    at web scale) otherwise make the bucket pairing quadratic.
     Buckets at or under the cap are exact; flooded buckets keep a
     deterministic hash-prefix sample.  ``eager`` materializes the
     scalar pair output and releases the banded-signature cache
     (minhash_lsh_pairs' contract); ``eager=False`` keeps the lazy
-    plan for audits/composition."""
+    plan for audits/composition.
+
+    r8 shape: the bucket self-join (66M candidate rows at sf1.0) and
+    the cross-band pair dropDuplicates Exchange are replaced by ONE
+    grouped Arrow pass (_simhash_bucket_pairs_fn): each capped bucket
+    verifies its own pairs in numpy and the min-shared-band rule
+    emits every pair exactly once — output set identical (parity and
+    flood-divergence tests in tests/test_simhash_bucket_opt.py)."""
     # same parallelism guard as minhash_lsh_pairs: hash-repartition
     # on the id so the signature UDF is not serialized on the scan's
     # few parquet splits
@@ -668,9 +758,9 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
            .repartition(par, F.col("_id"))
            .select("_id", simhash64_text_udf()(F.col("_t"))
                    .alias("_sig")))
-    # persist: the banded self-join below reads this relation twice —
-    # without it each side re-hashes every token (same fix as the
-    # MinHash signature persist)
+    # persist: the flood-count pass, the survival-mask aggregate and
+    # the bucket grouping all read this relation — without it each
+    # reader re-hashes every token (same fix as the MinHash persist)
     banded = sig.select(
         "_id", "_sig",
         F.explode(F.expr(
@@ -680,22 +770,18 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     ).select("_id", "_sig", "_b.band", "_b.key").persist()
     capped = cap_flooded_buckets(banded, ["band", "key"], "_id",
                                  max_bucket)
-    left = capped.select("band", "key", F.col("_id").alias("id_a"),
-                         F.col("_sig").alias("sig_a"))
-    right = capped.select("band", "key", F.col("_id").alias("id_b"),
-                          F.col("_sig").alias("sig_b"))
+    # per-id band-survival bitmask: bit j set iff the id is in its
+    # band-j CAPPED bucket — the _simhash_bucket_pairs_fn min-shared-
+    # band rule needs it to reproduce the old join+dropDuplicates
+    # output exactly under flood sampling (a pair dropped from band
+    # j's bucket must still be emitted by a later shared band)
+    surv = capped.groupBy("_id").agg(
+        F.sum(F.expr("shiftleft(1, band)")).alias("_mask"))
     out = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.bit_count(F.expr("sig_a ^ sig_b")).alias("hamming"))
-        # the hamming verify runs BEFORE the pair dedup (equivalent —
-        # hamming is a function of the pair, so filter and
-        # dropDuplicates commute): the dedup Exchange then carries
-        # only verified pairs instead of every band-bucket candidate
-        # (measured 66M -> 26M rows at sf1.0; guide §2.3)
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        capped.join(surv, "_id")
+        .repartition(par, "band", "key")
+        .mapInPandas(_simhash_bucket_pairs_fn(max_hamming),
+                     "id_a long, id_b long, hamming int")
     )
     if eager:
         out = out.localCheckpoint(eager=True)
