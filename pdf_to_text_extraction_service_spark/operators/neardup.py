@@ -406,6 +406,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         .persist()
     )
     sig = sh
+    # persist the banded scalars too: the flood-count pass and both
+    # self-join sides otherwise re-run the 32-band explode + key
+    # hash over every signature (4 recomputations at bench scale)
     banded = sig.select(
         "_id",
         F.explode(
@@ -416,7 +419,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             )
         ).alias("_b"),
     ).select("_id", F.col("_b.band").alias("_band"),
-             F.hash("_b.key").alias("_key"))
+             F.hash("_b.key").alias("_key")).persist()
 
     # Self-join inside buckets; the flood cap bounds the quadratic
     # blow-up from degenerate signatures (boilerplate floods) with a
@@ -454,6 +457,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     if eager:
         out = out.localCheckpoint(eager=True)
         sh.unpersist()
+        banded.unpersist()
     return out
 
 
