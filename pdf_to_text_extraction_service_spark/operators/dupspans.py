@@ -199,18 +199,25 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 13,
     in-row as JVM array expressions."""
     occurrences = _window_occurrences(docs, n, id_col, text_col,
                                       with_pos=True)
-    # ONE Exchange of the occurrence rows (hash by the 128-bit window
-    # key), then a vectorized grouped pass computes, per window, the
-    # corpus count and the canonical occurrence (min (doc, pos)) and
-    # emits every NON-canonical occurrence of qualifying windows —
-    # replacing the previous groupBy-aggregate shuffle PLUS the
+    # ONE declared aggregation per window key computes the corpus
+    # count and the canonical occurrence (min (doc, pos)) together
+    # and emits every NON-canonical occurrence of qualifying windows
+    # — replacing the previous groupBy-aggregate shuffle PLUS the
     # sort-merge join back onto the occurrences (r8; row-identical,
-    # pinned by tests/test_dupspans_opt.py).
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    # pinned by tests/test_dupspans_opt.py).  Occurrence lists are
+    # tiny (the corpus count of one 13-gram); grouping is semantic —
+    # a physical repartition is NOT a grouping contract under AQE
+    # (see neardup._simhash_bucket_pairs_fn).
     removal_rows = (
-        occurrences.repartition(par, "h1", "h2")
-        .mapInPandas(_noncanonical_rows_fn(min_count, id_col),
-                     f"{id_col} long, pos int")
+        occurrences.groupBy("h1", "h2")
+        .agg(F.collect_list(F.struct(
+            F.col(id_col).alias("d"), F.col("pos").alias("p")))
+            .alias("_occ"))
+        .filter(F.size("_occ") >= min_count)
+        .withColumn("_canon", F.array_min("_occ"))
+        .select(F.explode(F.expr(
+            "filter(_occ, s -> s != _canon)")).alias("_e"))
+        .select(F.col("_e.d").alias(id_col), F.col("_e.p").alias("pos"))
     )
     removals = (
         removal_rows
@@ -238,43 +245,6 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 13,
         # so no persist is needed; the checkpoint bounds the result
         out = out.localCheckpoint(eager=True)
     return out
-
-
-def _noncanonical_rows_fn(min_count: int, id_col: str):
-    """mapInPandas body over (id, pos, h1, h2) rows hash-partitioned
-    by (h1, h2): for every window with corpus-wide occurrence count
-    >= min_count, emit each occurrence EXCEPT the canonical one
-    (min (id, pos)) — exactly the rows the old
-    groupBy-canon + join-back produced.  Fully vectorized: rows
-    lexsorted by (pos, id, h2, h1) make each window group contiguous
-    with its canonical occurrence first."""
-    def fn(it):
-        parts = [pdf for pdf in it if len(pdf)]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True) \
-            if len(parts) > 1 else parts[0]
-        ids = pdf["_id"].to_numpy(np.int64) \
-            if "_id" in pdf else pdf[id_col].to_numpy(np.int64)
-        pos = pdf["pos"].to_numpy(np.int64)
-        h1 = pdf["h1"].to_numpy(np.int64)
-        h2 = pdf["h2"].to_numpy(np.int64)
-        order = np.lexsort((pos, ids, h2, h1))
-        ids, pos, h1, h2 = ids[order], pos[order], h1[order], h2[order]
-        newg = np.empty(len(ids), dtype=bool)
-        newg[0] = True
-        newg[1:] = (np.diff(h1) != 0) | (np.diff(h2) != 0)
-        gidx = np.cumsum(newg) - 1            # group index per row
-        counts = np.bincount(gidx)
-        qual = counts[gidx] >= min_count      # window reaches count
-        emit = qual & ~newg                   # drop the canonical row
-        if emit.any():
-            yield pd.DataFrame({
-                id_col: ids[emit],
-                "pos": pos[emit].astype(np.int32),
-            })
-
-    return fn
 
 
 def _rewrite_rows_fn(n: int):

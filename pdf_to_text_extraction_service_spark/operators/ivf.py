@@ -146,52 +146,51 @@ def train_kmeans(df: DataFrame, k: int = 16, iters: int = 5,
         return centroids
     k_eff = len(centroids)
 
+    # one row per FOLD_BLOCK id-block via a DECLARED aggregation
+    # (collect_list bounded by the block width; sort_array orders
+    # members by vid — unique — so every block row carries its
+    # members in fold order).  A physical repartition by _blk is NOT
+    # a co-location contract: AQE can rewrite the shuffle read to
+    # local mode under MapInPandas (observed on the SimHash bucket
+    # pass — see neardup._simhash_bucket_pairs_fn), which would
+    # split id-blocks across tasks and break the bit-deterministic
+    # fold.  The aggregation makes each block row self-contained.
     prep = df.select(
         F.col(id_col).alias("_vid"),
         (F.col(id_col) / F.lit(FOLD_BLOCK)).cast("long").alias("_blk"),
         F.col(vec_col).alias("_v"),
-    ).repartition("_blk").persist()
+    ).groupBy("_blk").agg(
+        F.sort_array(F.collect_list(F.struct("_vid", "_v")))
+        .alias("_rows")
+    ).persist()
 
     def _block_sums(cents):
         carr = np.asarray(cents, dtype=np.float64)
 
         def fn(it):
-            vids, blks, mats = [], [], []
             for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                vids.append(pdf["_vid"].to_numpy(np.int64))
-                blks.append(pdf["_blk"].to_numpy(np.int64))
-                mats.append(np.asarray(
-                    [np.asarray(v, dtype=np.float64)
-                     for v in pdf["_v"]], dtype=np.float64))
-            if not vids:
-                return
-            vid = np.concatenate(vids)
-            blk = np.concatenate(blks)
-            mat = np.vstack(mats)
-            assign = _argmin_dist2(mat, carr)
-            order = np.lexsort((vid, blk, assign))
-            vid, blk, mat, assign = (vid[order], blk[order],
-                                     mat[order], assign[order])
-            cut = np.nonzero((np.diff(assign) != 0)
-                             | (np.diff(blk) != 0))[0] + 1
-            starts = np.concatenate(([0], cut))
-            ends = np.concatenate((cut, [len(vid)]))
-            out_c, out_b, out_n, out_s = [], [], [], []
-            for s, e in zip(starts, ends):
-                # ordered fold inside the id-block: cumsum is the
-                # sequential left-fold the SQL aggregate performs
-                out_s.append(np.cumsum(mat[s:e], axis=0)[-1].tolist())
-                out_c.append(int(assign[s]))
-                out_b.append(int(blk[s]))
-                out_n.append(int(e - s))
-            yield pd.DataFrame({
-                "cluster": np.asarray(out_c, dtype=np.int32),
-                "blk": np.asarray(out_b, dtype=np.int64),
-                "bn": np.asarray(out_n, dtype=np.int64),
-                "bsum": out_s,
-            })
+                out_c, out_b, out_n, out_s = [], [], [], []
+                for blk, members in zip(pdf["_blk"], pdf["_rows"]):
+                    mat = np.asarray(
+                        [np.asarray(r["_v"], dtype=np.float64)
+                         for r in members], dtype=np.float64)
+                    assign = _argmin_dist2(mat, carr)
+                    for c in np.unique(assign):
+                        sel = assign == c       # keeps vid order
+                        # ordered fold inside the id-block: cumsum is
+                        # the sequential left-fold of the SQL aggregate
+                        out_s.append(
+                            np.cumsum(mat[sel], axis=0)[-1].tolist())
+                        out_c.append(int(c))
+                        out_b.append(int(blk))
+                        out_n.append(int(sel.sum()))
+                if out_c:
+                    yield pd.DataFrame({
+                        "cluster": np.asarray(out_c, dtype=np.int32),
+                        "blk": np.asarray(out_b, dtype=np.int64),
+                        "bn": np.asarray(out_n, dtype=np.int64),
+                        "bsum": out_s,
+                    })
 
         return fn
 

@@ -666,38 +666,34 @@ def _simhash_bucket_pairs_fn(max_hamming: int):
     qualifying pair is emitted at its minimal candidate band and the
     output SET equals the old join+dropDuplicates output (pinned by
     tests/test_simhash_bucket_opt.py, including a flooded-bucket
-    construction where the caps differ per band)."""
+    construction where the caps differ per band).
+
+    The input is ONE ROW PER BUCKET (band, key, members array of
+    (id, sig, mask) structs, from a collect_list aggregation) — a
+    DECLARED grouping.  An earlier r8 draft hash-repartitioned the
+    member rows and grouped inside the partition; that physical
+    co-location is NOT a contract: AQE can rewrite the shuffle read
+    to LOCAL mode (observed: `AQEShuffleRead local` under a
+    runtime-broadcast join conversion, MapInPandas declares no
+    required distribution), splitting buckets across tasks and
+    silently dropping pairs.  Grouping must be semantic, never
+    physical."""
     def fn(it):
-        # accumulate the WHOLE partition: a bucket's rows span Arrow
-        # batches, and pairs across a split batch boundary would be
-        # lost (the hash repartition guarantees bucket-completeness
-        # per PARTITION, not per batch)
-        parts = [pdf for pdf in it if len(pdf)]
-        if parts:
-            pdf = pd.concat(parts, ignore_index=True) \
-                if len(parts) > 1 else parts[0]
-            band_a = pdf["band"].to_numpy(np.int64)
-            key_a = pdf["key"].to_numpy(np.int64)
-            id_a = pdf["_id"].to_numpy(np.int64)
-            sig_a = pdf["_sig"].to_numpy(np.int64)
-            mask_a = pdf["_mask"].to_numpy(np.int64)
-            order = np.lexsort((id_a, key_a, band_a))
-            band_a, key_a, id_a, sig_a, mask_a = (
-                band_a[order], key_a[order], id_a[order],
-                sig_a[order], mask_a[order])
-            cut = np.nonzero((np.diff(band_a) != 0)
-                             | (np.diff(key_a) != 0))[0] + 1
-            starts = np.concatenate(([0], cut))
-            ends = np.concatenate((cut, [len(id_a)]))
+        for pdf in it:
             oa, ob, oh = [], [], []
-            for s, e in zip(starts, ends):
-                m = e - s
+            for k_band, members in zip(pdf["band"], pdf["_members"]):
+                m = len(members)
                 if m < 2:
                     continue
-                k_band = int(band_a[s])
-                ids = id_a[s:e]
-                sig = sig_a[s:e]
-                mask = mask_a[s:e]
+                k_band = int(k_band)
+                ids = np.array([r["_id"] for r in members],
+                               dtype=np.int64)
+                sig = np.array([r["_sig"] for r in members],
+                               dtype=np.int64)
+                mask = np.array([r["_mask"] for r in members],
+                                dtype=np.int64)
+                order = np.argsort(ids, kind="stable")
+                ids, sig, mask = ids[order], sig[order], mask[order]
                 lower = [((sig >> np.int64(16 * j)) & np.int64(0xFFFF),
                           (mask >> np.int64(j)) & np.int64(1) > 0)
                          for j in range(k_band)]
@@ -781,12 +777,18 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     # j's bucket must still be emitted by a later shared band)
     surv = capped.groupBy("_id").agg(
         F.sum(F.expr("shiftleft(1, band)")).alias("_mask"))
-    out = (
+    # one row per bucket via a DECLARED aggregation (bounded by the
+    # flood cap) — physical repartition co-location is not a
+    # contract under AQE (see _simhash_bucket_pairs_fn docstring)
+    buckets = (
         capped.join(surv, "_id")
-        .repartition(par, "band", "key")
-        .mapInPandas(_simhash_bucket_pairs_fn(max_hamming),
-                     "id_a long, id_b long, hamming int")
+        .groupBy("band", "key")
+        .agg(F.collect_list(F.struct("_id", "_sig", "_mask"))
+             .alias("_members"))
     )
+    out = buckets.mapInPandas(
+        _simhash_bucket_pairs_fn(max_hamming),
+        "id_a long, id_b long, hamming int")
     if eager:
         out = out.localCheckpoint(eager=True)
         banded.unpersist()

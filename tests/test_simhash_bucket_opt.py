@@ -43,12 +43,15 @@ def _new_downstream(banded, max_hamming, max_bucket):
                                  max_bucket)
     surv = capped.groupBy("_id").agg(
         F.sum(F.expr("shiftleft(1, band)")).alias("_mask"))
-    return (
+    buckets = (
         capped.join(surv, "_id")
-        .repartition(8, "band", "key")
-        .mapInPandas(_simhash_bucket_pairs_fn(max_hamming),
-                     "id_a long, id_b long, hamming int")
+        .groupBy("band", "key")
+        .agg(F.collect_list(F.struct("_id", "_sig", "_mask"))
+             .alias("_members"))
     )
+    return buckets.mapInPandas(
+        _simhash_bucket_pairs_fn(max_hamming),
+        "id_a long, id_b long, hamming int")
 
 
 def _banded_from_sigs(spark, rows):
