@@ -121,10 +121,12 @@ def train_kmeans(df: DataFrame, k: int = 16, iters: int = 5,
     previous posexplode implementation, kept as
     :func:`train_kmeans_reference` and pinned by tests):
 
-    - the vector table is hash-repartitioned by id-block ONCE and
-      cached, so every FOLD_BLOCK id-block is whole inside one task
-      (one Exchange of the vectors total, vs 2 shuffles of n x dim
-      exploded rows per iteration before);
+    - the vector table is aggregated ONCE into one vid-sorted member
+      list per FOLD_BLOCK id-block (a DECLARED groupBy — see the
+      inline note on why physical repartition co-location is not a
+      grouping contract under AQE) and cached: one Exchange of the
+      vectors total, vs 2 shuffles of n x dim exploded rows per
+      iteration before;
     - each iteration is one Arrow mapInPandas pass (numpy assignment
       + per-(cluster, block) ordered-fold block sums — np.cumsum is
       a sequential fold, matching the SQL aggregate exactly) plus a
